@@ -1,0 +1,41 @@
+"""Explicit partitioning for the heavy parse stage.
+
+Why: real crawl tables arrive host-clustered (WARC segments group by
+domain), and per-host page counts are Zipf-skewed — the analog of the
+reference's directory-granularity stragglers (coarse ProcessPool tasks over
+folders, one_key_process.py:728-743; SURVEY §4 "skew" row). A naive
+partition-by-input-split would hand one executor all of the top host.
+
+Strategy (north_rule: "salt-hashed by url host"): partition key =
+``xxhash64(host, salt_bucket)`` where ``salt_bucket = pmod(xxhash64(url), K)``.
+- Pages of one host spread across exactly K partitions (bounded fan-out keeps
+  host locality partially intact for downstream per-host ops),
+- any single host is capped at ~K/N of the cluster, and
+- the mapping is deterministic (no rand()), so re-runs produce identical
+  partition membership — required for resumable, replayable lineage.
+
+At 100 TB / 1000 executors: choose num_partitions ≈ 2-3× total cores and
+K ≈ 16-64; AQE coalesces small partitions after the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def url_host(col="url"):
+    """Extract the host from a url column (JVM-side, codegen-friendly)."""
+    return F.parse_url(F.col(col) if isinstance(col, str) else col, F.lit("HOST"))
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    url_col: str = "url",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Repartition by salt-hashed url host (deterministic skew-breaker)."""
+    salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+    key = F.xxhash64(url_host(url_col), salt)
+    return df.repartition(num_partitions, key)

@@ -1,0 +1,80 @@
+"""The correctness gate: byte-identical extracted text per url
+(BASELINE.json input_hint; FIXTURES.md §2) between the serial golden path
+and the distributed Arrow-batched path, plus invariance properties
+(SURVEY §5: idempotency, permutation invariance)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.core.synth import gen_pages
+from ocr_spark.golden import golden_frame
+from ocr_spark.operators.extract_op import extract_pages
+from ocr_spark.sources.pages import synth_pages
+
+N = 600
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return golden_frame(N).set_index("url").sort_index()
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    df = extract_pages(synth_pages(spark, N), num_partitions=7, salt_buckets=4)
+    return df.toPandas().set_index("url").sort_index()
+
+
+def test_row_counts_match_one_to_one(golden, extracted):
+    assert len(extracted) == N
+    assert list(extracted.index) == list(golden.index)
+
+
+def test_text_byte_identical_per_url(golden, extracted):
+    for url in golden.index:
+        g = golden.loc[url, "text"].encode("utf-8")
+        e = extracted.loc[url, "text"].encode("utf-8")
+        assert g == e, f"byte mismatch at {url!r}: {g[:120]!r} != {e[:120]!r}"
+
+
+def test_status_and_kind_match(golden, extracted):
+    for col in ("extract_status", "content_kind", "n_blocks", "bytes_in", "bytes_out"):
+        pd.testing.assert_series_equal(
+            golden[col], extracted[col], check_names=False, check_dtype=False
+        )
+
+
+def test_status_vocabulary(extracted):
+    ok = extracted["extract_status"].str.match(r"^(ok|empty|fallback_text|error:\w+)$")
+    assert ok.all()
+    # the synthetic corpus must exercise every branch
+    statuses = set(extracted["extract_status"].str.split(":").str[0])
+    assert {"ok", "empty", "fallback_text"} <= statuses
+    kinds = set(extracted["content_kind"])
+    assert {"html", "pdf", "text"} <= kinds
+
+
+def test_permutation_invariance(spark, golden):
+    """Input row order / partitioning must not change any per-url output."""
+    pages = synth_pages(spark, N).orderBy(F.reverse(F.col("url")))
+    out = (
+        extract_pages(pages, num_partitions=3, salt_buckets=2)
+        .toPandas()
+        .set_index("url")
+        .sort_index()
+    )
+    assert (out["text"] == golden["text"]).all()
+
+
+def test_idempotent_rerun(spark, extracted):
+    df = extract_pages(synth_pages(spark, N), num_partitions=7, salt_buckets=4)
+    again = df.toPandas().set_index("url").sort_index()
+    assert (again["text"] == extracted["text"]).all()
+
+
+def test_failure_rows_retained_not_dropped(golden):
+    """P7 contract: failures produce empty text, never dropped rows."""
+    bad = golden[golden["extract_status"] != "ok"]
+    assert len(bad) > 0
+    assert (bad[bad["extract_status"] == "empty"]["text"] == "").all()
