@@ -97,6 +97,9 @@ class _BlockTokenizer(HTMLParser):
 
     # -- helpers -----------------------------------------------------------
     def _flush(self) -> None:
+        """Close the current block, stamping it with the CURRENT blocked
+        state — callers must flush BEFORE mutating depth counters so text
+        keeps the state it was collected under."""
         cur = self._cur
         text = normalize_inline("".join(cur.parts))
         if text:
@@ -107,6 +110,7 @@ class _BlockTokenizer(HTMLParser):
             self.blocks.append(cur)
         self._cur = Block()
         self._cur.heading = bool(self._block_stack) and self._block_stack[-1] in HEADING_TAGS
+        self._cur.depth = len(self._block_stack)
 
     @staticmethod
     def _attrs_blocked(attrs) -> bool:
@@ -128,12 +132,14 @@ class _BlockTokenizer(HTMLParser):
             return
         boiler = tag in BOILERPLATE_TAGS
         classblocked = self._attrs_blocked(attrs)
+        boundary = tag in BLOCK_TAGS or boiler or classblocked
+        if boundary:
+            self._flush()  # before depth bumps: preceding text keeps old state
         if boiler:
             self._boiler_depth += 1
         if classblocked:
             self._classblock_depth += 1
-        if tag in BLOCK_TAGS:
-            self._flush()
+        if boundary:
             self._block_stack.append(tag)
             self._cur.heading = tag in HEADING_TAGS
             self._cur.depth = len(self._block_stack)
@@ -148,7 +154,13 @@ class _BlockTokenizer(HTMLParser):
         # Pop back to the matching open tag if present; ignore stray closes.
         for i in range(len(self._tag_stack) - 1, -1, -1):
             if self._tag_stack[i][0] == tag:
-                for t, boiler, classblocked in reversed(self._tag_stack[i:]):
+                popped = self._tag_stack[i:]
+                if any(
+                    t in BLOCK_TAGS or boiler or classblocked
+                    for t, boiler, classblocked in popped
+                ):
+                    self._flush()  # before depth drops: inner text keeps blocked state
+                for t, boiler, classblocked in reversed(popped):
                     if t in SKIP_TAGS:
                         self._skip_depth -= 1
                     if boiler:
@@ -157,11 +169,14 @@ class _BlockTokenizer(HTMLParser):
                         self._classblock_depth -= 1
                     if t == "a":
                         self._anchor_depth = max(0, self._anchor_depth - 1)
-                    if t in BLOCK_TAGS:
-                        self._flush()
-                        if self._block_stack and self._block_stack[-1] == t:
-                            self._block_stack.pop()
+                    if (t in BLOCK_TAGS or boiler or classblocked) and self._block_stack:
+                        self._block_stack.pop()
                 del self._tag_stack[i:]
+                # leaving the boundary: reset heading/depth for the next block
+                self._cur.heading = (
+                    bool(self._block_stack) and self._block_stack[-1] in HEADING_TAGS
+                )
+                self._cur.depth = len(self._block_stack)
                 return
         # no matching open tag: ignore (tolerant recovery, deterministic)
 

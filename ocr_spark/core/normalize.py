@@ -17,6 +17,10 @@ Normalization pipeline (applied in this exact order):
    trailing spaces/tabs stripped.
 4. Runs of 3+ newlines collapse to exactly 2 (paragraph break).
 5. Whole-string strip of leading/trailing whitespace.
+
+Rule 0 (applied with rule 1's translate): C0 control chars other than
+tab/newline family, and DEL, are deleted — binary junk must not leak
+(the P8 image-quality-guard analog, ocr_diagnostic_tool.py:111-116).
 """
 
 from __future__ import annotations
@@ -25,7 +29,13 @@ import re
 
 _ZERO_WIDTH = dict.fromkeys([0x200B, 0x200C, 0x200D, 0xFEFF])
 _SPACE_MAP = {0x00A0: 0x20, 0x202F: 0x20, 0x2007: 0x20}
-_CHAR_MAP = {**_SPACE_MAP, **_ZERO_WIDTH}
+# C0 controls (except \t \n \r \f \v, which the whitespace rules own) and DEL
+# are deleted: binary junk decoded via latin-1 must not leak into output text.
+_CONTROLS = dict.fromkeys(
+    c for c in range(0x20) if c not in (0x09, 0x0A, 0x0B, 0x0C, 0x0D)
+)
+_CONTROLS[0x7F] = None
+_CHAR_MAP = {**_SPACE_MAP, **_ZERO_WIDTH, **_CONTROLS}
 
 _RE_INTRALINE_WS = re.compile(r"[ \t\f\v]+")
 _RE_LINE_EDGES = re.compile(r"(?m)^[ ]+|[ ]+$")

@@ -1,0 +1,140 @@
+"""Unit tests for the pure-Python extraction core (SURVEY §5 graft strategy:
+segmentation, normalization dialects, PDF dispatch, blocklist, P7 semantics).
+No Spark session needed — fast."""
+
+import pytest
+
+from ocr_spark.core.extract import extract_record
+from ocr_spark.core.htmlparse import extract_blocks, extract_html_text, score_blocks
+from ocr_spark.core.normalize import normalize_inline, normalize_text
+from ocr_spark.core.pdfparse import PdfParseError, extract_pdf_text
+from ocr_spark.core.synth import build_pdf
+
+LONG = "word " * 20  # > MIN_BLOCK_CHARS after normalization
+
+
+class TestNormalize:
+    def test_nbsp_and_zero_width(self):
+        assert normalize_text("a b​c d") == "a bc d"
+
+    def test_crlf_and_line_edges(self):
+        assert normalize_text("  a  b\t\r\nc  \r d ") == "a b\nc\nd"
+
+    def test_paragraph_collapse(self):
+        assert normalize_text("a\n\n\n\n\nb") == "a\n\nb"
+
+    def test_controls_deleted(self):
+        assert normalize_text("a\x00\x01\x7fb") == "ab"
+
+    def test_non_bmp_preserved(self):
+        assert normalize_text("ok \U0001f600 fine") == "ok \U0001f600 fine"
+
+    def test_inline_collapses_newlines(self):
+        assert normalize_inline("a\n  b\tc") == "a b c"
+
+    def test_empty(self):
+        assert normalize_text("") == "" and normalize_text(None or "") == ""
+
+
+class TestHtmlBlocks:
+    def test_boilerplate_tags_blocked(self):
+        html = f"<nav>{LONG}</nav><p>{LONG}</p><footer>{LONG}</footer>"
+        text, n = extract_html_text(html)
+        assert n == 1 and text.startswith("word")
+
+    def test_class_blocklist(self):
+        html = f'<div class="sidebar left">{LONG}</div><div class="content">{LONG}</div>'
+        text, n = extract_html_text(html)
+        assert n == 1
+
+    def test_link_density_pruned(self):
+        links = "".join(f'<a href="#">link text {i}</a> ' for i in range(10))
+        html = f"<p>{links}</p><p>{LONG}</p>"
+        text, n = extract_html_text(html)
+        assert n == 1 and "link text" not in text
+
+    def test_short_blocks_dropped_headings_kept(self):
+        html = f"<p>tiny</p><h2>Title</h2><p>{LONG}</p>"
+        text, n = extract_html_text(html)
+        assert n == 2 and text.splitlines()[0] == "Title"
+
+    def test_script_style_skipped(self):
+        html = f"<script>{LONG}</script><style>{LONG}</style><p>{LONG}</p>"
+        _, n = extract_html_text(html)
+        assert n == 1
+
+    def test_malformed_tolerated(self):
+        html = f"</div><p>{LONG}<div></span>{LONG}"
+        text, n = extract_html_text(html)
+        assert n >= 1 and "word" in text
+
+    def test_entities_decoded(self):
+        html = "<p>" + "fish &amp; chips &lt;tag&gt; café " * 3 + "</p>"
+        text, _ = extract_html_text(html)
+        assert "fish & chips <tag> café" in text
+
+    def test_stats(self):
+        blocks = extract_blocks(f'<p><a href="#">half of this</a> and plain rest</p>')
+        assert len(blocks) == 1
+        b = blocks[0]
+        assert b.link_chars == len("half of this")
+        assert b.total_chars == len("half of this and plain rest")
+
+    def test_nested_boilerplate_unblocks_after_close(self):
+        html = f"<header><p>{LONG}</p></header><p>{LONG}</p>"
+        blocks = score_blocks(extract_blocks(html))
+        assert len(blocks) == 1
+
+
+class TestPdf:
+    def test_roundtrip_raw_and_flate(self):
+        paras = ["Hello (world) with \\ escapes", "second paragraph"]
+        for flate in (False, True):
+            assert extract_pdf_text(build_pdf(paras, flate)) == "\n".join(paras)
+
+    def test_bad_magic(self):
+        with pytest.raises(PdfParseError):
+            extract_pdf_text(b"not a pdf")
+
+    def test_unterminated_stream(self):
+        with pytest.raises(PdfParseError):
+            extract_pdf_text(b"%PDF-1.4\n<< /Length 3 >> stream\nabc")
+
+    def test_corrupt_flate(self):
+        with pytest.raises(PdfParseError):
+            extract_pdf_text(b"%PDF-1.4\n<< /Filter /FlateDecode >> stream\nBT junk\nendstream")
+
+    def test_octal_and_utf16_strings(self):
+        body = b"BT (\\101\\102) Tj ET"
+        pdf = b"%PDF-1.4\n<< /Length 19 >> stream\n" + body + b"\nendstream"
+        assert extract_pdf_text(pdf) == "AB"
+
+
+class TestExtractRecord:
+    def test_null_html_with_text(self):
+        r = extract_record("u", None, "  fallback\r\ntext  ", "en")
+        assert r["extract_status"] == "fallback_text"
+        assert r["text"] == "fallback\ntext"
+        assert r["content_kind"] == "text"
+
+    def test_null_everything(self):
+        r = extract_record("u", None, None, None)
+        assert r["extract_status"] == "empty" and r["text"] == ""
+
+    def test_pdf_error_falls_back(self):
+        r = extract_record("u", b"%PDF-1.4\n<< >> stream\nabc", "plan b", "en")
+        assert r["extract_status"] == "fallback_text" and r["text"] == "plan b"
+
+    def test_pdf_error_no_fallback(self):
+        r = extract_record("u", b"%PDF-1.4\n<< >> stream\nabc", None, "en")
+        assert r["extract_status"] == "error:PdfParseError" and r["text"] == ""
+
+    def test_fallback_ignored_when_html_ok(self):
+        r = extract_record("u", f"<p>{LONG}</p>".encode(), "decoy", "en")
+        assert r["extract_status"] == "ok" and "decoy" not in r["text"]
+
+    def test_bytes_accounting(self):
+        html = f"<p>{LONG}</p>".encode()
+        r = extract_record("u", html, None, "en")
+        assert r["bytes_in"] == len(html)
+        assert r["bytes_out"] == len(r["text"].encode("utf-8")) > 0

@@ -1,0 +1,82 @@
+"""Resume / idempotency / crash-injection properties (SURVEY §5; FIXTURES §4):
+a crash mid-run must lose at most the uncommitted chunk, a resumed run must
+produce a final table byte-identical to an uninterrupted run, and orphan data
+from a crash between data-write and manifest-rename must stay invisible."""
+
+import os
+
+import pytest
+
+from ocr_spark.pipeline import read_extracted, read_metrics, run_extract
+from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+from ocr_spark.sources.pages import synth_pages
+
+N = 400
+
+
+def _final_texts(spark, root):
+    df = read_extracted(spark, root)
+    return {r["url"]: r["text"] for r in df.select("url", "text").collect()}
+
+
+def test_crash_then_resume_matches_uninterrupted(spark, tmp_path):
+    pages = synth_pages(spark, N)
+
+    clean_root = str(tmp_path / "clean")
+    run_extract(spark, pages, clean_root, run_id="clean", chunks=4, num_partitions=4)
+    clean = _final_texts(spark, clean_root)
+    assert len(clean) == N
+
+    crash_root = str(tmp_path / "crashy")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_extract(spark, pages, crash_root, run_id="r1", chunks=4,
+                    num_partitions=4, fail_chunk_after=2)
+    partial = _final_texts(spark, crash_root)
+    assert 0 < len(partial) < N
+
+    res = run_extract(spark, pages, crash_root, run_id="r2", chunks=4, num_partitions=4)
+    assert res.docs == N - len(partial)
+    resumed = _final_texts(spark, crash_root)
+    assert resumed == clean  # byte-identical final state
+
+    # one row per url — resume must not duplicate committed work
+    total = read_extracted(spark, crash_root).count()
+    assert total == N
+
+
+def test_rerun_after_completion_is_noop(spark, tmp_path):
+    pages = synth_pages(spark, 100)
+    root = str(tmp_path / "t")
+    run_extract(spark, pages, root, run_id="a", chunks=2, num_partitions=2)
+    res = run_extract(spark, pages, root, run_id="b", chunks=2, num_partitions=2)
+    assert res.chunks_done == 0 and res.docs == 0
+    assert read_extracted(spark, root).count() == 100
+
+
+def test_orphan_data_invisible_without_manifest(spark, tmp_path):
+    """Crash between parquet write and manifest rename => no partial reads."""
+    root = str(tmp_path / "t")
+    pages = synth_pages(spark, 50)
+    run_extract(spark, pages, root, run_id="a", chunks=1, num_partitions=2)
+    table = IcebergLiteTable(f"{root}/extracted")
+    before = table.read(spark).count()
+    # simulate: data dir written, manifest never renamed in
+    orphan = os.path.join(root, "extracted", "data", "deadbeef00000000")
+    read_extracted(spark, root).limit(5).write.parquet(orphan)
+    assert table.read(spark).count() == before  # orphan invisible
+    assert len(table.data_dirs()) == 1
+
+
+def test_metrics_rows_per_partition(spark, tmp_path):
+    root = str(tmp_path / "t")
+    pages = synth_pages(spark, 200)
+    run_extract(spark, pages, root, run_id="m", chunks=2, num_partitions=3)
+    m = read_metrics(spark, root).toPandas()
+    assert set(m["chunk"]) == {0, 1}
+    assert (m["docs_parsed"] + m["parse_failures"] > 0).all()
+    assert m["bytes_in"].sum() > 0 and m["bytes_out"].sum() > 0
+    # metrics cover every extracted row exactly once
+    assert int(m["docs_parsed"].sum() + m["parse_failures"].sum()) == 200
+    assert set(m["snapshot_id"]) <= {
+        s["snapshot_id"] for s in IcebergLiteTable(f"{root}/extracted").snapshots()
+    }
