@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``    — flagship: main-content extraction over pages built
+                      deterministically from the sf0.001 documents table.
+``queries()``       — one entry per implemented operator family
+                      (SURVEY.md §2 + training-data ops).
+``oracle_sql()``    — DuckDB twins. Regex dialect notes: patterns restricted
+                      to constructs meaning the same in Java regex and RE2;
+                      every DuckDB regexp_replace uses the 'g' flag because
+                      Spark's replaces all matches by default. Floats are
+                      rounded (4 dp; money 2 dp) on BOTH sides so summation
+                      order can't flip the value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +17,372 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text import (
+    fingerprint_md5,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    whitespace_token_count,
+)
+from ocr_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    simhash64,
+    token_jaccard_pairs,
+)
+from ocr_spark.operators.extract_op import extract_pages
+from ocr_spark.operators.similarity import cosine_topk, embedding_neardup_pairs
+from ocr_spark.operators.validate import validate_documents, validation_report
+from ocr_spark.sources.pages import pages_from_documents
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction (S1/S5/E1/P*/F* composite) over pages wrapped
+    from the documents table. Deterministic template => SQL oracle exists."""
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages, repartition=True)
+    return out.select("url", "text", "extract_status", "content_kind", "n_blocks")
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: exact dedup by canonical-text fingerprint (hash groupBy)."""
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-layer: token counting + quality scoring, all JVM expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        whitespace_token_count("text").alias("n_ws_tokens"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12-analog heuristic language ID vs the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        (lang_id("text") == F.col("lang")).alias("agrees"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (portable md5 of canonical form)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint_md5("text").alias("fp")
+    )
+
+
+def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/token-set jaccard near-dup pairs (exact, SQL-expressible)."""
+    return token_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, jaccard-verified (non-SQL: xxhash64)."""
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signatures (vectorized pandas UDF; non-SQL)."""
+    return simhash64(_t(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 query embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, [float(x) for x in qvec], k=20)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (non-SQL: seeded hyperplanes)."""
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+def q_validate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1-V10 analog: expectations + completeness + status rollup + report."""
+    return validation_report(validate_documents(_t(spark, sf_dir, "documents")))
+
+
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-layer parity: TPC-H-Q1-shaped multi-agg (count/sum/avg/min/max)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/O2 parity: broadcast equi-join + groupBy + top-10."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/U1 parity: per-group counts + distinct counts."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events table (epoch buckets keep
+    the comparison timezone-free)."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).alias("hour_bucket")
+    return (
+        e.groupBy(hour, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+def q_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resume primitive (north_rule): pages left_anti committed keys —
+    modeled as documents minus an already-committed deterministic subset."""
+    d = _t(spark, sf_dir, "documents")
+    committed = d.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0).select("doc_id")
+    return (
+        d.join(committed, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_flagship_extract(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_extract": q_flagship_extract,
+        "exact_dedup": q_exact_dedup,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "token_jaccard": q_token_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "validate_docs": q_validate_docs,
+        "agg_pricing": q_agg_pricing,
+        "top_customers": q_top_customers,
+        "lang_distribution": q_lang_distribution,
+        "events_hourly": q_events_hourly,
+        "resume_antijoin": q_resume_antijoin,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect twins)
+# --------------------------------------------------------------------------
+
+_CANON = "trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))"
+_CANON_RAW = "trim(regexp_replace(text, '[ \t\n]+', ' ', 'g'))"
+_TOKENS = "regexp_extract_all(lower(text), '[A-Za-z0-9_'']+')"
+_PUNCT = r"'[!-/:-@\[-`{-~]'"
+_STOPS = ("('the','a','an','and','or','of','to','in','is','it',"
+          "'that','for','on','with','as','at','by','this')")
+_STOP_RATIO = (
+    f"case when len({_TOKENS}) = 0 then 0.0 else "
+    f"len(list_filter({_TOKENS}, t -> t in {_STOPS})) * 1.0 / len({_TOKENS}) end"
+)
+_PUNCT_RATIO = (
+    f"case when length(text) = 0 then 0.0 else "
+    f"(length(text) - length(regexp_replace(text, {_PUNCT}, '', 'g'))) * 1.0 / length(text) end"
+)
+_CJK_RATIO = (
+    "case when length(text) = 0 then 0.0 else "
+    "(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))) * 1.0 / length(text) end"
+)
+_LANG_PRED = (
+    f"case when {_CJK_RATIO} > 0.30 then 'zh' "
+    f"when {_STOP_RATIO} > 0.05 then 'en' else 'other' end"
+)
+_QUALITY = (
+    "round("
+    "(case when length(text) between 100 and 20000 then 1.0 "
+    " when length(text) >= 20 then 0.5 else 0.0 end) * 0.4 + "
+    f"(case when {_PUNCT_RATIO} <= 0.10 then 1.0 else 0.0 end) * 0.3 + "
+    f"(case when {_STOP_RATIO} >= 0.02 then 1.0 else 0.0 end) * 0.3, 4)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_extract": f"""
+            SELECT 'https://docs.example.com/' || doc_id AS url,
+                   CASE WHEN length({_CANON_RAW}) >= 25
+                        THEN 'Document ' || doc_id || chr(10) || {_CANON_RAW}
+                        ELSE 'Document ' || doc_id END AS text,
+                   'ok' AS extract_status,
+                   'html' AS content_kind,
+                   CAST(CASE WHEN length({_CANON_RAW}) >= 25 THEN 2 ELSE 1 END AS INT) AS n_blocks
+            FROM documents
+        """,
+        "exact_dedup": f"""
+            SELECT md5({_CANON}) AS fp, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '[ \t\n]+')) END AS n_ws_tokens,
+                   round({_PUNCT_RATIO}, 4) AS punct_ratio,
+                   round({_STOP_RATIO}, 4) AS stopword_ratio,
+                   {_QUALITY} AS quality
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id, {_LANG_PRED} AS lang_pred,
+                   ({_LANG_PRED} = lang) AS agrees
+            FROM documents
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5({_CANON}) AS fp FROM documents
+        """,
+        "token_jaccard": f"""
+            WITH toks AS (
+                SELECT doc_id AS id, unnest(list_distinct(string_split({_CANON}, ' '))) AS tok
+                FROM documents
+            ), toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+            sizes AS (SELECT id, count(*) AS n_tok FROM toks2 GROUP BY id),
+            shared AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+                FROM toks2 a JOIN toks2 b ON a.tok = b.tok AND a.id < b.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_shared * 1.0 / (sa.n_tok + sb.n_tok - n_shared), 4) AS jaccard
+            FROM shared
+            JOIN sizes sa ON id_a = sa.id
+            JOIN sizes sb ON id_b = sb.id
+            WHERE round(n_shared * 1.0 / (sa.n_tok + sb.n_tok - n_shared), 4) >= 0.8
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                     list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 20
+        """,
+        "validate_docs": """
+            WITH v AS (
+                SELECT *,
+                    (text IS NOT NULL AND length(text) > 0) AS c1,
+                    (n_chars IS NOT NULL AND n_chars BETWEEN 1 AND 100000) AS c2,
+                    (n_chars = length(text)) AS c3,
+                    (lang IN ('en','zh','de','fr','es','ja')) AS c4
+                FROM documents
+            ), w AS (
+                SELECT *,
+                    round((CAST(COALESCE(c1,false) AS INT) + CAST(COALESCE(c2,false) AS INT)
+                         + CAST(COALESCE(c3,false) AS INT) + CAST(COALESCE(c4,false) AS INT)) / 4.0, 4)
+                      AS completeness,
+                    CASE WHEN NOT COALESCE(c1,false) THEN 'error'
+                         WHEN NOT COALESCE(c2,false) OR NOT COALESCE(c3,false)
+                              OR NOT COALESCE(c4,false) THEN 'warn'
+                         ELSE 'ok' END AS status
+                FROM v
+            )
+            SELECT status, count(*) AS n_rows,
+                   round(avg(completeness), 4) AS avg_completeness
+            FROM w GROUP BY status ORDER BY status
+        """,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT source) AS n_sources,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "events_hourly": """
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "resume_antijoin": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+        """,
+        # minhash_pairs / simhash / embedding_neardup: intentionally no SQL
+        # twin (xxhash64 / seeded hyperplanes are engine-native); the driver
+        # records the weaker rows-only check for these.
+    }

@@ -1,0 +1,219 @@
+"""Deduplication operators for training-data pipelines.
+
+The reference's dedup is exact key-dedup of document base-names
+(``set()`` of filename prefixes, one_key_process.py:820-826 — SURVEY §2.6 U1).
+At corpus scale that generalizes to the family below. Shuffle discipline:
+
+- exact:   ONE shuffle (groupBy fingerprint).
+- minhash: signatures computed JVM-side with array expressions (no shuffle,
+  no Python); candidate generation = explode bands -> ONE shuffle on
+  (band, band_hash); verification joins shingle arrays only for candidate
+  pairs (sort-merge join on doc ids).
+- simhash: one Arrow-vectorized pandas UDF (numpy bit-packing), then a
+  band-bucket shuffle like minhash.
+- embedding near-dup: cosine >= threshold within LSH buckets (see
+  operators/similarity.py for the bucketing).
+
+At 100 TB: minhash bands replace the O(n^2) pair space with per-bucket
+pairs; skewed buckets (boilerplate-heavy corpora) are handled by AQE skew
+join + the deterministic salt in plans/partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions.text import fingerprint_md5, normalized_for_fingerprint
+
+MINHASH_PERMS = 32          # signature length
+LSH_BANDS = 8               # bands of 4 -> catches jaccard >~ 0.6
+SHINGLE_N = 3               # word n-gram shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct canonical text with the
+    keeper id (min id — deterministic first-match-wins, the reference's
+    ``matching_files[0]`` tie-break, one_key_process.py:871-874)."""
+    return (
+        df.select(fingerprint_md5(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return df filtered to one keeper row per distinct canonical text."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def _shingles(text_col: str):
+    """Word n-gram shingle array, all JVM-side: lower -> split -> transform
+    over index range (no Python, no explode)."""
+    toks = F.split(normalized_for_fingerprint(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_N, F.lit(0)))
+    return F.when(n < SHINGLE_N, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N))
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       perms: int = MINHASH_PERMS) -> DataFrame:
+    """(id, shingles, sig: array<long>[perms]) — min over per-perm hashes.
+
+    Hash family: xxhash64(shingle, perm_index) — deterministic, seedable,
+    JVM-native. Entirely expression-level: computing a signature is a map
+    stage with zero shuffle.
+    """
+    sh = _shingles(text_col).alias("shingles")
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(perms)
+        ]
+    ).alias("sig")
+    return df.select(F.col(id_col), sh).select(id_col, "shingles", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, verified with
+    exact shingle-set jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b
+    and jaccard >= threshold."""
+    rows_per_band = perms // bands
+    sigs = minhash_signatures(df, text_col, id_col, perms)
+
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "shingles", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(inter.cast("double") / union.cast("double"), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact distinct-token jaccard over ALL candidate pairs sharing >=1
+    token (n-gram-jaccard family, SQL-expressible twin for the oracle).
+    Quadratic in the worst case — the honest baseline LSH beats."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(normalized_for_fingerprint(text_col), " "))).alias("tok"),
+    ).where(F.col("tok") != "")
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    shared = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        shared.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_shared")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document via one Arrow-vectorized pandas UDF
+    (numpy bit voting — the justified Python hot path: 64 bitwise
+    aggregations per token don't fit expression form)."""
+    @F.pandas_udf(LongType())
+    def _simhash(texts: "pd.Series") -> "pd.Series":
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = t.lower().split()
+            if not toks:
+                continue
+            # FNV-1a per token, vectorized bit votes
+            hs = np.array([_fnv1a64(tok) for tok in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for j in range(64):
+                if votes[j] > 0:
+                    sig |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def _fnv1a64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h ^= byte
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h

@@ -1,0 +1,101 @@
+"""Rule-based post-extraction QA — the DataValidator port (SURVEY §2.9).
+
+The reference validates its output table with per-field range/type/required
+checks, cross-field identities, completeness scoring, and a row-status
+rollup, then aggregates a report (data_validator.py:115-186, 276-295,
+456-466, 523-628). Here the same shapes are pure DataFrame expressions —
+boolean check columns, a completeness fraction, a CASE-WHEN status rollup,
+and groupBy report aggregations. No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ALLOWED_LANGS = ("en", "zh", "de", "fr", "es", "ja")
+
+
+def validate_documents(df: DataFrame) -> DataFrame:
+    """Row-level expectations over a documents-shaped table
+    (doc_id, text, lang, source, n_chars).
+
+    Checks (V1 range/required analog, data_validator.py:115-186):
+      chk_text_required  text non-null and non-empty
+      chk_len_range      n_chars in [1, 100000]
+      chk_len_identity   n_chars == length(text)  (V3 cross-field identity
+                         analog, data_validator.py:276-295)
+      chk_lang           lang in the allowed vocabulary
+    completeness = fraction of passed checks (V8, data_validator.py:523-551)
+    status rollup (V10, data_validator.py:456-466):
+      error if required-check failed; warn if any other check failed or
+      completeness < 0.8; else ok.
+    """
+    chk_text = F.col("text").isNotNull() & (F.length("text") > 0)
+    chk_len = F.col("n_chars").isNotNull() & F.col("n_chars").between(1, 100000)
+    chk_ident = F.col("n_chars") == F.length("text")
+    chk_lang = F.col("lang").isin(*ALLOWED_LANGS)
+
+    checks = [
+        ("chk_text_required", chk_text),
+        ("chk_len_range", chk_len),
+        ("chk_len_identity", chk_ident),
+        ("chk_lang", chk_lang),
+    ]
+    out = df
+    for name, c in checks:
+        out = out.withColumn(name, F.coalesce(c, F.lit(False)))
+    completeness = F.round(
+        sum(F.col(n).cast("int") for n, _ in checks) / F.lit(float(len(checks))), 4
+    )
+    out = out.withColumn("completeness", completeness)
+    status = (
+        F.when(~F.col("chk_text_required"), "error")
+        .when(
+            ~F.col("chk_len_range")
+            | ~F.col("chk_len_identity")
+            | ~F.col("chk_lang")
+            | (F.col("completeness") < 0.8),
+            "warn",
+        )
+        .otherwise("ok")
+    )
+    return out.withColumn("status", status)
+
+
+def validation_report(validated: DataFrame) -> DataFrame:
+    """Report aggregation (A5/A6 analog, data_validator.py:553-602):
+    per-status row counts + average completeness."""
+    return (
+        validated.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("completeness"), 4).alias("avg_completeness"),
+        )
+        .orderBy("status")
+    )
+
+
+def validate_extracted(df: DataFrame) -> DataFrame:
+    """Expectations over the engine's own output table (extracted shape) —
+    transposed validation_rules (FIXTURES.md §5): text length floor per
+    content_kind, status vocabulary, bytes accounting."""
+    chk_status = F.col("extract_status").rlike("^(ok|empty|fallback_text|error:)")
+    chk_ok_nonempty = (F.col("extract_status") != "ok") | (F.length("text") > 0)
+    chk_bytes = F.col("bytes_out") == F.length(F.encode(F.coalesce("text", F.lit("")), "UTF-8"))
+    chk_blocks = (F.col("content_kind") != "html") | (F.col("extract_status") != "ok") | (
+        F.col("n_blocks") > 0
+    )
+    out = (
+        df.withColumn("chk_status_vocab", F.coalesce(chk_status, F.lit(False)))
+        .withColumn("chk_ok_nonempty", F.coalesce(chk_ok_nonempty, F.lit(False)))
+        .withColumn("chk_bytes_accounting", F.coalesce(chk_bytes, F.lit(False)))
+        .withColumn("chk_blocks_when_ok", F.coalesce(chk_blocks, F.lit(False)))
+    )
+    ok_all = (
+        F.col("chk_status_vocab")
+        & F.col("chk_ok_nonempty")
+        & F.col("chk_bytes_accounting")
+        & F.col("chk_blocks_when_ok")
+    )
+    return out.withColumn("status", F.when(ok_all, "ok").otherwise("error"))

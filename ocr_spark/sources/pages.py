@@ -33,3 +33,46 @@ def synth_pages(spark: SparkSession, n: int, seed: int = SEED,
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     """Read a materialized pages table (parquet dir or iceberg-lite root)."""
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the driver-provided ``documents`` table into input_hint-shaped
+    pages: html is a deterministic pure function of (doc_id, text, lang) —
+    an article-template page whose main content is the document text, padded
+    with the same boilerplate families the scorer must strip.
+
+    This anchors the extraction pipeline to the shared testdata so the
+    flagship entry runs on /root/testdata/sf*/ as required."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def to_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.synth import gen_page
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                i = int(doc_id)
+                # reuse the synth machinery for boilerplate, then splice the
+                # document text in as the article body (deterministic by i)
+                base = gen_page(i, seed=7)
+                body = "".join(f"<p>{text}</p>" for _ in range(1))
+                html = (
+                    f'<html lang="{lang}"><head><title>doc {i}</title></head><body>'
+                    f'<nav class="menu"><a href="/a">home</a> <a href="/b">about</a></nav>'
+                    f"<article><h2>Document {i}</h2>{body}</article>"
+                    f'<footer class="footer"><p>boilerplate footer text that is long enough'
+                    f" to be kept if the blocklist ever regresses</p></footer>"
+                    f"</body></html>"
+                ).encode("utf-8")
+                rows.append(
+                    {
+                        "url": f"https://docs.example.com/{i}",
+                        "warc_ts": base["warc_ts"],
+                        "html": html,
+                        "text": None,
+                        "lang": lang,
+                    }
+                )
+            yield pd.DataFrame.from_records(rows)
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(to_pages, schema=PAGES_SCHEMA)

@@ -1,0 +1,109 @@
+"""Ground-truth tests for dedup & similarity operators on crafted data
+(the synthetic corpora exercise them statistically; these assert exact
+known answers)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    simhash64,
+    token_jaccard_pairs,
+)
+from ocr_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    knn_brute_force,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en"),
+        (1, BASE, "en"),                                # exact dup of 0
+        (2, BASE + " extra", "en"),                     # near dup of 0
+        (3, "completely different words about spark partitions and shuffles here", "en"),
+        (4, "  " + BASE.upper() + "  ", "en"),          # dup after canonicalization
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup_groups(docs):
+    g = exact_dedup_groups(docs).toPandas()
+    # 0,1,4 share a canonical form; 2 and 3 are unique
+    assert len(g) == 3
+    big = g[g.n_copies == 3]
+    assert len(big) == 1 and big.iloc[0].keep_id == 0
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = exact_dedup(docs).toPandas()
+    assert sorted(kept.doc_id) == [0, 2, 3]
+
+
+def test_token_jaccard_finds_near_dup(docs):
+    pairs = token_jaccard_pairs(docs, threshold=0.7).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    # all pairs among {0,1,4} have jaccard 1.0; 2 is near (18/19 tokens)
+    assert {(0, 1), (0, 4), (1, 4), (0, 2), (1, 2), (2, 4)} == got
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got and (0, 4) in got  # identical shingle sets
+    assert (0, 2) in got                    # near dup must share a band
+    assert not any(3 in p for p in got)     # unrelated doc never pairs
+    j = dict(zip(zip(pairs.id_a, pairs.id_b), pairs.jaccard))
+    assert j[(0, 1)] == 1.0
+
+
+def test_simhash_similarity_structure(docs):
+    sh = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert sh[0] == sh[1]                      # identical docs, identical hash
+    assert hamming(sh[0], sh[2]) <= 12         # near dup: close in hamming
+    assert hamming(sh[0], sh[3]) > hamming(sh[0], sh[2])  # unrelated: farther
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+        (4, [0.7, 0.7, 0.0, 0.0]),      # 45 degrees
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_order(vecs):
+    top = cosine_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).toPandas()
+    assert list(top.vec_id) == [0, 1, 4]
+    assert top.cosine.iloc[0] == 1.0 and abs(top.cosine.iloc[2] - 0.7071) < 1e-4
+
+
+def test_embedding_neardup_lsh(vecs):
+    pairs = embedding_neardup_pairs(vecs, threshold=0.95, n_planes=6).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (0, 1) in got            # near-identical vectors share every bucket
+    assert all(c >= 0.95 for c in pairs.cosine)
+
+
+def test_knn_brute_force(spark, vecs):
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])],
+        "q_id long, q_vec array<float>",
+    )
+    out = knn_brute_force(vecs, queries, k=2).toPandas()
+    by_q = {q: list(g.sort_values("rank").vec_id) for q, g in out.groupby("q_id")}
+    assert by_q[100] == [0, 1]
+    assert by_q[200] == [2, 4]
