@@ -189,7 +189,10 @@ class _BlockTokenizer(HTMLParser):
             return
         self._cur.parts.append(data)
         if self._anchor_depth > 0:
-            self._cur.link_chars += len(normalize_inline(data))
+            # raw length (clamped to total at flush): avoids a per-run
+            # normalize pass in the hottest callback; density denominators
+            # use the same normalized total either way
+            self._cur.link_chars += len(data)
 
     def close(self):
         super().close()

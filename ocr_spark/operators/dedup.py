@@ -94,16 +94,26 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified with
     exact shingle-set jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b
-    and jaccard >= threshold."""
+    and jaccard >= threshold.
+
+    Shuffle discipline (the part that matters at 100 TB):
+    - the band self-join carries ONLY (id, band, bucket) — the heavy shingle
+      arrays never enter the O(pairs) join; they are re-joined afterwards for
+      just the deduplicated candidate set;
+    - buckets larger than ``max_bucket`` docs are dropped before pairing
+      (a bucket of k docs contributes k^2 pairs; boilerplate-identical pages
+      would otherwise quadratic-bomb one partition). Deterministic cap, and
+      near-dup recall for dropped buckets is recovered by their OTHER bands.
+    """
     rows_per_band = perms // bands
-    sigs = minhash_signatures(df, text_col, id_col, perms)
+    sigs = minhash_signatures(df, text_col, id_col, perms).persist()
 
     banded = sigs.select(
         F.col(id_col).alias("id"),
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -117,7 +127,15 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "shingles", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
+
+    small_buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band", "bucket")
+    )
+    banded = banded.join(small_buckets, ["band", "bucket"], "left_semi")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -128,21 +146,27 @@ def minhash_lsh_pairs(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = sigs.select(F.col(id_col).alias("id"), F.array_distinct("shingles").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    verified = (
+        cand.join(a, F.col("id_a") == F.col("a.id"))
+        .join(b, F.col("id_b") == F.col("b.id"))
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh")).cast("double"),
+                4,
+            ).alias("jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    inter = F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        cand.withColumn("jaccard", F.round(inter.cast("double") / union.cast("double"), 4))
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    return verified
 
 
 def token_jaccard_pairs(

@@ -40,38 +40,48 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
+    cols = ("url", "text", "extract_status", "content_kind", "n_blocks", "bytes_in", "bytes_out")
     for pdf in batches:
-        urls = pdf["url"].to_numpy()
-        htmls = pdf["html"].to_numpy()
-        texts = pdf["text"].to_numpy()
-        langs = pdf["lang"].to_numpy()
-        recs = [
-            extract_record(
-                urls[i],
-                htmls[i] if htmls[i] is not None else None,
-                texts[i] if isinstance(texts[i], str) else None,
-                langs[i] if isinstance(langs[i], str) else None,
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        texts = pdf["text"].tolist()
+        langs = pdf["lang"].tolist()
+        out: dict[str, list] = {c: [] for c in cols}
+        appends = [out[c].append for c in cols]
+        for i in range(len(urls)):
+            t = texts[i]
+            r = extract_record(
+                urls[i], htmls[i], t if isinstance(t, str) else None, langs[i]
             )
-            for i in range(len(pdf))
-        ]
-        out = pd.DataFrame.from_records(recs)
-        out["partition_id"] = pid
-        yield out
+            for app, c in zip(appends, cols):
+                app(r[c])
+        frame = pd.DataFrame(out, copy=False)
+        frame["partition_id"] = pid
+        yield frame
 
 
 def extract_pages(
     df: DataFrame,
     num_partitions: int | None = None,
     salt_buckets: int = 16,
-    repartition: bool = True,
+    repartition: bool | str = "auto",
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> extracted table.
 
     Returns one row per input row with schema ``EXTRACTED_SCHEMA``.
+
+    ``repartition``: True forces the salted host-hash shuffle (use for
+    host-clustered crawl input — the north_rule skew case); False trusts the
+    input partitioning; "auto" shuffles only when the input has fewer
+    partitions than the cluster can run in parallel (uniform, well-split
+    input skips a pointless shuffle of the full payload bytes).
     """
     pruned = df.select(*INPUT_COLS)  # column pruning BEFORE the Arrow boundary
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if num_partitions is None:
+        num_partitions = parallelism * 2
+    if repartition == "auto":
+        repartition = pruned.rdd.getNumPartitions() < parallelism
     if repartition:
-        if num_partitions is None:
-            num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
         pruned = salted_repartition(pruned, num_partitions, salt_buckets=salt_buckets)
     return pruned.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
