@@ -34,10 +34,22 @@ from ocr_spark.operators.dedup import (
     simhash64,
     token_jaccard_pairs,
 )
+from ocr_spark.operators.analytics import (
+    pivot_event_values,
+    session_stats,
+    topk_per_group,
+)
 from ocr_spark.operators.extract_op import extract_pages
-from ocr_spark.operators.similarity import cosine_topk, embedding_neardup_pairs
+from ocr_spark.operators.multimodal import media_features
+from ocr_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    knn_brute_force,
+)
 from ocr_spark.operators.validate import validate_documents, validation_report
 from ocr_spark.sources.pages import pages_from_documents
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -195,6 +207,41 @@ def q_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/W parity: top-2 events per user by value (window row_number)."""
+    e = _t(spark, sf_dir, "events")
+    return topk_per_group(e, ["user_id"], "value", 2, tie_col="event_id").select(
+        "user_id", "event_id", F.round(F.col("value"), 2).alias("value"), "rank"
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (lag + running sum) -> per-user session stats."""
+    return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-analog pivot: one row per user, one summed column per event type."""
+    return pivot_event_values(_t(spark, sf_dir, "events"), EVENT_TYPES)
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN: 3 probe vectors vs the corpus (broadcast + window top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn_brute_force(emb, probes, k=5)
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary-payload metadata + magic sniff + hashing
+    over pages built from the documents table (decode stubbed; see
+    operators/multimodal.py)."""
+    pages = pages_from_documents(spark, sf_dir)
+    return media_features(pages, binary_col="html", id_col="url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_extract(spark, SF0001)
@@ -218,6 +265,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "events_hourly": q_events_hourly,
         "resume_antijoin": q_resume_antijoin,
+        "top_events_per_user": q_top_events_per_user,
+        "sessionize": q_sessionize,
+        "pivot_events": q_pivot_events,
+        "knn": q_knn,
+        "media_meta": q_media_meta,
     }
 
 
@@ -381,6 +433,58 @@ def oracle_sql() -> dict[str, str]:
         "resume_antijoin": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, round(value, 2) AS value, rank FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id ASC) AS rank
+                FROM events
+            ) WHERE rank <= 2
+        """,
+        "sessionize": """
+            WITH lagged AS (
+                SELECT user_id, ts,
+                       epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                         AS gap
+                FROM events
+            ), flagged AS (
+                SELECT user_id,
+                       CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS brk
+                FROM lagged
+            )
+            SELECT user_id,
+                   CAST(sum(brk) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+                   round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS error,
+                   round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+                   round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
+                   round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view
+            FROM events GROUP BY user_id
+        """,
+        "knn": """
+            WITH q AS (
+                SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+                SELECT q.q_id, e.vec_id,
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+                FROM embeddings e, q
+            )
+            SELECT q_id, vec_id, round(cos, 4) AS cosine, rank FROM (
+                SELECT q_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
         """,
         # minhash_pairs / simhash / embedding_neardup: intentionally no SQL
         # twin (xxhash64 / seeded hyperplanes are engine-native); the driver

@@ -1,0 +1,116 @@
+"""spark-submit entry points (north_rule: ``spark-submit --py-files``).
+
+Usage:
+    zip -r ocr_spark.zip ocr_spark
+    spark-submit --py-files ocr_spark.zip --master <cluster> \
+        ocr_spark/jobs.py extract --input <pages dir> --table-root <out root> \
+        [--run-id r1] [--chunks 8] [--partitions 256] [--no-resume]
+
+    spark-submit ... ocr_spark/jobs.py synth --n 1000000 --output <dir>
+
+    spark-submit ... ocr_spark/jobs.py validate --table-root <root>
+
+The extract job is the full contract: resume from committed snapshots,
+salted repartition, Arrow-batched parse, snapshot commit + metrics rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import uuid
+
+
+def _spark():
+    """Session from spark-submit (master/resources come from the launcher);
+    the engine's runtime SQL confs are applied on top."""
+    from pyspark.sql import SparkSession
+
+    from ocr_spark.session import apply_engine_conf
+
+    return apply_engine_conf(SparkSession.builder.getOrCreate())
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    from ocr_spark.pipeline import read_metrics, run_extract
+    from ocr_spark.session import PAGES_SCHEMA
+
+    spark = _spark()
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+    run_id = args.run_id or uuid.uuid4().hex[:8]
+    res = run_extract(
+        spark,
+        pages,
+        args.table_root,
+        run_id=run_id,
+        chunks=args.chunks,
+        num_partitions=args.partitions,
+        resume=not args.no_resume,
+    )
+    print(
+        f"run_id={res.run_id} chunks_done={res.chunks_done} "
+        f"chunks_skipped={res.chunks_skipped} docs={res.docs} "
+        f"snapshots={res.snapshots}"
+    )
+    m = read_metrics(spark, args.table_root)
+    if m is not None:
+        m.groupBy("run_id").sum("docs_parsed", "parse_failures").show(truncate=False)
+    return 0
+
+
+def cmd_synth(args: argparse.Namespace) -> int:
+    from ocr_spark.sources.pages import synth_pages
+
+    spark = _spark()
+    synth_pages(spark, args.n, seed=args.seed, num_partitions=args.partitions).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    print(f"wrote {args.n} pages to {args.output}")
+    return 0
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    from ocr_spark.operators.validate import validate_extracted
+    from ocr_spark.pipeline import read_extracted
+
+    spark = _spark()
+    ext = read_extracted(spark, args.table_root)
+    if ext is None:
+        print("no committed snapshots", file=sys.stderr)
+        return 1
+    v = validate_extracted(ext)
+    v.groupBy("status").count().show()
+    bad = v.where(v.status == "error").count()
+    return 0 if bad == 0 else 2
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ocr_spark.jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="resumable extraction batch")
+    ex.add_argument("--input", required=True)
+    ex.add_argument("--table-root", required=True)
+    ex.add_argument("--run-id")
+    ex.add_argument("--chunks", type=int, default=4)
+    ex.add_argument("--partitions", type=int, default=None)
+    ex.add_argument("--no-resume", action="store_true")
+    ex.set_defaults(fn=cmd_extract)
+
+    sy = sub.add_parser("synth", help="write a deterministic pages table")
+    sy.add_argument("--n", type=int, required=True)
+    sy.add_argument("--output", required=True)
+    sy.add_argument("--seed", type=int, default=42)
+    sy.add_argument("--partitions", type=int, default=None)
+    sy.set_defaults(fn=cmd_synth)
+
+    va = sub.add_parser("validate", help="QA expectations over committed output")
+    va.add_argument("--table-root", required=True)
+    va.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,66 @@
+"""Window / pivot / sessionization analytics.
+
+The reference's analogs: top-k selection (O1-O3, e.g. top-10 error fields
+data_validator.py:676-687), the feature pivot that assembles one row per
+document (A3, one_key_process.py:848-888 — relationally
+``groupBy(doc).pivot(feature).agg(first)``), and run-level sequence metrics
+(A8). Expressed as window functions / pivot so Catalyst plans them
+(WindowExec after a single hash-partition exchange; pivot folds to one
+aggregate with no per-value shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_col: str,
+                   k: int, tie_col: str) -> DataFrame:
+    """Top-k rows per group by ``order_col`` desc (deterministic: ties break
+    on ``tie_col`` asc). One exchange on the group key, no self-join."""
+    w = Window.partitionBy(*group_cols).orderBy(F.desc(order_col), F.asc(tie_col))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+               gap_minutes: int = 30) -> DataFrame:
+    """Assign session ids: a session breaks when the gap to the previous
+    event of the same user exceeds ``gap_minutes`` (lag + running sum —
+    the standard shuffle-once sessionization)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(F.lag(ts_col).over(w))
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn(
+        "session_id", F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+
+
+def session_stats(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+                  gap_minutes: int = 30) -> DataFrame:
+    """Per-user session metrics from sessionize()."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    return (
+        s.groupBy(user_col)
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def pivot_event_values(events: DataFrame, event_types: list[str]) -> DataFrame:
+    """A3-analog pivot: one row per user, one column per event type with the
+    summed value. ``event_types`` is explicit (never inferred) so the plan
+    needs no extra distinct-values job and output schema is deterministic."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", event_types)
+        .agg(F.round(F.sum("value"), 2))
+    )

@@ -1,0 +1,106 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata — exactly
+how this engine treats ``html`` (the reference's analog: image files as
+opaque inputs dispatched by extension/magic, one_key_process.py:664,
+optimized_ocr_processor.py:91-115).
+
+The Spark-side plumbing here is REAL and tested: schemas, Arrow batch shape,
+partition-parallel ``mapInPandas``, magic-byte sniffing, byte accounting,
+content hashing. The actual media DECODE is a clearly marked STUB: the
+sandbox has no PIL/ffmpeg, so ``decode_image`` raises ``NotImplementedError``
+unless Pillow is importable, and the feature extractor falls back to a
+deterministic fake (documented) so the pipeline shape is exercisable
+end-to-end. Swapping in a real decoder changes ONE function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_FEATURES_SCHEMA = (
+    "id string, n_bytes long, kind string, sha256_prefix string, "
+    "width int, height int, decoder string"
+)
+
+_MAGIC = (
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"GIF8", "gif"),
+    (b"RIFF", "riff"),        # wav/avi/webp container
+    (b"%PDF", "pdf"),
+    (b"\x1a\x45\xdf\xa3", "webm"),
+    (b"ID3", "mp3"),
+    (b"OggS", "ogg"),
+)
+
+
+def sniff_kind(data: bytes) -> str:
+    for magic, kind in _MAGIC:
+        if data[: len(magic)] == magic:
+            return kind
+    head = data[:256].lstrip()[:16].lower()
+    if head.startswith((b"<!doctype", b"<html", b"<")):
+        return "html"
+    return "unknown"
+
+
+def decode_image(data: bytes) -> tuple[int, int]:
+    """Real decode path — requires Pillow. STUB in this environment."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401  (absent in this sandbox)
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires Pillow; sandbox has none — "
+            "media_features falls back to the deterministic fake decoder"
+        ) from e
+    img = Image.open(io.BytesIO(data))
+    return img.size
+
+
+def _fake_dimensions(digest: bytes) -> tuple[int, int]:
+    """Deterministic fake decoder: dimensions derived from the content hash.
+    Keeps batch shape/typing identical to the real path."""
+    w = 160 + (digest[0] | (digest[1] << 8)) % 3841
+    h = 120 + (digest[2] | (digest[3] << 8)) % 2161
+    return w, h
+
+
+def media_features(df: DataFrame, binary_col: str = "html",
+                   id_col: str = "url") -> DataFrame:
+    """Partition-parallel media metadata extraction over a binary column."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            blobs = pdf[binary_col].tolist()
+            out = {k: [] for k in
+                   ("id", "n_bytes", "kind", "sha256_prefix", "width", "height", "decoder")}
+            for i, blob in enumerate(blobs):
+                b = blob if blob is not None else b""
+                digest = hashlib.sha256(b).digest()
+                try:
+                    w, h = decode_image(b)
+                    decoder = "pillow"
+                except NotImplementedError:
+                    w, h = _fake_dimensions(digest)
+                    decoder = "stub"
+                except Exception:
+                    w, h, decoder = -1, -1, "error"
+                out["id"].append(ids[i])
+                out["n_bytes"].append(len(b))
+                out["kind"].append(sniff_kind(b))
+                out["sha256_prefix"].append(digest[:8].hex())
+                out["width"].append(w)
+                out["height"].append(h)
+                out["decoder"].append(decoder)
+            yield pd.DataFrame(out)
+
+    pruned = df.select(id_col, binary_col)
+    return pruned.mapInPandas(feats, schema=MEDIA_FEATURES_SCHEMA)

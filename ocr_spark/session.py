@@ -23,6 +23,24 @@ EXTRACTED_SCHEMA = (
 )
 
 
+# Runtime-settable SQL confs (safe to apply to a spark-submit session that
+# already has its master/resources fixed).
+ENGINE_SQL_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    for k, v in ENGINE_SQL_CONF.items():
+        spark.conf.set(k, v)
+    return spark
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "ocr-spark",

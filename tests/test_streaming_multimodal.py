@@ -1,0 +1,107 @@
+"""Streaming extraction (exactly-once file sink, checkpoint resume,
+batch/stream byte-identity) and multimodal binary plumbing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.golden import golden_frame
+from ocr_spark.operators.multimodal import media_features, sniff_kind
+from ocr_spark.session import PAGES_SCHEMA
+from ocr_spark.sources.pages import synth_pages
+from ocr_spark.streaming.extract_stream import (
+    extract_metrics_stream,
+    read_pages_stream,
+    start_extract_stream,
+)
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    synth_pages(spark, N, num_partitions=4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_extract_matches_golden(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_extract_stream(spark, pages_dir, out, ckpt, max_files_per_trigger=2)
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(out).toPandas().set_index("url").sort_index()
+    want = golden_frame(N).set_index("url").sort_index()
+    assert len(got) == N
+    assert (got["text"] == want["text"]).all()  # batch == stream, byte-identical
+
+
+def test_stream_restart_is_exactly_once(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_extract_stream(spark, pages_dir, out, ckpt, max_files_per_trigger=1)
+    q.processAllAvailable()
+    q.stop()
+    n1 = spark.read.parquet(out).count()
+    # restart on the same checkpoint: no new input => no duplicate output
+    q = start_extract_stream(spark, pages_dir, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert spark.read.parquet(out).count() == n1 == N
+    # new files arriving are picked up incrementally, exactly once
+    more = synth_pages(spark, 50, seed=77, num_partitions=1)
+    more.write.mode("append").parquet(pages_dir)
+    q = start_extract_stream(spark, pages_dir, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    final = spark.read.parquet(out)
+    assert final.count() == N + 50
+    assert final.select("url").distinct().count() == N + 50
+
+
+def test_metrics_stream_windows(spark, pages_dir, tmp_path):
+    pages = read_pages_stream(spark, pages_dir)
+    agg = extract_metrics_stream(pages, window="1 hour", watermark="2 hours")
+    q = (agg.writeStream.outputMode("append")
+         .format("memory").queryName("metrics_out")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    m = spark.sql("select * from metrics_out").toPandas()
+    # append mode only emits windows the watermark has closed; with a bounded
+    # input the final windows stay open, so assert on schema not counts
+    assert set(m.columns) == {"window", "host", "n_pages", "bytes_in"}
+
+
+class TestMultimodal:
+    def test_sniff_kinds(self):
+        assert sniff_kind(b"\xff\xd8\xffjunk") == "jpeg"
+        assert sniff_kind(b"\x89PNG\r\n\x1a\nx") == "png"
+        assert sniff_kind(b"%PDF-1.4") == "pdf"
+        assert sniff_kind(b"  <!DOCTYPE html><html>") == "html"
+        assert sniff_kind(b"\x00\x01\x02") == "unknown"
+
+    def test_media_features_plumbing(self, spark):
+        rows = [
+            ("a", b"\xff\xd8\xff" + b"x" * 100),
+            ("b", b"%PDF-1.4 fake"),
+            ("c", None),
+            ("d", b"<html><body>hi</body></html>"),
+        ]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        out = media_features(df).toPandas().set_index("id").sort_index()
+        assert list(out.index) == ["a", "b", "c", "d"]
+        assert out.loc["a", "kind"] == "jpeg"
+        assert out.loc["b", "kind"] == "pdf"
+        assert out.loc["c", "n_bytes"] == 0
+        assert out.loc["d", "kind"] == "html"
+        assert (out["decoder"] == "stub").all()  # sandbox has no Pillow
+        assert (out["width"] >= 160).all() and (out["height"] >= 120).all()
+
+    def test_media_features_deterministic(self, spark):
+        df = synth_pages(spark, 60)
+        a = media_features(df).toPandas().sort_values("id").reset_index(drop=True)
+        b = media_features(df.repartition(5)).toPandas().sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
