@@ -34,8 +34,11 @@ from ocr_spark.operators.dedup import (
     simhash64,
     token_jaccard_pairs,
 )
+from ocr_spark.functions.timestamps import parse_epoch_filename, synth_filename
 from ocr_spark.operators.analytics import (
+    moving_avg,
     pivot_event_values,
+    rollup_event_stats,
     session_stats,
     topk_per_group,
 )
@@ -44,10 +47,15 @@ from ocr_spark.operators.multimodal import media_features
 from ocr_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     knn_brute_force,
 )
-from ocr_spark.operators.validate import validate_documents, validation_report
-from ocr_spark.sources.pages import pages_from_documents
+from ocr_spark.operators.validate import (
+    failing_check_topk,
+    validate_documents,
+    validation_report,
+)
+from ocr_spark.sources.pages import pages_from_documents, pdf_pages_from_documents
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -242,6 +250,83 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(pages, binary_col="html", id_col="url")
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary/PDF branch of the extraction dispatch (E-layer + magic
+    sniff): documents wrapped as PDF payloads (raw + FlateDecode), extracted
+    through the same shared core."""
+    pages = pdf_pages_from_documents(spark, sf_dir)
+    out = extract_pages(pages, repartition=False)
+    return out.select("url", "text", "extract_status", "content_kind", "n_blocks")
+
+
+def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchical totals (per-type + grand total, one pass)."""
+    return rollup_event_stats(_t(spark, sf_dir, "events"))
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window-frame aggregates (ROWS BETWEEN 2 PRECEDING)."""
+    return moving_avg(_t(spark, sf_dir, "events"))
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT / UNION ALL) over doc-id sets."""
+    d = _t(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("doc_id")
+    long_docs = d.where(F.col("n_chars") > 300).select("doc_id")
+    both = en.intersect(long_docs).withColumn("op", F.lit("en_and_long"))
+    only = en.exceptAll(long_docs).withColumn("op", F.lit("en_not_long"))
+    return both.unionByName(only)
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer + nprobe cell probe +
+    exact re-rank within probed cells (the 100 TB ANN scale path)."""
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), k=10, n_centroids=16, n_probe=4)
+
+
+def q_error_top_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 analog: top-k failing validation checks by failure count."""
+    return failing_check_topk(validate_documents(_t(spark, sf_dir, "documents")))
+
+
+def q_epoch_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 analog: recover epoch-ms/epoch-s timestamps from filename keys."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", synth_filename(F.col("doc_id")).alias("filename")
+    )
+    return parse_epoch_filename(d, "filename").select(
+        "doc_id", "ts_parsed", "ts_precision"
+    )
+
+
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming path: the same extraction core as a file-source
+    micro-batch stream with checkpointed exactly-once parquet sink
+    (availableNow trigger). Rows-only check: streaming output equals the
+    batch path byte-for-byte (asserted in tests/test_streaming_multimodal.py),
+    but xxhash-style SQL twins don't apply to a streaming sink."""
+    import tempfile
+
+    from ocr_spark.session import EXTRACTED_SCHEMA
+    from ocr_spark.streaming.extract_stream import extract_stream, read_pages_stream
+
+    base = tempfile.mkdtemp(prefix="ocr_spark_stream_q_")
+    pages_from_documents(spark, sf_dir).limit(200).write.mode("overwrite").parquet(
+        f"{base}/in"
+    )
+    q = (
+        extract_stream(read_pages_stream(spark, f"{base}/in"))
+        .writeStream.format("parquet")
+        .option("path", f"{base}/out")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.schema(EXTRACTED_SCHEMA).parquet(f"{base}/out")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_flagship_extract(spark, SF0001)
@@ -270,6 +355,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_events": q_pivot_events,
         "knn": q_knn,
         "media_meta": q_media_meta,
+        "pdf_extract": q_pdf_extract,
+        "rollup_events": q_rollup_events,
+        "moving_avg": q_moving_avg,
+        "set_ops": q_set_ops,
+        "ivf_topk": q_ivf_topk,
+        "error_top_fields": q_error_top_fields,
+        "epoch_parse": q_epoch_parse,
+        "stream_extract": q_stream_extract,
     }
 
 
@@ -486,7 +579,126 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 5
         """,
-        # minhash_pairs / simhash / embedding_neardup: intentionally no SQL
-        # twin (xxhash64 / seeded hyperplanes are engine-native); the driver
-        # records the weaker rows-only check for these.
+        "pdf_extract": f"""
+            SELECT 'pdf://docs.example.com/' || doc_id AS url,
+                   CASE WHEN length({_CANON_RAW}) = 0 THEN '' ELSE {_CANON_RAW} END AS text,
+                   CASE WHEN length({_CANON_RAW}) = 0 THEN 'empty' ELSE 'ok' END AS extract_status,
+                   'pdf' AS content_kind,
+                   CAST(CASE WHEN length({_CANON_RAW}) = 0 THEN 0 ELSE 1 END AS INT) AS n_blocks
+            FROM documents
+        """,
+        "rollup_events": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   CAST(GROUPING(event_type) AS INT) AS is_total
+            FROM events GROUP BY ROLLUP(event_type)
+            ORDER BY is_total ASC, event_type ASC NULLS LAST
+        """,
+        "moving_avg": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER w, 4) AS mavg_value,
+                   round(sum(value) OVER w, 4) AS msum_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "set_ops": """
+            SELECT doc_id, 'en_and_long' AS op FROM (
+                SELECT doc_id FROM documents WHERE lang = 'en'
+                INTERSECT
+                SELECT doc_id FROM documents WHERE n_chars > 300)
+            UNION ALL
+            SELECT doc_id, 'en_not_long' AS op FROM (
+                SELECT doc_id FROM documents WHERE lang = 'en'
+                EXCEPT
+                SELECT doc_id FROM documents WHERE n_chars > 300)
+        """,
+        "ivf_topk": """
+            WITH cents AS (
+                SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 16
+            ), q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+            ), assign AS (
+                SELECT vec_id, cent_id FROM (
+                    SELECT e.vec_id, c.cent_id,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                      CAST(e.embedding AS DOUBLE[])))
+                                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                             c.cent_id ASC) AS rn
+                    FROM embeddings e, cents c
+                ) WHERE rn = 1
+            ), probes AS (
+                SELECT cent_id FROM cents, q
+                ORDER BY list_dot_product(cv, qv)
+                         / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+                         DESC, cent_id ASC
+                LIMIT 4
+            )
+            SELECT vec_id, round(cos, 4) AS cosine, rank FROM (
+                SELECT vec_id, cos,
+                       row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM (
+                    SELECT e.vec_id,
+                           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+                    FROM embeddings e
+                    JOIN assign a ON e.vec_id = a.vec_id
+                    JOIN probes p ON a.cent_id = p.cent_id
+                    CROSS JOIN q
+                )
+            ) WHERE rank <= 10
+        """,
+        "error_top_fields": """
+            WITH v AS (
+                SELECT (text IS NOT NULL AND length(text) > 0) AS c1,
+                       (n_chars IS NOT NULL AND n_chars BETWEEN 1 AND 100000) AS c2,
+                       (n_chars = length(text)) AS c3,
+                       (lang IN ('en','zh','de','fr','es','ja')) AS c4
+                FROM documents
+            ), u AS (
+                SELECT 'chk_text_required' AS check_name,
+                       count(*) FILTER (WHERE NOT COALESCE(c1, false)) AS n_failed FROM v
+                UNION ALL SELECT 'chk_len_range',
+                       count(*) FILTER (WHERE NOT COALESCE(c2, false)) FROM v
+                UNION ALL SELECT 'chk_len_identity',
+                       count(*) FILTER (WHERE NOT COALESCE(c3, false)) FROM v
+                UNION ALL SELECT 'chk_lang',
+                       count(*) FILTER (WHERE NOT COALESCE(c4, false)) FROM v
+            )
+            SELECT check_name, n_failed FROM u
+            ORDER BY n_failed DESC, check_name ASC LIMIT 10
+        """,
+        "epoch_parse": """
+            WITH f AS (
+                SELECT doc_id,
+                       'doc_' || doc_id || '_' ||
+                       CASE WHEN doc_id % 2 = 0
+                            THEN CAST(1765706670749 + doc_id * 7919000 AS VARCHAR)
+                            ELSE CAST(1765706670 + doc_id * 7919 AS VARCHAR) END
+                       || '.jpg' AS filename
+                FROM documents
+            ), p AS (
+                SELECT doc_id, regexp_extract(filename, '(\\d{13}|\\d{10})', 1) AS d
+                FROM f
+            )
+            SELECT doc_id,
+                   CASE WHEN d = '' THEN '' ELSE strftime(
+                       make_timestamp(
+                           (CASE WHEN length(d) = 13
+                                 THEN CAST(d AS BIGINT) // 1000
+                                 ELSE CAST(d AS BIGINT) END) * 1000000),
+                       '%Y-%m-%d %H:%M:%S') END AS ts_parsed,
+                   CASE WHEN d = '' THEN 'none'
+                        WHEN length(d) = 13 THEN 'ms' ELSE 's' END AS ts_precision
+            FROM p
+        """,
+        # minhash_pairs / simhash / embedding_neardup / stream_extract:
+        # intentionally no SQL twin (xxhash64 / seeded hyperplanes / a
+        # streaming sink are engine-native); the driver records the weaker
+        # rows-only check for these.
     }

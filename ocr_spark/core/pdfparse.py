@@ -27,6 +27,8 @@ class PdfParseError(ValueError):
 
 
 _RE_STREAM = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
+# direct /Length only; negative lookahead rejects indirect refs (/Length 4 0 R)
+_RE_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s*0\s+R)")
 _RE_TEXT_SHOW = re.compile(
     rb"\((?P<s>(?:\\.|[^\\()])*)\)\s*(?P<op>Tj|'|\")|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ"
     rb"|(?P<nl>T\*|TD|Td|ET)"
@@ -79,15 +81,23 @@ def _content_streams(data: bytes) -> list[bytes]:
     for m in _RE_STREAM.finditer(data):
         hdr = m.group(1)
         start = m.end()
-        end = data.find(b"endstream", start)
-        if end < 0:
-            raise PdfParseError("unterminated stream")
-        body = data[start:end]
-        # trailing EOL before 'endstream' is not part of the stream
-        if body.endswith(b"\r\n"):
-            body = body[:-2]
-        elif body.endswith(b"\n") or body.endswith(b"\r"):
-            body = body[:-1]
+        lm = _RE_LENGTH.search(hdr)
+        if lm is not None:
+            # exact byte count from the stream dict (the spec path): never
+            # guess at trailing EOLs — compressed data may itself end in one
+            body = data[start : start + int(lm.group(1))]
+            if data.find(b"endstream", start + len(body)) < 0:
+                raise PdfParseError("unterminated stream")
+        else:
+            end = data.find(b"endstream", start)
+            if end < 0:
+                raise PdfParseError("unterminated stream")
+            body = data[start:end]
+            # trailing EOL before 'endstream' is not part of the stream
+            if body.endswith(b"\r\n"):
+                body = body[:-2]
+            elif body.endswith(b"\n") or body.endswith(b"\r"):
+                body = body[:-1]
         if b"/FlateDecode" in hdr:
             try:
                 body = zlib.decompress(body)

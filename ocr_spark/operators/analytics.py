@@ -55,6 +55,40 @@ def session_stats(events: DataFrame, user_col: str = "user_id", ts_col: str = "t
     )
 
 
+def rollup_event_stats(events: DataFrame) -> DataFrame:
+    """Hierarchical totals via ROLLUP(event_type): per-type rows plus the
+    grand total in one pass (Expand + single hash aggregate — no second
+    job for the total). ``is_total`` = GROUPING flag disambiguates the
+    NULL subtotal row from a genuine NULL key."""
+    return (
+        events.rollup("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping("event_type").cast("int").alias("is_total"),
+        )
+        .orderBy(F.asc("is_total"), F.asc_nulls_last("event_type"))
+    )
+
+
+def moving_avg(events: DataFrame, partition_col: str = "user_id",
+               value_col: str = "value", window_rows: int = 2) -> DataFrame:
+    """Sliding window-frame aggregate: avg of the current + previous
+    ``window_rows`` events per user (ROWS BETWEEN n PRECEDING AND CURRENT).
+    Deterministic order: (ts, event_id). One exchange on the partition key."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-window_rows, Window.currentRow)
+    )
+    return events.select(
+        partition_col,
+        "event_id",
+        F.round(F.avg(value_col).over(w), 4).alias("mavg_value"),
+        F.round(F.sum(value_col).over(w), 4).alias("msum_value"),
+    )
+
+
 def pivot_event_values(events: DataFrame, event_types: list[str]) -> DataFrame:
     """A3-analog pivot: one row per user, one column per event type with the
     summed value. ``event_types`` is explicit (never inferred) so the plan

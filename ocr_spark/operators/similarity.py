@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_PLANES = 12
 PLANE_SEED = 42
@@ -88,6 +89,61 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def ivf_topk(df: DataFrame, k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id: int = 0) -> DataFrame:
+    """IVF-style approximate nearest neighbour: the scale path for ANN.
+
+    Coarse quantizer: the first ``n_centroids`` corpus vectors (deterministic
+    — no iterative k-means, so the cell assignment is a pure function of the
+    data and the oracle can replay it). Every vector is assigned to its
+    best-cosine cell via a broadcast join + ``max_by`` partial aggregation
+    (map-side combine: the corpus shuffles once on ``vec_id``, never N²).
+    The query probes its ``n_probe`` nearest cells and re-ranks exactly
+    within them — at 100 TB only ~n_probe/n_centroids of the corpus is
+    scored against the query instead of all of it.
+
+    Output: (vec_id, cosine, rank) — top-``k`` within the probed cells.
+    """
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents = F.broadcast(
+        df.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cent_id"), emb.alias("cv"))
+    )
+    qv = df.where(F.col(id_col) == query_id).select(emb.alias("qv"))
+
+    # cell assignment: argmax cosine over centroids, ties -> lowest cent_id
+    scored = df.select(F.col(id_col), emb.alias("v")).join(cents)
+    cos = cosine_col(F.col("v"), F.col("cv"))
+    assigned = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("cent_id"), F.struct(cos.alias("c"), (-F.col("cent_id")).alias("t"))
+        ).alias("cent_id"),
+        F.first("v").alias("v"),  # constant within the group (one vector per id)
+    )
+
+    # probe selection: the query's n_probe nearest cells (16-row job)
+    probes = (
+        cents.join(F.broadcast(qv))
+        .select("cent_id", cosine_col(F.col("cv"), F.col("qv")).alias("qcos"))
+        .orderBy(F.desc("qcos"), F.asc("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+    )
+
+    # exact re-rank within probed cells: TakeOrderedAndProject, no full sort
+    cand = assigned.join(F.broadcast(probes), "cent_id").join(F.broadcast(qv))
+    top = (
+        cand.select(
+            F.col(id_col), F.round(cosine_col(F.col("v"), F.col("qv")), 4).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))  # k rows: trivial window
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def knn_brute_force(df: DataFrame, queries: DataFrame, k: int = 5,

@@ -76,6 +76,24 @@ def validation_report(validated: DataFrame) -> DataFrame:
     )
 
 
+DOC_CHECKS = ("chk_text_required", "chk_len_range", "chk_len_identity", "chk_lang")
+
+
+def failing_check_topk(validated: DataFrame, check_cols: tuple[str, ...] = DOC_CHECKS,
+                       k: int = 10) -> DataFrame:
+    """Top-k failing checks (the reference's top-10 error-field report, O2,
+    data_validator.py:676-687): one full-table aggregate producing a single
+    wide row of failure counts, then a driver-cheap unpivot — no shuffle of
+    row-level data beyond the partial-aggregated counts."""
+    aggs = [F.sum((~F.col(c)).cast("long")).alias(c) for c in check_cols]
+    wide = validated.agg(*aggs)
+    pairs = ", ".join(f"'{c}', {c}" for c in check_cols)
+    unpivoted = wide.selectExpr(
+        f"stack({len(check_cols)}, {pairs}) as (check_name, n_failed)"
+    )
+    return unpivoted.orderBy(F.desc("n_failed"), F.asc("check_name")).limit(k)
+
+
 def validate_extracted(df: DataFrame) -> DataFrame:
     """Expectations over the engine's own output table (extracted shape) —
     transposed validation_rules (FIXTURES.md §5): text length floor per

@@ -76,3 +76,37 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame.from_records(rows)
 
     return docs.select("doc_id", "text", "lang").mapInPandas(to_pages, schema=PAGES_SCHEMA)
+
+
+def pdf_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the documents table as PDF-payload pages (the binary branch of
+    the extraction dispatch): each document's text becomes one page content
+    stream in the closed dialect of ``core.pdfparse`` — even doc_ids
+    FlateDecode-compressed, odd raw, so both stream paths run. The extracted
+    text is a deterministic whitespace-collapse of the document text, which
+    is what the SQL oracle replays."""
+    import datetime as dt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_ts = dt.datetime(2026, 1, 9, 17, 7, 52)
+
+    def to_pdf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..core.synth import build_pdf
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                i = int(doc_id)
+                payload = build_pdf([text if isinstance(text, str) else ""], flate=i % 2 == 0)
+                rows.append(
+                    {
+                        "url": f"pdf://docs.example.com/{i}",
+                        "warc_ts": base_ts + dt.timedelta(seconds=i),
+                        "html": payload,
+                        "text": None,
+                        "lang": lang,
+                    }
+                )
+            yield pd.DataFrame.from_records(rows)
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(to_pdf, schema=PAGES_SCHEMA)

@@ -109,6 +109,28 @@ class TestPdf:
         pdf = b"%PDF-1.4\n<< /Length 19 >> stream\n" + body + b"\nendstream"
         assert extract_pdf_text(pdf) == "AB"
 
+    def test_flate_data_ending_in_eol_byte(self):
+        """Regression: /Length must bound the stream exactly — compressed
+        data whose last byte is \\r or \\n must not be EOL-trimmed (found via
+        documents doc_id=202 at sf0.01: zlib output ended in 0x0d)."""
+        import zlib
+
+        for probe in range(2000):
+            text = f"probe {probe} " + "x" * (probe % 97)
+            raw = f"BT ({text}) Tj ET".encode()
+            comp = zlib.compress(raw, 6)
+            if comp[-1:] in (b"\n", b"\r"):
+                assert extract_pdf_text(build_pdf([text], flate=True)) == text
+                break
+        else:
+            raise AssertionError("no probe produced EOL-final compressed data")
+
+    def test_indirect_length_falls_back_to_heuristic(self):
+        body = b"BT (hi there) Tj ET"
+        pdf = (b"%PDF-1.4\n<< /Length 4 0 R >> stream\n" + body
+               + b"\nendstream")
+        assert extract_pdf_text(pdf) == "hi there"
+
 
 class TestExtractRecord:
     def test_null_html_with_text(self):

@@ -107,3 +107,23 @@ def test_knn_brute_force(spark, vecs):
     by_q = {q: list(g.sort_values("rank").vec_id) for q, g in out.groupby("q_id")}
     assert by_q[100] == [0, 1]
     assert by_q[200] == [2, 4]
+
+
+def test_ivf_topk_probes_subset(spark):
+    """IVF with all cells probed == brute force; with 1 probe it returns
+    only the query's own cell (deterministic assignment, ties to low id)."""
+    from ocr_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [float(i == j or (i % 4 == j)) for j in range(4)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    full = ivf_topk(df, k=5, n_centroids=4, n_probe=4, query_id=0).toPandas()
+    brute = cosine_topk(df, [1.0, 0.0, 0.0, 0.0], k=5).toPandas()
+    assert list(full.vec_id) == list(brute.vec_id)
+    assert list(full["rank"]) == [1, 2, 3, 4, 5]
+
+    one = ivf_topk(df, k=12, n_centroids=4, n_probe=1, query_id=0).toPandas()
+    # probing one cell returns a subset of the full ranking
+    assert set(one.vec_id) <= set(ivf_topk(df, k=12, n_centroids=4, n_probe=4,
+                                           query_id=0).toPandas().vec_id)
+    assert len(one) < 12
