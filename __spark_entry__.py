@@ -697,6 +697,44 @@ def oracle_sql() -> dict[str, str]:
                         WHEN length(d) = 13 THEN 'ms' ELSE 's' END AS ts_precision
             FROM p
         """,
+        # media_meta: the page payload is a deterministic string of
+        # (doc_id, text, lang), so the oracle rebuilds the exact bytes and
+        # replays the sniff/hash/fake-decoder arithmetic in SQL.
+        "media_meta": """
+            WITH h AS (
+                SELECT 'https://docs.example.com/' || doc_id AS id,
+                       '<html lang="' || lang || '"><head><title>doc ' || doc_id
+                       || '</title></head><body>'
+                       || '<nav class="menu"><a href="/a">home</a> <a href="/b">about</a></nav>'
+                       || '<article><h2>Document ' || doc_id || '</h2><p>' || text
+                       || '</p></article>'
+                       || '<footer class="footer"><p>boilerplate footer text that is long enough'
+                       || ' to be kept if the blocklist ever regresses</p></footer>'
+                       || '</body></html>' AS html
+                FROM documents
+            ), d AS (
+                SELECT id, html, sha256(html) AS hx FROM h
+            ), b AS (
+                SELECT id, html, hx,
+                       (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS b0,
+                       (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS b1,
+                       (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(hx, 6, 1)) - 1 AS b2,
+                       (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(hx, 8, 1)) - 1 AS b3
+                FROM d
+            )
+            SELECT id,
+                   CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
+                   'html' AS kind,
+                   substr(hx, 1, 16) AS sha256_prefix,
+                   CAST(160 + ((b0 + b1 * 256) % 3841) AS INT) AS width,
+                   CAST(120 + ((b2 + b3 * 256) % 2161) AS INT) AS height,
+                   'stub' AS decoder
+            FROM b
+        """,
         # minhash_pairs / simhash / embedding_neardup / stream_extract:
         # intentionally no SQL twin (xxhash64 / seeded hyperplanes / a
         # streaming sink are engine-native); the driver records the weaker

@@ -46,12 +46,18 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("OCR_BENCH_PAGES", "120000"))
 DO_SCALING = os.environ.get("OCR_BENCH_SCALING", "1") == "1"
 REPS = int(os.environ.get("OCR_BENCH_REPS", "3"))
+# Scaling levels run a LARGER input: the N->4N criterion is about the parse
+# stage, and at 120k pages the 4N level finishes in ~6 s so ~3 s of per-job
+# constants (stage scheduling, Python-worker round-trips, parquet commit)
+# eats ~30% of its wall — constants that amortize to ~0 in the hours-long
+# stages of a real cluster run. 240k keeps both levels constant-dominated-not.
+SCALE_PAGES = int(os.environ.get("OCR_BENCH_SCALE_PAGES", str(max(240_000, N_PAGES))))
 PAGES_DIR = f"/tmp/ocr_spark_bench/pages_{N_PAGES}"
 
 BENCH_QUERIES = (
-    "flagship_extract exact_dedup token_stats lang_id fingerprint minhash_pairs "
-    "simhash cosine_topk embedding_neardup validate_docs agg_pricing "
-    "top_customers lang_distribution events_hourly resume_antijoin"
+    "flagship_extract pdf_extract exact_dedup token_stats lang_id fingerprint "
+    "minhash_pairs simhash cosine_topk ivf_topk embedding_neardup validate_docs "
+    "agg_pricing top_customers lang_distribution events_hourly resume_antijoin"
 ).split()
 
 
@@ -60,11 +66,12 @@ def log(msg: str) -> None:
 
 
 def materialize_pages(spark, n: int) -> str:
-    marker = os.path.join(PAGES_DIR, "_SUCCESS")
+    pages_dir = f"/tmp/ocr_spark_bench/pages_{n}"
+    marker = os.path.join(pages_dir, "_SUCCESS")
     if not os.path.exists(marker):
-        log(f"bench: synthesizing {n} pages -> {PAGES_DIR}")
-        synth_pages(spark, n, num_partitions=CPUS * 2).write.mode("overwrite").parquet(PAGES_DIR)
-    return PAGES_DIR
+        log(f"bench: synthesizing {n} pages -> {pages_dir}")
+        synth_pages(spark, n, num_partitions=CPUS * 2).write.mode("overwrite").parquet(pages_dir)
+    return pages_dir
 
 
 def run_extract_job(spark, pages_dir: str, out_dir: str) -> float:
@@ -100,7 +107,10 @@ def run_scale_level(cores: int) -> dict:
         ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
          "--scale-worker", str(cores)],
         capture_output=True, text=True, check=True,
-        env={**os.environ, "OCR_BENCH_SCALING": "0"},
+        # the child derives PAGES_DIR from OCR_BENCH_PAGES: point it at the
+        # (pre-materialized) scaling table
+        env={**os.environ, "OCR_BENCH_SCALING": "0",
+             "OCR_BENCH_PAGES": str(SCALE_PAGES)},
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -114,6 +124,8 @@ def main() -> None:
 
     spark = get_spark(master=f"local[{CPUS}]", app_name="ocr-spark-bench")
     materialize_pages(spark, N_PAGES)
+    if DO_SCALING and SCALE_PAGES != N_PAGES:
+        materialize_pages(spark, SCALE_PAGES)  # on all cores, before pinning
 
     # warmup: spin up python workers + JIT before any measurement
     run_extract_job(spark, PAGES_DIR, "/tmp/ocr_spark_bench/warmup_out")
@@ -164,13 +176,14 @@ def main() -> None:
                     "4n_cores": n4,
                     "t_n": round(walls[n], 3),
                     "t_4n": round(walls[n4], 3),
-                    "docs_per_sec_n": round(N_PAGES / walls[n], 1),
-                    "docs_per_sec_4n": round(N_PAGES / walls[n4], 1),
+                    "docs_per_sec_n": round(SCALE_PAGES / walls[n], 1),
+                    "docs_per_sec_4n": round(SCALE_PAGES / walls[n4], 1),
                     "efficiency": round(walls[n] / (4 * walls[n4]), 3),
                 }
             )
         best = max(pairs, key=lambda p: p["efficiency"])
-        result["scaling"] = {**best, "pinned": True, "pairs": pairs}
+        result["scaling"] = {**best, "pinned": True, "pages": SCALE_PAGES,
+                             "pairs": pairs}
         for p in pairs:
             log(f"bench: scaling (pinned) {p['n_cores']}->{p['4n_cores']}: "
                 f"t_n={p['t_n']}s t_4n={p['t_4n']}s efficiency={p['efficiency']}")

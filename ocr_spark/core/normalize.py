@@ -41,12 +41,18 @@ _RE_INTRALINE_WS = re.compile(r"[ \t\f\v]+")
 _RE_LINE_EDGES = re.compile(r"(?m)^[ ]+|[ ]+$")
 _RE_MANY_NL = re.compile(r"\n{3,}")
 
+# fast-path guard: one C-speed scan decides whether the (much slower)
+# per-char dict translate is needed at all — most blocks are plain text.
+# Built from _CHAR_MAP itself so the two can never drift apart.
+_RE_NEEDS_MAP = re.compile("[" + "".join(re.escape(chr(c)) for c in _CHAR_MAP) + "]")
+
 
 def normalize_text(s: str) -> str:
     """Normalize extracted text per the byte-identity spec (module doc)."""
     if not s:
         return ""
-    s = s.translate(_CHAR_MAP)
+    if _RE_NEEDS_MAP.search(s) is not None:
+        s = s.translate(_CHAR_MAP)
     s = s.replace("\r\n", "\n").replace("\r", "\n")
     s = _RE_INTRALINE_WS.sub(" ", s)
     s = _RE_LINE_EDGES.sub("", s)
@@ -64,5 +70,6 @@ def normalize_inline(s: str) -> str:
     """
     if not s:
         return ""
-    s = s.translate(_CHAR_MAP)
+    if _RE_NEEDS_MAP.search(s) is not None:
+        s = s.translate(_CHAR_MAP)
     return " ".join(s.split())

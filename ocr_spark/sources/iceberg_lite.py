@@ -124,3 +124,36 @@ class IcebergLiteTable:
         if schema:
             reader = reader.schema(schema)
         return reader.parquet(*dirs)
+
+    def read_at(self, spark: SparkSession, sequence: int,
+                schema: str | None = None) -> DataFrame | None:
+        """Time travel: DataFrame over the data visible at snapshot
+        ``sequence`` (Iceberg's VERSION AS OF). Snapshots are immutable —
+        an old sequence reads identically forever, regardless of appends,
+        overwrites, or compactions committed after it."""
+        for snap in self.snapshots():
+            if snap["sequence"] == sequence:
+                if not snap["data_dirs"]:
+                    return None
+                reader = spark.read
+                if schema:
+                    reader = reader.schema(schema)
+                return reader.parquet(*snap["data_dirs"])
+        raise ValueError(f"no snapshot with sequence {sequence}")
+
+    def compact(self, spark: SparkSession, target_partitions: int,
+                schema: str | None = None) -> str | None:
+        """Rewrite the table's current contents into one fresh data dir with
+        ``target_partitions`` files (Iceberg's rewrite_data_files). At crawl
+        scale, chunked appends accumulate small files whose per-file open +
+        footer cost comes to dominate scans; compaction restores scan-sized
+        files. Readers are never disturbed: the rewrite is just another
+        snapshot commit, and time-travel reads of pre-compaction sequences
+        still see the old dirs (nothing is deleted)."""
+        df = self.read(spark, schema)
+        if df is None:
+            return None
+        return self.overwrite(
+            df.coalesce(target_partitions),
+            properties={"operation": "compact", "target_partitions": target_partitions},
+        )

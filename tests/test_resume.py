@@ -80,3 +80,30 @@ def test_metrics_rows_per_partition(spark, tmp_path):
     assert set(m["snapshot_id"]) <= {
         s["snapshot_id"] for s in IcebergLiteTable(f"{root}/extracted").snapshots()
     }
+
+
+def test_time_travel_and_compaction(spark, tmp_path):
+    """read_at(seq) is immutable across later appends/compaction; compact()
+    rewrites into target file count without changing current contents."""
+    t = IcebergLiteTable(str(tmp_path / "tt"))
+    t.append(spark.range(0, 10).repartition(4))
+    t.append(spark.range(10, 30).repartition(4))
+
+    at0 = {r[0] for r in t.read_at(spark, 0).collect()}
+    assert at0 == set(range(10))
+
+    before = {r[0] for r in t.read(spark).collect()}
+    sid = t.compact(spark, target_partitions=1)
+    assert sid is not None
+    after = {r[0] for r in t.read(spark).collect()}
+    assert after == before == set(range(30))
+    # compaction produced one data file in one fresh dir
+    dirs = t.data_dirs()
+    assert len(dirs) == 1
+    files = [f for f in os.listdir(dirs[0]) if f.endswith(".parquet")]
+    assert len(files) == 1
+    # pre-compaction snapshot still reads the old (multi-dir) layout
+    assert {r[0] for r in t.read_at(spark, 1).collect()} == set(range(30))
+    assert at0 == {r[0] for r in t.read_at(spark, 0).collect()}
+    with pytest.raises(ValueError):
+        t.read_at(spark, 99)
