@@ -300,6 +300,19 @@ def q_epoch_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 1:N fan-out: one row per sampled frame per payload
+    (decode stubbed; deterministic fake sampler — operators/multimodal.py).
+    frame_sha is engine-native (sha256 over binary, which the SQL twin
+    can't express), so the query exposes the SQL-replayable columns."""
+    from ocr_spark.operators.multimodal import frame_sample
+
+    pages = pages_from_documents(spark, sf_dir)
+    return frame_sample(pages, binary_col="html", id_col="url").select(
+        "id", "frame_idx", "ts_ms", "decoder"
+    )
+
+
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming path: the same extraction core as a file-source
     micro-batch stream with checkpointed exactly-once parquet sink
@@ -362,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "error_top_fields": q_error_top_fields,
         "epoch_parse": q_epoch_parse,
+        "frame_sample": q_frame_sample,
         "stream_extract": q_stream_extract,
     }
 
@@ -734,6 +748,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(120 + ((b2 + b3 * 256) % 2161) AS INT) AS height,
                    'stub' AS decoder
             FROM b
+        """,
+        # frame_sample: pseudo-duration comes from sha256 digest bytes 4-5
+        # of the rebuilt payload (multimodal._fake_frames); n frames =
+        # clamp(duration/1000, 1, 8); one row per frame via unnest.
+        "frame_sample": """
+            WITH h AS (
+                SELECT 'https://docs.example.com/' || doc_id AS id,
+                       sha256('<html lang="' || lang || '"><head><title>doc ' || doc_id
+                       || '</title></head><body>'
+                       || '<nav class="menu"><a href="/a">home</a> <a href="/b">about</a></nav>'
+                       || '<article><h2>Document ' || doc_id || '</h2><p>' || text
+                       || '</p></article>'
+                       || '<footer class="footer"><p>boilerplate footer text that is long enough'
+                       || ' to be kept if the blocklist ever regresses</p></footer>'
+                       || '</body></html>') AS hx
+                FROM documents
+            ), n AS (
+                SELECT id,
+                       least(8, greatest(1,
+                         (500 + ((strpos('0123456789abcdef', substr(hx, 9, 1)) - 1) * 16
+                                 + strpos('0123456789abcdef', substr(hx, 10, 1)) - 1
+                                 + ((strpos('0123456789abcdef', substr(hx, 11, 1)) - 1) * 16
+                                    + strpos('0123456789abcdef', substr(hx, 12, 1)) - 1) * 256)
+                               * 4) // 1000)) AS nf
+                FROM h
+            )
+            SELECT id, CAST(f AS INT) AS frame_idx,
+                   CAST(f * 1000 AS BIGINT) AS ts_ms, 'stub' AS decoder
+            FROM (SELECT id, unnest(generate_series(0, nf - 1)) AS f FROM n)
         """,
         # minhash_pairs / simhash / embedding_neardup / stream_extract:
         # intentionally no SQL twin (xxhash64 / seeded hyperplanes / a

@@ -72,6 +72,72 @@ def _fake_dimensions(digest: bytes) -> tuple[int, int]:
     return w, h
 
 
+FRAME_SAMPLE_SCHEMA = (
+    "id string, frame_idx int, ts_ms long, frame_sha string, decoder string"
+)
+
+
+def decode_frames(data: bytes, every_ms: int, max_frames: int):
+    """Real decode path — requires an ffmpeg binding. STUB in this sandbox."""
+    try:
+        import av  # noqa: F401  (absent in this sandbox)
+    except ImportError as e:
+        raise NotImplementedError(
+            "video decode requires PyAV/ffmpeg; sandbox has none — "
+            "frame_sample falls back to the deterministic fake sampler"
+        ) from e
+    raise NotImplementedError("real decoder wiring goes here")
+
+
+def _fake_frames(digest: bytes, every_ms: int, max_frames: int):
+    """Deterministic fake sampler: pseudo-duration and per-frame hashes are
+    pure functions of the content hash, so the 1:N output is replayable."""
+    import hashlib
+
+    duration_ms = 500 + (digest[4] | (digest[5] << 8)) * 4  # 0.5s .. ~263s
+    n = min(max_frames, max(1, duration_ms // every_ms))
+    frames = []
+    for i in range(n):
+        fh = hashlib.sha256(digest + i.to_bytes(4, "big")).hexdigest()[:16]
+        frames.append((i, i * every_ms, fh))
+    return frames
+
+
+def frame_sample(df: DataFrame, binary_col: str = "html", id_col: str = "url",
+                 every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """1:N frame sampling over binary payloads — the multimodal analog of
+    the reference's document -> segments relation (one tall image split into
+    parts, split_image.py:192-194,302-307): one input row fans out to one
+    row per sampled frame, all inside a partition-parallel ``mapInPandas``
+    (Arrow batches in, variable-length batches out; no explode shuffle).
+    The frame DECODE is stubbed (no ffmpeg here); the Spark-side plumbing —
+    1:N batch shape, schema, determinism — is real and tested."""
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "frame_idx", "ts_ms", "frame_sha", "decoder")}
+            for i, blob in enumerate(pdf[binary_col].tolist()):
+                b = blob if blob is not None else b""
+                digest = hashlib.sha256(b).digest()
+                try:
+                    frames = decode_frames(b, every_ms, max_frames)
+                    decoder = "pyav"
+                except NotImplementedError:
+                    frames = _fake_frames(digest, every_ms, max_frames)
+                    decoder = "stub"
+                rid = pdf[id_col].iat[i]
+                for idx, ts_ms, fh in frames:
+                    out["id"].append(rid)
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(ts_ms)
+                    out["frame_sha"].append(fh)
+                    out["decoder"].append(decoder)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(sample, schema=FRAME_SAMPLE_SCHEMA)
+
+
 def media_features(df: DataFrame, binary_col: str = "html",
                    id_col: str = "url") -> DataFrame:
     """Partition-parallel media metadata extraction over a binary column."""

@@ -105,3 +105,50 @@ class TestMultimodal:
         a = media_features(df).toPandas().sort_values("id").reset_index(drop=True)
         b = media_features(df.repartition(5)).toPandas().sort_values("id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_stateful_host_totals_accumulate_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: running per-host totals persist in the
+    checkpoint — a second run over NEW files continues from committed
+    state instead of recounting."""
+    from ocr_spark.streaming.stateful import start_host_totals_stream
+
+    indir, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    first = synth_pages(spark, 60, num_partitions=1).limit(60)
+    first.write.mode("overwrite").parquet(indir)
+    q = start_host_totals_stream(spark, indir, out, ckpt)
+    q.awaitTermination(300)
+
+    changelog1 = spark.read.parquet(out).toPandas()
+    assert changelog1.pages.sum() >= 60  # every page counted at least once
+
+    # second wave of files, same checkpoint: totals must ACCUMULATE
+    synth_pages(spark, 120, num_partitions=1).write.mode("append").parquet(indir)
+    q = start_host_totals_stream(spark, indir, out, ckpt)
+    q.awaitTermination(300)
+
+    changelog = spark.read.parquet(out).toPandas()
+    latest = (
+        changelog.sort_values(["host", "batches"])
+        .groupby("host", as_index=False).last()
+    )
+    # 60 + 120 new rows seen overall; final running totals cover all 180
+    assert latest.pages.sum() == 180
+    # at least one host was seen in both waves and kept counting
+    assert (latest.batches >= 2).any()
+
+
+def test_frame_sample_fanout_deterministic(spark):
+    from ocr_spark.operators.multimodal import frame_sample
+
+    pages = synth_pages(spark, 50, num_partitions=3)
+    a = frame_sample(pages).toPandas().sort_values(["id", "frame_idx"]).reset_index(drop=True)
+    b = frame_sample(pages.repartition(7)).toPandas().sort_values(
+        ["id", "frame_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)          # partitioning-invariant
+    assert a.groupby("id").frame_idx.max().max() <= 7
+    assert (a.groupby("id").frame_idx.min() == 0).all()
+    per_doc = a.groupby("id").size()
+    assert per_doc.between(1, 8).all() and per_doc.gt(1).any()
+    assert (a.decoder == "stub").all()
+    assert a.frame_sha.str.len().eq(16).all()
