@@ -36,6 +36,7 @@ from ocr_spark.operators.dedup import (
 )
 from ocr_spark.functions.timestamps import parse_epoch_filename, synth_filename
 from ocr_spark.operators.analytics import (
+    asof_prior_event,
     moving_avg,
     pivot_event_values,
     rollup_event_stats,
@@ -300,6 +301,12 @@ def q_epoch_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union + window encoding): each purchase matched to the
+    user's most recent click at or before it. Oracle: DuckDB native ASOF."""
+    return asof_prior_event(_t(spark, sf_dir, "events"))
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal 1:N fan-out: one row per sampled frame per payload
     (decode stubbed; deterministic fake sampler — operators/multimodal.py).
@@ -375,6 +382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "error_top_fields": q_error_top_fields,
         "epoch_parse": q_epoch_parse,
+        "asof_join": q_asof_join,
         "frame_sample": q_frame_sample,
         "stream_extract": q_stream_extract,
     }
@@ -748,6 +756,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(120 + ((b2 + b3 * 256) % 2161) AS INT) AS height,
                    'stub' AS decoder
             FROM b
+        """,
+        "asof_join": """
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) AS ts_us,
+                   epoch_us(c.ts) AS prior_ts_us,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         # frame_sample: pseudo-duration comes from sha256 digest bytes 4-5
         # of the rebuilt payload (multimodal._fake_frames); n frames =

@@ -107,6 +107,10 @@ def extract_blocks(html_text: str) -> list[Block]:
     State: a stack of open (tag, boiler, classblocked, boundary) frames;
     blocked/heading stamped at flush time BEFORE depth counters change, so
     text keeps the state it was collected under.
+
+    Hot loop: the text-chunk path is inlined (no per-chunk function call)
+    and ``parts`` keeps its identity across flushes so its bound ``append``
+    can be aliased — measured ~6% on the serial parse (A/B, min-of-5).
     """
     blocks: list[Block] = []
     parts: list[str] = []
@@ -120,7 +124,7 @@ def extract_blocks(html_text: str) -> list[Block]:
     cur_heading = False
 
     def flush() -> None:
-        nonlocal parts, link_chars, cur_heading
+        nonlocal link_chars, cur_heading
         if parts:
             text = normalize_inline("".join(parts))
             if text:
@@ -135,30 +139,28 @@ def extract_blocks(html_text: str) -> list[Block]:
                         depth=len(block_stack),
                     )
                 )
-            parts = []
+            parts.clear()
         link_chars = 0
         cur_heading = bool(block_stack) and block_stack[-1] in HEADING_TAGS
-
-    def add_text(chunk: str) -> None:
-        nonlocal link_chars
-        if skip_depth > 0:
-            return
-        if "&" in chunk:
-            chunk = unescape(chunk)
-        parts.append(chunk)
-        if anchor_depth > 0:
-            link_chars += len(chunk)
 
     pos = 0
     n = len(html_text)
     find = html_text.find
+    match = _TAG_RE.match
+    parts_append = parts.append
     while pos < n:
         lt = find("<", pos)
-        if lt < 0:
-            add_text(html_text[pos:])
-            break
-        if lt > pos:
-            add_text(html_text[pos:lt])
+        if lt != pos:
+            # text chunk [pos:lt) (or the tail when no further '<' exists)
+            if skip_depth == 0:
+                chunk = html_text[pos:lt] if lt >= 0 else html_text[pos:]
+                if "&" in chunk:
+                    chunk = unescape(chunk)
+                parts_append(chunk)
+                if anchor_depth > 0:
+                    link_chars += len(chunk)
+            if lt < 0:
+                break
         # comment / declaration / processing instruction
         nxt = html_text[lt + 1 : lt + 2]
         if nxt == "!":
@@ -173,9 +175,12 @@ def extract_blocks(html_text: str) -> list[Block]:
             end = find(">", lt)
             pos = n if end < 0 else end + 1
             continue
-        m = _TAG_RE.match(html_text, lt)
+        m = match(html_text, lt)
         if m is None:  # bare '<' that opens nothing: literal text
-            add_text("<")
+            if skip_depth == 0:
+                parts_append("<")
+                if anchor_depth > 0:
+                    link_chars += 1
             pos = lt + 1
             continue
         pos = m.end()

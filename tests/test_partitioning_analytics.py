@@ -1,0 +1,80 @@
+"""Salted-partitioning skew evidence + window/asof/rollup operator units."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.analytics import asof_prior_event, rollup_event_stats
+from ocr_spark.plans.partitioning import salted_repartition
+from ocr_spark.sources.pages import synth_pages
+
+N_PARTS = 16
+
+
+def _partition_counts(df):
+    return (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().toPandas()["count"]
+    )
+
+
+def test_salted_repartition_bounds_hot_host(spark):
+    """The Zipf host skew motivates the salt: partitioning by bare host
+    leaves the top host's pages in ONE partition; the salted key spreads
+    them over ~salt_buckets partitions and flattens the overall balance."""
+    pages = synth_pages(spark, 8000, num_partitions=8).select("url")
+
+    top_host = (
+        pages.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .groupBy("host").count().orderBy(F.desc("count")).first()
+    )
+    assert top_host["count"] > 8000 / 20  # the skew is real (top host >5%)
+
+    by_host = pages.repartition(N_PARTS, F.parse_url("url", F.lit("HOST")))
+    salted = salted_repartition(pages, N_PARTS, salt_buckets=16)
+
+    hot = pages.where(F.parse_url("url", F.lit("HOST")) == top_host["host"])
+    hot_by_host = _partition_counts(
+        hot.repartition(N_PARTS, F.parse_url("url", F.lit("HOST")))
+    )
+    hot_salted = _partition_counts(salted_repartition(hot, N_PARTS, salt_buckets=16))
+    assert len(hot_by_host) == 1          # unsalted: entire host on one partition
+    assert len(hot_salted) >= 8           # salted: spread over many partitions
+
+    # overall balance: salted max-partition share strictly better
+    assert _partition_counts(salted).max() < _partition_counts(by_host).max()
+
+
+def test_asof_prior_event_semantics(spark):
+    rows = [
+        # user 1: click at 100s, purchase at 200s -> gap 100s
+        (1, 1, "1970-01-01 00:01:40", "click"),
+        (2, 1, "1970-01-01 00:03:20", "purchase"),
+        # user 1: later click AFTER the purchase must not match it
+        (3, 1, "1970-01-01 00:05:00", "click"),
+        (4, 1, "1970-01-01 00:06:40", "purchase"),   # matches click@300s
+        # user 2: purchase with no prior click -> NULL (left join)
+        (5, 2, "1970-01-01 00:01:00", "purchase"),
+        # user 3: click at the SAME instant counts ("at or before")
+        (6, 3, "1970-01-01 00:02:00", "click"),
+        (7, 3, "1970-01-01 00:02:00", "purchase"),
+    ]
+    events = spark.createDataFrame(rows, "event_id long, user_id long, s string, event_type string") \
+        .withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+    out = asof_prior_event(events).toPandas().set_index("event_id")
+    assert out.loc[2, "gap_us"] == 100 * 1_000_000
+    assert out.loc[4, "gap_us"] == 100 * 1_000_000   # 400s - 300s
+    assert pd.isna(out.loc[5, "prior_ts_us"])
+    assert out.loc[7, "gap_us"] == 0
+    assert len(out) == 4                              # one row per purchase
+
+
+def test_rollup_grand_total(spark):
+    events = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 4.0)],
+        "event_id long, event_type string, value double",
+    )
+    out = rollup_event_stats(events).toPandas()
+    total = out[out.is_total == 1]
+    assert len(total) == 1 and total.n_events.iloc[0] == 3
+    assert total.sum_value.iloc[0] == 7.0
+    assert set(out[out.is_total == 0].event_type) == {"a", "b"}
