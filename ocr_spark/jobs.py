@@ -84,6 +84,19 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 0 if bad == 0 else 2
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    spark = _spark()
+    t = IcebergLiteTable(f"{args.table_root}/{args.table}")
+    if not t.exists():
+        print("no committed snapshots", file=sys.stderr)
+        return 1
+    sid = t.compact(spark, target_partitions=args.target_partitions)
+    print(f"compacted into snapshot {sid} ({args.target_partitions} files)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ocr_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -107,6 +120,12 @@ def main(argv: list[str] | None = None) -> int:
     va = sub.add_parser("validate", help="QA expectations over committed output")
     va.add_argument("--table-root", required=True)
     va.set_defaults(fn=cmd_validate)
+
+    co = sub.add_parser("compact", help="rewrite a table's data files (snapshot commit)")
+    co.add_argument("--table-root", required=True)
+    co.add_argument("--table", default="extracted")
+    co.add_argument("--target-partitions", type=int, default=64)
+    co.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)
