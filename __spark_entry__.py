@@ -301,6 +301,37 @@ def q_epoch_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers that placed at least one
+    high-value order — no duplication, no columns from the right side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation rich-customer vs rich-supplier counts —
+    the acctbal filters make the nation sets asymmetric, so both null
+    sides genuinely occur."""
+    c = (
+        _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    joined = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (union + window encoding): each purchase matched to the
     user's most recent click at or before it. Oracle: DuckDB native ASOF."""
@@ -382,6 +413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "error_top_fields": q_error_top_fields,
         "epoch_parse": q_epoch_parse,
+        "semi_join": q_semi_join,
+        "outer_join": q_outer_join,
         "asof_join": q_asof_join,
         "frame_sample": q_frame_sample,
         "stream_extract": q_stream_extract,
@@ -756,6 +789,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(120 + ((b2 + b3 * 256) % 2161) AS INT) AS height,
                    'stub' AS decoder
             FROM b
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        """,
+        "outer_join": """
+            WITH c AS (
+                SELECT c_nationkey, count(*) AS n_cust FROM customer
+                WHERE c_acctbal > 9000 GROUP BY c_nationkey
+            ), s AS (
+                SELECT s_nationkey, count(*) AS n_supp FROM supplier
+                WHERE s_acctbal > 9000 GROUP BY s_nationkey
+            )
+            SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+                   COALESCE(n_cust, 0) AS n_cust,
+                   COALESCE(n_supp, 0) AS n_supp
+            FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
         """,
         "asof_join": """
             SELECT p.event_id, p.user_id,
