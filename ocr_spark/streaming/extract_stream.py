@@ -58,6 +58,19 @@ def start_extract_stream(
     )
 
 
+def dedup_pages_stream(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming url-dedup: crawl streams re-fetch the same url (politeness
+    retries, mirror segments); keep the FIRST arrival per url within the
+    watermark horizon. ``dropDuplicatesWithinWatermark`` bounds the dedup
+    state by event time — unlike ``dropDuplicates``, state for urls older
+    than the watermark is evicted, so the operator runs forever at crawl
+    scale (the batch analog is the exact_dedup hash-groupBy; the state
+    bound is what makes it a stream)."""
+    return pages.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
 def extract_metrics_stream(pages: DataFrame, window: str = "10 minutes",
                            watermark: str = "30 minutes") -> DataFrame:
     """Watermarked per-host windowed ingest metrics (late data beyond the

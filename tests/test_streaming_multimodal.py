@@ -152,3 +152,29 @@ def test_frame_sample_fanout_deterministic(spark):
     assert per_doc.between(1, 8).all() and per_doc.gt(1).any()
     assert (a.decoder == "stub").all()
     assert a.frame_sha.str.len().eq(16).all()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate urls in the stream (crawl re-fetches) collapse to their
+    first arrival; distinct urls all survive."""
+    from ocr_spark.streaming.extract_stream import dedup_pages_stream
+
+    indir, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    base = synth_pages(spark, 40, num_partitions=1)
+    base.write.mode("overwrite").parquet(indir)
+    base.write.mode("append").parquet(indir)      # every url duplicated
+
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(indir)
+    q = (
+        dedup_pages_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 40
+    assert got.url.is_unique
