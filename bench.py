@@ -24,7 +24,9 @@ Env knobs:
   SPARK_GRAFT_CPUS     (default 32)
   OCR_BENCH_PAGES      (default 120000)
   OCR_BENCH_SCALING    (default 1; 0 skips the two-level scaling runs)
-  OCR_BENCH_REPS       (default 3)
+  OCR_BENCH_REPS       (default 3; headline + query reps)
+  OCR_BENCH_SCALE_REPS (default 2; reps per scaling pass — each level runs
+                        TWO temporally-separated passes, min across all)
 """
 
 from __future__ import annotations
@@ -46,6 +48,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("OCR_BENCH_PAGES", "120000"))
 DO_SCALING = os.environ.get("OCR_BENCH_SCALING", "1") == "1"
 REPS = int(os.environ.get("OCR_BENCH_REPS", "3"))
+# reps per scaling pass; two passes per level => 2*SCALE_REPS samples/level
+SCALE_REPS = int(os.environ.get("OCR_BENCH_SCALE_REPS", "2"))
 # Scaling levels run a LARGER input: the N->4N criterion is about the parse
 # stage, and at 120k pages the 4N level finishes in ~6 s so ~3 s of per-job
 # constants (stage scheduling, Python-worker round-trips, parquet commit)
@@ -110,7 +114,8 @@ def run_scale_level(cores: int) -> dict:
         # the child derives PAGES_DIR from OCR_BENCH_PAGES: point it at the
         # (pre-materialized) scaling table
         env={**os.environ, "OCR_BENCH_SCALING": "0",
-             "OCR_BENCH_PAGES": str(SCALE_PAGES)},
+             "OCR_BENCH_PAGES": str(SCALE_PAGES),
+             "OCR_BENCH_REPS": str(SCALE_REPS)},
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -167,7 +172,16 @@ def main() -> None:
 
     # ---- two-level scaling evidence (taskset-pinned subprocesses) ----------
     if DO_SCALING:
-        walls = {c: run_scale_level(c)["min_wall"] for c in (2, 4, 8, 16)}
+        # Two temporally-separated passes over the levels, min across both:
+        # contention episodes on this shared box last minutes, so a single
+        # consecutive-reps window can poison one level and skew the pair
+        # ratio in either direction (observed 0.68..1.14). Spreading each
+        # level's samples ~10 min apart decorrelates them from any one
+        # episode.
+        levels = (2, 4, 8, 16)
+        walls = {c: run_scale_level(c)["min_wall"] for c in levels}
+        for c in levels:
+            walls[c] = min(walls[c], run_scale_level(c)["min_wall"])
         pairs = []
         for n, n4 in ((2, 8), (4, 16)):
             pairs.append(
