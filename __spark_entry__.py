@@ -351,6 +351,14 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints -> substring-overlap candidate
+    pairs (rows-only: the 61-bit polynomial rolling hash is engine-native)."""
+    from ocr_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"), min_shared=2)
+
+
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming path: the same extraction core as a file-source
     micro-batch stream with checkpointed exactly-once parquet sink
@@ -417,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join": q_outer_join,
         "asof_join": q_asof_join,
         "frame_sample": q_frame_sample,
+        "winnow_pairs": q_winnow_pairs,
         "stream_extract": q_stream_extract,
     }
 
@@ -846,8 +855,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(f * 1000 AS BIGINT) AS ts_ms, 'stub' AS decoder
             FROM (SELECT id, unnest(generate_series(0, nf - 1)) AS f FROM n)
         """,
-        # minhash_pairs / simhash / embedding_neardup / stream_extract:
-        # intentionally no SQL twin (xxhash64 / seeded hyperplanes / a
-        # streaming sink are engine-native); the driver records the weaker
-        # rows-only check for these.
+        # minhash_pairs / simhash / embedding_neardup / winnow_pairs /
+        # stream_extract: intentionally no SQL twin (xxhash64 / seeded
+        # hyperplanes / rolling hash / a streaming sink are engine-native);
+        # the driver records the weaker rows-only check for these.
     }

@@ -241,3 +241,76 @@ def _fnv1a64(s: str) -> int:
         h ^= byte
         h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+WINNOW_K = 8            # char k-gram length
+WINNOW_WINDOW = 4       # winnowing window (guarantee: any match >= k+w-1 chars detected)
+_POLY_B = 1_000_003
+_POLY_MASK = (1 << 61) - 1
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = WINNOW_K,
+                        window: int = WINNOW_WINDOW) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer/Wilkerson/
+    Aiken): polynomial rolling hash over char ``k``-grams, then keep the
+    rightmost minimum of each ``window`` of consecutive hashes. Output one
+    row per document with the sorted distinct fingerprint array — two
+    documents sharing any substring of length >= k+window-1 share a
+    fingerprint, which is the local-match guarantee exact dedup and token
+    sets lack. Arrow-vectorized pandas UDF (numpy sliding-window argmin);
+    rows-only for the driver (the rolling hash is engine-native)."""
+    from pyspark.sql.types import ArrayType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _winnow(texts: "pd.Series") -> "pd.Series":
+        out = []
+        for t in texts:
+            s = " ".join(t.lower().split()) if t else ""
+            n = len(s)
+            if n < k:
+                out.append([])
+                continue
+            # polynomial hash of every k-gram in O(n): prefix hashes mod
+            # 2^61-1, h(s[i:i+k]) = (pref[i+k] - pref[i]*B^k) mod M.
+            # Python ints on purpose: numpy uint64 would overflow acc*B
+            # before the mod and silently corrupt the hash.
+            pref = [0] * (n + 1)
+            acc = 0
+            for i, ch in enumerate(s):
+                acc = (acc * _POLY_B + ord(ch)) % _POLY_MASK
+                pref[i + 1] = acc
+            bk = pow(_POLY_B, k, _POLY_MASK)
+            grams = np.array(
+                [(pref[i + k] - pref[i] * bk) % _POLY_MASK for i in range(n - k + 1)],
+                dtype=np.uint64,
+            )
+            if len(grams) <= window:
+                out.append(sorted({int(grams.min())}))
+                continue
+            # rightmost-min per window via reversed sliding_window argmin
+            win = np.lib.stride_tricks.sliding_window_view(grams, window)
+            rev_arg = window - 1 - np.argmin(win[:, ::-1], axis=1)
+            picked = grams[rev_arg + np.arange(len(win))]
+            out.append(sorted({int(x) for x in picked}))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col), _winnow(F.col(text_col)).alias("fingerprints")
+    )
+
+
+def winnow_pairs(df: DataFrame, min_shared: int = 2, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs sharing >= min_shared winnow fingerprints:
+    explode -> fingerprint equi-join -> count (the content-overlap join;
+    at scale the exploded table is (id, fp) longs only)."""
+    fps = winnow_fingerprints(df, text_col, id_col)
+    flat = fps.select(F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp"))
+    a, b = flat.alias("a"), flat.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

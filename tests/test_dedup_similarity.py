@@ -127,3 +127,39 @@ def test_ivf_topk_probes_subset(spark):
     assert set(one.vec_id) <= set(ivf_topk(df, k=12, n_centroids=4, n_probe=4,
                                            query_id=0).toPandas().vec_id)
     assert len(one) < 12
+
+
+def test_winnow_fingerprints_local_match_guarantee(spark):
+    """Winnowing: docs sharing a long substring share a fingerprint even
+    when the rest differs entirely; disjoint docs share none."""
+    from ocr_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, f"PREFIX AAA {shared} SUFFIX BBB"),
+        (1, f"totally different lead-in text {shared} and a different tail"),
+        (2, "no overlap here at all zzz qqq www eee rrr ttt yyy uuu"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: set(r["fingerprints"])
+           for r in winnow_fingerprints(df).collect()}
+    assert fps[0] & fps[1]                  # shared substring -> shared fp
+    assert not (fps[0] & fps[2])            # disjoint content -> no overlap
+    assert fps[3] == set()                  # empty doc -> empty fingerprint set
+
+    pairs = winnow_pairs(df, min_shared=2).toPandas()
+    assert {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)} == {(0, 1)}
+
+
+def test_winnow_deterministic_across_partitioning(spark):
+    from ocr_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some repeated words " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = winnow_fingerprints(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = winnow_fingerprints(docs.repartition(7)).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert all(list(x) == list(y) for x, y in zip(a.fingerprints, b.fingerprints))
