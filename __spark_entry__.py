@@ -351,6 +351,15 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: stub-decoded dimensions -> aspect-
+    preserving fit (decode stubbed; geometry arithmetic exact-checked)."""
+    from ocr_spark.operators.multimodal import image_resize
+
+    pages = pages_from_documents(spark, sf_dir)
+    return image_resize(pages, binary_col="html", id_col="url", max_side=512)
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash winnowing fingerprints -> substring-overlap candidate
     pairs (rows-only: the 61-bit polynomial rolling hash is engine-native)."""
@@ -425,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join": q_outer_join,
         "asof_join": q_asof_join,
         "frame_sample": q_frame_sample,
+        "image_resize": q_image_resize,
         "winnow_pairs": q_winnow_pairs,
         "stream_extract": q_stream_extract,
     }
@@ -854,6 +864,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, CAST(f AS INT) AS frame_idx,
                    CAST(f * 1000 AS BIGINT) AS ts_ms, 'stub' AS decoder
             FROM (SELECT id, unnest(generate_series(0, nf - 1)) AS f FROM n)
+        """,
+        # image_resize: stub dims come from sha256 digest bytes 0-3 of the
+        # rebuilt payload (same parse as media_meta); the resize is
+        # aspect-preserving integer fit into 512, never upscaling.
+        "image_resize": """
+            WITH h AS (
+                SELECT 'https://docs.example.com/' || doc_id AS id,
+                       sha256('<html lang="' || lang || '"><head><title>doc ' || doc_id
+                       || '</title></head><body>'
+                       || '<nav class="menu"><a href="/a">home</a> <a href="/b">about</a></nav>'
+                       || '<article><h2>Document ' || doc_id || '</h2><p>' || text
+                       || '</p></article>'
+                       || '<footer class="footer"><p>boilerplate footer text that is long enough'
+                       || ' to be kept if the blocklist ever regresses</p></footer>'
+                       || '</body></html>') AS hx
+                FROM documents
+            ), b AS (
+                SELECT id,
+                       (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS b0,
+                       (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS b1,
+                       (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(hx, 6, 1)) - 1 AS b2,
+                       (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substr(hx, 8, 1)) - 1 AS b3
+                FROM h
+            ), d AS (
+                SELECT id,
+                       160 + ((b0 + b1 * 256) % 3841) AS w,
+                       120 + ((b2 + b3 * 256) % 2161) AS h
+                FROM b
+            )
+            SELECT id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(CASE WHEN greatest(w, h) <= 512 THEN w
+                             WHEN w >= h THEN 512
+                             ELSE greatest(1, (w * 512) // h) END AS INT) AS resized_w,
+                   CAST(CASE WHEN greatest(w, h) <= 512 THEN h
+                             WHEN w >= h THEN greatest(1, (h * 512) // w)
+                             ELSE 512 END AS INT) AS resized_h,
+                   'stub' AS decoder
+            FROM d
         """,
         # minhash_pairs / simhash / embedding_neardup / winnow_pairs /
         # stream_extract: intentionally no SQL twin (xxhash64 / seeded

@@ -76,6 +76,55 @@ FRAME_SAMPLE_SCHEMA = (
     "id string, frame_idx int, ts_ms long, frame_sha string, decoder string"
 )
 
+RESIZE_SCHEMA = (
+    "id string, width int, height int, resized_w int, resized_h int, decoder string"
+)
+
+
+def resize_dims(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving fit into max_side x max_side (pure arithmetic —
+    shared by the real and stub decode paths; never upscales)."""
+    if w <= 0 or h <= 0 or max(w, h) <= max_side:
+        return w, h
+    if w >= h:
+        return max_side, max(1, (h * max_side) // w)
+    return max(1, (w * max_side) // h), max_side
+
+
+def image_resize(df: DataFrame, binary_col: str = "html", id_col: str = "url",
+                 max_side: int = 512) -> DataFrame:
+    """Resize plumbing over binary payloads: decode (stubbed — no Pillow
+    here) -> aspect-preserving target dims. The real path would re-encode
+    bytes; the stub computes the exact output geometry from the fake
+    decoder's deterministic dimensions, so schema/batching/arithmetic are
+    all real and tested."""
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "width", "height", "resized_w", "resized_h", "decoder")}
+            for i, blob in enumerate(pdf[binary_col].tolist()):
+                b = blob if blob is not None else b""
+                digest = hashlib.sha256(b).digest()
+                try:
+                    w, h = decode_image(b)
+                    decoder = "pillow"
+                except NotImplementedError:
+                    w, h = _fake_dimensions(digest)
+                    decoder = "stub"
+                except Exception:
+                    w, h, decoder = -1, -1, "error"
+                rw, rh = resize_dims(w, h, max_side)
+                out["id"].append(pdf[id_col].iat[i])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["resized_w"].append(rw)
+                out["resized_h"].append(rh)
+                out["decoder"].append(decoder)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, binary_col).mapInPandas(resize, schema=RESIZE_SCHEMA)
+
 
 def decode_frames(data: bytes, every_ms: int, max_frames: int):
     """Real decode path — requires an ffmpeg binding. STUB in this sandbox."""

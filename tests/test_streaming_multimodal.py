@@ -178,3 +178,22 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out).toPandas()
     assert len(got) == 40
     assert got.url.is_unique
+
+
+def test_image_resize_geometry(spark):
+    from ocr_spark.operators.multimodal import image_resize, resize_dims
+
+    # pure arithmetic invariants
+    assert resize_dims(1000, 500, 512) == (512, 256)
+    assert resize_dims(500, 1000, 512) == (256, 512)
+    assert resize_dims(100, 50, 512) == (100, 50)      # never upscale
+    assert resize_dims(10000, 3, 512) == (512, 1)      # floor >= 1
+
+    pages = synth_pages(spark, 30, num_partitions=2)
+    out = image_resize(pages, max_side=512).toPandas()
+    assert len(out) == 30
+    assert (out[["resized_w", "resized_h"]].max(axis=1) <= 512).all()
+    ok = out[out.decoder == "stub"]
+    # aspect ratio preserved within integer floor error
+    shrunk = ok[ok.width > 512]
+    assert ((shrunk.resized_w == 512) | (shrunk.resized_h == 512)).all()
