@@ -33,10 +33,10 @@ def _spark():
 
 def cmd_extract(args: argparse.Namespace) -> int:
     from ocr_spark.pipeline import read_metrics, run_extract
-    from ocr_spark.session import PAGES_SCHEMA
+    from ocr_spark.sources.pages import read_pages
 
     spark = _spark()
-    pages = spark.read.schema(PAGES_SCHEMA).parquet(args.input)
+    pages = read_pages(spark, args.input)  # parquet dir OR iceberg-lite table root
     run_id = args.run_id or uuid.uuid4().hex[:8]
     res = run_extract(
         spark,
@@ -62,10 +62,16 @@ def cmd_synth(args: argparse.Namespace) -> int:
     from ocr_spark.sources.pages import synth_pages
 
     spark = _spark()
-    synth_pages(spark, args.n, seed=args.seed, num_partitions=args.partitions).write.mode(
-        "overwrite"
-    ).parquet(args.output)
-    print(f"wrote {args.n} pages to {args.output}")
+    pages = synth_pages(spark, args.n, seed=args.seed, num_partitions=args.partitions)
+    if args.iceberg:
+        from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+        sid = IcebergLiteTable(args.output).append(pages, properties={"n": args.n})
+        print(f"wrote {args.n} pages to iceberg-lite table {args.output} "
+              f"(snapshot {sid})")
+    else:
+        pages.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.n} pages to {args.output}")
     return 0
 
 
@@ -115,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
     sy.add_argument("--output", required=True)
     sy.add_argument("--seed", type=int, default=42)
     sy.add_argument("--partitions", type=int, default=None)
+    sy.add_argument("--iceberg", action="store_true",
+                    help="commit to an iceberg-lite table instead of a parquet dir")
     sy.set_defaults(fn=cmd_synth)
 
     va = sub.add_parser("validate", help="QA expectations over committed output")

@@ -31,7 +31,20 @@ def synth_pages(spark: SparkSession, n: int, seed: int = SEED,
 
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
-    """Read a materialized pages table (parquet dir or iceberg-lite root)."""
+    """Read a materialized pages table. Accepts either a plain parquet dir
+    or an iceberg-lite table root (detected by its manifests/ dir) — the
+    north_rule input is an Iceberg table of pages, so the committed-snapshot
+    read path must work on the INPUT side too (swap in real Iceberg's
+    ``spark.read.table`` at deploy time)."""
+    import os
+
+    from .iceberg_lite import IcebergLiteTable
+
+    if os.path.isdir(os.path.join(path, "manifests")):
+        df = IcebergLiteTable(path).read(spark, schema=PAGES_SCHEMA)
+        if df is None:
+            raise ValueError(f"iceberg-lite table at {path} has no committed snapshot")
+        return df
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
 
 

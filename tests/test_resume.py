@@ -107,3 +107,24 @@ def test_time_travel_and_compaction(spark, tmp_path):
     assert at0 == {r[0] for r in t.read_at(spark, 0).collect()}
     with pytest.raises(ValueError):
         t.read_at(spark, 99)
+
+
+def test_extract_reads_iceberg_lite_input(spark, tmp_path):
+    """north_rule input contract: the pipeline reads pages from a committed
+    iceberg-lite TABLE (not just a parquet dir) and produces identical
+    output — read_pages dispatches on the manifests/ dir."""
+    from ocr_spark.session import PAGES_SCHEMA
+    from ocr_spark.sources.pages import read_pages
+
+    pages = synth_pages(spark, 50, num_partitions=2)
+    troot = str(tmp_path / "pages_table")
+    IcebergLiteTable(troot).append(pages)
+    pdir = str(tmp_path / "pages_dir")
+    pages.write.parquet(pdir)
+
+    from_table = read_pages(spark, troot).toPandas().sort_values("url").reset_index(drop=True)
+    from_dir = read_pages(spark, pdir).toPandas().sort_values("url").reset_index(drop=True)
+    assert (from_table["url"] == from_dir["url"]).all()
+    assert len(from_table) == 50
+    assert [f.name for f in read_pages(spark, troot).schema.fields] == \
+        [f.split(" ")[0] for f in PAGES_SCHEMA.split(", ")]
