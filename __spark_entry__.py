@@ -67,6 +67,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _with_engine_conf(fn):
+    """The driver calls queries() with ITS OWN SparkSession; every
+    timestamp-bearing oracle assumes the engine's pinned UTC session
+    timezone (and Arrow execution for the pandas-UDF paths). Apply the
+    runtime-settable engine confs before each query so correctness does
+    not depend on the caller's session defaults."""
+    import functools
+
+    from ocr_spark.session import apply_engine_conf
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        apply_engine_conf(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -397,11 +415,14 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_flagship_extract(spark, SF0001)
+    return _with_engine_conf(q_flagship_extract)(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {k: _with_engine_conf(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES = {
         "flagship_extract": q_flagship_extract,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,

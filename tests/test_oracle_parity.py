@@ -64,3 +64,18 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_queries_are_session_default_proof(spark, duck):
+    """The driver calls queries() with its own SparkSession; the wrapped
+    callables must produce oracle-identical results even when the caller's
+    session timezone is hostile (non-UTC)."""
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+        for name in ("events_hourly", "epoch_parse", "asof_join"):
+            got = _canon(QUERIES[name](spark, SF_DIR).toPandas())
+            want = _canon(duck.execute(ORACLES[name]).df())
+            pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
