@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the properties PLANS.md documents are
+asserted here so a refactor that silently loses pushdown, broadcast, or
+the single-exchange parse shape fails CI, not a 100 TB run."""
+
+import contextlib
+import io
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _tree(plan: str) -> str:
+    """The operator-tree section (each node appears again in the detail
+    section below it, so counts must run on the tree only)."""
+    return plan.split("\n\n")[0]
+
+
+def test_agg_pricing_pushdown_and_partial_agg(spark):
+    plan = _plan(spark, "agg_pricing")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "partial_sum" in plan          # map-side combine before the exchange
+    assert _tree(plan).count("Scan parquet") == 1
+
+
+def test_top_customers_broadcast_join_and_topk(spark):
+    plan = _plan(spark, "top_customers")
+    assert "BroadcastHashJoin" in plan    # dim side broadcast, fact not shuffled
+    assert "TakeOrderedAndProject" in plan  # top-10 without a global sort
+
+
+def test_resume_antijoin_is_broadcast_anti(spark):
+    plan = _plan(spark, "resume_antijoin")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_flagship_single_salted_exchange(spark):
+    plan = _plan(spark, "flagship_extract")
+    # exactly ONE exchange: the mandated salted host-hash shuffle, keyed by
+    # JVM-side xxhash64 over parse_url(HOST)
+    assert _tree(plan).count("Exchange") == 1
+    assert "xxhash64" in plan
+    # column pruning: warc_ts never crosses into the extract UDF
+    assert "_extract_batches(url" in plan and "warc_ts" not in plan.split(
+        "_extract_batches")[1].split("]")[0]
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(spark, "semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_ivf_assignment_has_partial_argmax(spark):
+    plan = _plan(spark, "ivf_topk")
+    assert "partial_max_by" in plan       # map-side combine for cell assignment
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,16)]" in plan
