@@ -283,6 +283,27 @@ def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_event_stats(_t(spark, sf_dir, "events"))
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL surface (the one aggregate shape the
+    DataFrame API doesn't expose directly): two independent groupings plus
+    the grand total in a single Expand + hash aggregate."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        WITH e AS (SELECT event_type, user_id % 2 AS user_bucket, value
+                   FROM events_gs)
+        SELECT event_type, user_bucket,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               CAST(grouping(event_type) AS INT) AS g_type,
+               CAST(grouping(user_bucket) AS INT) AS g_bucket
+        FROM e
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        ORDER BY g_type, g_bucket, event_type, user_bucket
+        """
+    )
+
+
 def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window-frame aggregates (ROWS BETWEEN 2 PRECEDING)."""
     return moving_avg(_t(spark, sf_dir, "events"))
@@ -446,6 +467,7 @@ _QUERIES = {
         "media_meta": q_media_meta,
         "pdf_extract": q_pdf_extract,
         "rollup_events": q_rollup_events,
+        "grouping_sets": q_grouping_sets,
         "moving_avg": q_moving_avg,
         "set_ops": q_set_ops,
         "ivf_topk": q_ivf_topk,
@@ -681,6 +703,18 @@ def oracle_sql() -> dict[str, str]:
                    'pdf' AS content_kind,
                    CAST(CASE WHEN length({_CANON_RAW}) = 0 THEN 0 ELSE 1 END AS INT) AS n_blocks
             FROM documents
+        """,
+        "grouping_sets": """
+            WITH e AS (SELECT event_type, user_id % 2 AS user_bucket, value
+                       FROM events)
+            SELECT event_type, user_bucket,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   CAST(grouping(event_type) AS INT) AS g_type,
+                   CAST(grouping(user_bucket) AS INT) AS g_bucket
+            FROM e
+            GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+            ORDER BY g_type, g_bucket, event_type, user_bucket
         """,
         "rollup_events": """
             SELECT event_type, count(*) AS n_events,
