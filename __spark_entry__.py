@@ -283,6 +283,14 @@ def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_event_stats(_t(spark, sf_dir, "events"))
 
 
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas: exact per-language length quantiles (numpy
+    linear interpolation == SQL quantile_cont)."""
+    from ocr_spark.operators.analytics import group_quantiles
+
+    return group_quantiles(_t(spark, sf_dir, "documents"), "lang", "n_chars")
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS through the SQL surface (the one aggregate shape the
     DataFrame API doesn't expose directly): two independent groupings plus
@@ -468,6 +476,7 @@ _QUERIES = {
         "pdf_extract": q_pdf_extract,
         "rollup_events": q_rollup_events,
         "grouping_sets": q_grouping_sets,
+        "group_quantiles": q_group_quantiles,
         "moving_avg": q_moving_avg,
         "set_ops": q_set_ops,
         "ivf_topk": q_ivf_topk,
@@ -703,6 +712,11 @@ def oracle_sql() -> dict[str, str]:
                    'pdf' AS content_kind,
                    CAST(CASE WHEN length({_CANON_RAW}) = 0 THEN 0 ELSE 1 END AS INT) AS n_blocks
             FROM documents
+        """,
+        "group_quantiles": """
+            SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS q50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS q90
+            FROM documents GROUP BY lang
         """,
         "grouping_sets": """
             WITH e AS (SELECT event_type, user_id % 2 AS user_bucket, value

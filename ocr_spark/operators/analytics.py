@@ -89,6 +89,34 @@ def moving_avg(events: DataFrame, partition_col: str = "user_id",
     )
 
 
+def group_quantiles(df: DataFrame, group_col: str, value_col: str,
+                    qs: tuple[float, ...] = (0.5, 0.9)) -> DataFrame:
+    """Exact per-group quantiles via grouped ``applyInPandas`` — the
+    operator shape for per-group logic that built-in aggregates can't
+    express exactly (Spark's percentile_approx is approximate; numpy's
+    linear-interpolation percentile matches SQL ``quantile_cont``).
+    One shuffle on the group key; each group is one Arrow batch, so this
+    assumes per-group cardinality fits an executor (true for per-language
+    / per-host stats; use the sketch path otherwise)."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = ", ".join(f"q{int(q * 100)} double" for q in qs)
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {group_col: [pdf[group_col].iloc[0]]}
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        for q in qs:
+            row[f"q{int(q * 100)}"] = [round(float(np.percentile(vals, q * 100)), 4)]
+        return pd.DataFrame(row)
+
+    return (
+        df.select(group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(stats, schema=f"{group_col} string, {out_cols}")
+    )
+
+
 def asof_prior_event(events: DataFrame, left_type: str = "purchase",
                      right_type: str = "click") -> DataFrame:
     """As-of join: each ``left_type`` event matched to the most recent
