@@ -78,3 +78,31 @@ def test_failure_rows_retained_not_dropped(golden):
     bad = golden[golden["extract_status"] != "ok"]
     assert len(bad) > 0
     assert (bad[bad["extract_status"] == "empty"]["text"] == "").all()
+
+
+def test_pinned_golden_snapshot():
+    """The committed pin file freezes extraction outputs at a known-good
+    revision. The generated-fixture tests above prove distributed == serial
+    but both derive from the SAME module, so a silent semantic regression
+    would pass them; this one fails unless the pins are deliberately
+    regenerated (see the generator snippet in the git history of this
+    file's commit)."""
+    import hashlib
+    import json
+    import os
+
+    from ocr_spark.core.extract import extract_record
+    from ocr_spark.core.synth import gen_page
+
+    pin_path = os.path.join(os.path.dirname(__file__), "golden_pins.json")
+    with open(pin_path) as f:
+        pins = json.load(f)
+    assert len(pins) == 400
+    for i in range(400):
+        p = gen_page(i)
+        r = extract_record(p["url"], p["html"], p["text"], p["lang"])
+        pin = pins[r["url"]]
+        assert hashlib.sha256(r["text"].encode()).hexdigest()[:16] == pin["sha256"], r["url"]
+        assert r["extract_status"] == pin["status"], r["url"]
+        assert r["content_kind"] == pin["kind"], r["url"]
+        assert r["n_blocks"] == pin["n_blocks"], r["url"]
