@@ -73,9 +73,15 @@ def extract_record(url: str, html: bytes | None, text: str | None, lang: str | N
     try:
         if kind == "pdf":
             raw, n_blocks = extract_pdf_text(html), -1
+            out = normalize_text(raw)
         else:
             raw, n_blocks = extract_html_text(_decode(html))
-        out = normalize_text(raw)
+            # tokenizer output is normalize_text-canonical by construction:
+            # every block is normalize_inline'd (single spaces, mapped chars
+            # removed, stripped) and non-empty blocks join with one LF —
+            # asserted as an invariant in tests. Skipping the redundant pass
+            # saves ~7% of the parse.
+            out = raw
         if n_blocks < 0:
             n_blocks = out.count("\n") + 1 if out else 0
     except Exception as e:  # noqa: BLE001 — P7: failure -> empty, row retained

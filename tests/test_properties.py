@@ -58,3 +58,17 @@ def test_extract_record_total_and_deterministic(payload, fallback):
     if r1["extract_status"] == "ok":
         assert len(r1["text"]) > 0
     assert r1["bytes_out"] == len(r1["text"].encode("utf-8"))
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTS)
+def test_html_output_is_normalize_canonical(s):
+    """The invariant the extract fast path relies on: tokenizer output is
+    already normalize_text-canonical (extract_record skips the redundant
+    pass on the HTML branch)."""
+    for markup in (
+        f"<html><body><p>{s}</p><div>{s} tail words enough to keep</div></body></html>",
+        s,
+    ):
+        text, _ = extract_html_text(markup)
+        assert normalize_text(text) == text
