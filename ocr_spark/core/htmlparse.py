@@ -161,22 +161,25 @@ def extract_blocks(html_text: str) -> list[Block]:
                     link_chars += len(chunk)
             if lt < 0:
                 break
-        # comment / declaration / processing instruction
-        nxt = html_text[lt + 1 : lt + 2]
-        if nxt == "!":
-            if html_text.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                pos = n if end < 0 else end + 3
-            else:
+        m = match(html_text, lt)
+        if m is None:
+            # not a tag: comment / declaration / PI / bare '<' (rare path —
+            # checked only after the tag regex fails, keeping the common
+            # per-tag iteration one C call shorter)
+            nxt = html_text[lt + 1 : lt + 2]
+            if nxt == "!":
+                if html_text.startswith("<!--", lt):
+                    end = find("-->", lt + 4)
+                    pos = n if end < 0 else end + 3
+                else:
+                    end = find(">", lt)
+                    pos = n if end < 0 else end + 1
+                continue
+            if nxt == "?":
                 end = find(">", lt)
                 pos = n if end < 0 else end + 1
-            continue
-        if nxt == "?":
-            end = find(">", lt)
-            pos = n if end < 0 else end + 1
-            continue
-        m = match(html_text, lt)
-        if m is None:  # bare '<' that opens nothing: literal text
+                continue
+            # bare '<' that opens nothing: literal text
             if skip_depth == 0:
                 parts_append("<")
                 if anchor_depth > 0:
