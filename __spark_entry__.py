@@ -283,6 +283,15 @@ def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_event_stats(_t(spark, sf_dir, "events"))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (UDTF + SQL LATERAL join): documents fan out
+    to overlapping 60-token windows at stride 50 — the 1:N table-function
+    shape scalar UDFs can't express."""
+    from ocr_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(spark, _t(spark, sf_dir, "documents"))
+
+
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped applyInPandas: exact per-language length quantiles (numpy
     linear interpolation == SQL quantile_cont)."""
@@ -477,6 +486,7 @@ _QUERIES = {
         "rollup_events": q_rollup_events,
         "grouping_sets": q_grouping_sets,
         "group_quantiles": q_group_quantiles,
+        "chunk_documents": q_chunk_documents,
         "moving_avg": q_moving_avg,
         "set_ops": q_set_ops,
         "ivf_topk": q_ivf_topk,
@@ -712,6 +722,23 @@ def oracle_sql() -> dict[str, str]:
                    'pdf' AS content_kind,
                    CAST(CASE WHEN length({_CANON_RAW}) = 0 THEN 0 ELSE 1 END AS INT) AS n_blocks
             FROM documents
+        """,
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n]+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), n AS (
+                SELECT doc_id, toks, len(toks) AS n FROM t
+            ), c AS (
+                SELECT doc_id, toks, n,
+                       unnest(generate_series(0, CAST(ceil(n / 50.0) AS BIGINT) - 1)) AS ci
+                FROM n
+            )
+            SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+                   array_to_string(list_slice(toks, ci * 50 + 1, least(ci * 50 + 60, n)), ' ')
+                       AS chunk_text,
+                   CAST(least(60, n - ci * 50) AS INT) AS n_tokens
+            FROM c
         """,
         "group_quantiles": """
             SELECT lang, round(quantile_cont(n_chars, 0.5), 4) AS q50,

@@ -78,3 +78,16 @@ def test_rollup_grand_total(spark):
     assert len(total) == 1 and total.n_events.iloc[0] == 3
     assert total.sum_value.iloc[0] == 7.0
     assert set(out[out.is_total == 0].event_type) == {"a", "b"}
+
+
+def test_chunk_text_windows():
+    from ocr_spark.operators.chunking import chunk_text
+
+    assert chunk_text("", 4, 3) == []
+    assert chunk_text("a b c", 4, 3) == [(0, "a b c", 3)]
+    assert chunk_text("a b c d e f g", 4, 3) == [
+        (0, "a b c d", 4), (1, "d e f g", 4), (2, "g", 1)]
+    # overlap: consecutive chunks share window-stride tokens
+    chunks = chunk_text(" ".join(f"t{i}" for i in range(130)))
+    assert len(chunks) == 3
+    assert chunks[0][1].split()[50:] == chunks[1][1].split()[:10]
