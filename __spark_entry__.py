@@ -292,6 +292,14 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(spark, _t(spark, sf_dir, "documents"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: chunks -> fixed-token-budget training sequences
+    (global-ordered window cumsum; boundary semantics, see ops/chunking)."""
+    from ocr_spark.operators.chunking import chunk_documents, pack_sequences
+
+    return pack_sequences(chunk_documents(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped applyInPandas: exact per-language length quantiles (numpy
     linear interpolation == SQL quantile_cont)."""
@@ -487,6 +495,7 @@ _QUERIES = {
         "grouping_sets": q_grouping_sets,
         "group_quantiles": q_group_quantiles,
         "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "moving_avg": q_moving_avg,
         "set_ops": q_set_ops,
         "ivf_topk": q_ivf_topk,
@@ -722,6 +731,27 @@ def oracle_sql() -> dict[str, str]:
                    'pdf' AS content_kind,
                    CAST(CASE WHEN length({_CANON_RAW}) = 0 THEN 0 ELSE 1 END AS INT) AS n_blocks
             FROM documents
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n]+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            ), n AS (
+                SELECT doc_id, len(toks) AS n FROM t
+            ), c AS (
+                SELECT doc_id, n,
+                       unnest(generate_series(0, CAST(ceil(n / 50.0) AS BIGINT) - 1)) AS ci
+                FROM n
+            ), ch AS (
+                SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+                       CAST(least(60, n - ci * 50) AS BIGINT) AS n_tokens
+                FROM c
+            )
+            SELECT doc_id, chunk_idx, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / 256.0) AS BIGINT) AS seq_id
+            FROM ch
         """,
         "chunk_documents": """
             WITH t AS (

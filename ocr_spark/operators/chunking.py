@@ -35,6 +35,34 @@ def chunk_text(text: str, window: int = WINDOW, stride: int = STRIDE):
     return out
 
 
+def pack_sequences(chunks: DataFrame, seq_tokens: int = 256,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Assign chunks to fixed-budget training sequences: deterministic
+    boundary packing — chunks in (doc_id, chunk_idx) order, sequence id =
+    floor(tokens_before / seq_tokens), so every sequence holds ~seq_tokens
+    tokens (a chunk may straddle a boundary; the documented semantics that
+    keep packing a pure window expression).
+
+    The single global-ordered window is the small-data shape; at corpus
+    scale, range-partition by doc_id and run the same cumsum per range with
+    per-range offsets added back (two passes, no single-partition sort).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(F.asc(id_col), F.asc("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return chunks.select(
+        id_col,
+        "chunk_idx",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / seq_tokens).cast("long").alias("seq_id"),
+    )
+
+
 def chunk_documents(spark: SparkSession, docs: DataFrame,
                     id_col: str = "doc_id", text_col: str = "text",
                     window: int = WINDOW, stride: int = STRIDE) -> DataFrame:
