@@ -278,6 +278,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "text", "extract_status", "content_kind", "n_blocks")
 
 
+def q_union_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of the HTML and PDF extraction branches — the SURVEY
+    U-layer composition (HTML branch UNION ALL PDF branch outputs)."""
+    return q_flagship_extract(spark, sf_dir).unionByName(
+        q_pdf_extract(spark, sf_dir)
+    )
+
+
 def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchical totals (per-type + grand total, one pass)."""
     return rollup_event_stats(_t(spark, sf_dir, "events"))
@@ -491,6 +499,7 @@ _QUERIES = {
         "knn": q_knn,
         "media_meta": q_media_meta,
         "pdf_extract": q_pdf_extract,
+        "union_branches": q_union_branches,
         "rollup_events": q_rollup_events,
         "grouping_sets": q_grouping_sets,
         "group_quantiles": q_group_quantiles,
@@ -547,7 +556,7 @@ _QUALITY = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "flagship_extract": f"""
             SELECT 'https://docs.example.com/' || doc_id AS url,
                    CASE WHEN length({_CANON_RAW}) >= 25
@@ -1038,3 +1047,7 @@ def oracle_sql() -> dict[str, str]:
         # hyperplanes / rolling hash / a streaming sink are engine-native);
         # the driver records the weaker rows-only check for these.
     }
+    d["union_branches"] = (
+        d["flagship_extract"] + " UNION ALL " + d["pdf_extract"]
+    )
+    return d
