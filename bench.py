@@ -25,8 +25,9 @@ Env knobs:
   OCR_BENCH_PAGES      (default 120000)
   OCR_BENCH_SCALING    (default 1; 0 skips the two-level scaling runs)
   OCR_BENCH_REPS       (default 3; headline + query reps)
-  OCR_BENCH_SCALE_REPS (default 2; reps per scaling pass — each level runs
-                        TWO temporally-separated passes, min across all)
+  OCR_BENCH_SCALE_REPS (default 2; reps per burst — each level runs two
+                        bursts separated by OCR_BENCH_SCALE_GAP_S idle
+                        seconds [default 90] in one warm JVM, min of all)
 """
 
 from __future__ import annotations
@@ -93,12 +94,22 @@ def run_extract_job(spark, pages_dir: str, out_dir: str) -> float:
     return time.time() - t0
 
 
+SCALE_GAP_S = int(os.environ.get("OCR_BENCH_SCALE_GAP_S", "90"))
+
+
 def scale_worker(cores: int) -> None:
-    """Subprocess mode (pinned via taskset by the parent): run the extract
-    job warm + REPS measured, print min wall to stdout."""
+    """Subprocess mode (pinned via taskset by the parent): warmup, then TWO
+    measurement bursts separated by an idle gap — time-diversified samples
+    from one warm JVM (contention episodes on this shared box last minutes;
+    back-to-back reps all land in the same episode). Prints min wall."""
     spark = get_spark(master=f"local[{cores}]", app_name=f"ocr-spark-scale-{cores}")
     run_extract_job(spark, PAGES_DIR, f"/tmp/ocr_spark_bench/warm_{cores}")  # warmup
     walls = [
+        run_extract_job(spark, PAGES_DIR, f"/tmp/ocr_spark_bench/out_{cores}")
+        for _ in range(REPS)
+    ]
+    time.sleep(SCALE_GAP_S)  # idle: pinned cores released to the OS
+    walls += [
         run_extract_job(spark, PAGES_DIR, f"/tmp/ocr_spark_bench/out_{cores}")
         for _ in range(REPS)
     ]
@@ -173,16 +184,13 @@ def main() -> None:
 
     # ---- two-level scaling evidence (taskset-pinned subprocesses) ----------
     if DO_SCALING:
-        # Two temporally-separated passes over the levels, min across both:
-        # contention episodes on this shared box last minutes, so a single
-        # consecutive-reps window can poison one level and skew the pair
-        # ratio in either direction (observed 0.68..1.14). Spreading each
-        # level's samples ~10 min apart decorrelates them from any one
-        # episode.
+        # Each level samples two measurement bursts separated by an idle
+        # gap inside one warm pinned JVM (scale_worker), min across all:
+        # contention episodes on this shared box last minutes, so
+        # consecutive reps all land in the same episode and can skew the
+        # pair ratio in either direction (observed 0.59..1.14).
         levels = (2, 4, 8, 16)
         walls = {c: run_scale_level(c)["min_wall"] for c in levels}
-        for c in levels:
-            walls[c] = min(walls[c], run_scale_level(c)["min_wall"])
         pairs = []
         for n, n4 in ((2, 8), (4, 16)):
             pairs.append(
