@@ -446,12 +446,17 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (availableNow trigger). Rows-only check: streaming output equals the
     batch path byte-for-byte (asserted in tests/test_streaming_multimodal.py),
     but xxhash-style SQL twins don't apply to a streaming sink."""
-    import tempfile
+    import hashlib
+    import shutil
 
     from ocr_spark.session import EXTRACTED_SCHEMA
     from ocr_spark.streaming.extract_stream import extract_stream, read_pages_stream
 
-    base = tempfile.mkdtemp(prefix="ocr_spark_stream_q_")
+    # deterministic scratch dir keyed by sf_dir: repeated driver/bench runs
+    # reuse one directory instead of leaking a fresh mkdtemp per call
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/ocr_spark_stream_q/{key}"
+    shutil.rmtree(base, ignore_errors=True)  # fresh checkpoint each run
     pages_from_documents(spark, sf_dir).limit(200).write.mode("overwrite").parquet(
         f"{base}/in"
     )
@@ -463,7 +468,10 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # a silent timeout would read a partial sink as if it were complete
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream_extract: availableNow batch exceeded 300s")
     return spark.read.schema(EXTRACTED_SCHEMA).parquet(f"{base}/out")
 
 

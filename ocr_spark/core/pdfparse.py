@@ -27,8 +27,10 @@ class PdfParseError(ValueError):
 
 
 _RE_STREAM = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
-# direct /Length only; negative lookahead rejects indirect refs (/Length 4 0 R)
-_RE_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s*0\s+R)")
+# direct /Length only; negative lookahead rejects indirect refs of ANY
+# generation (/Length 4 0 R, /Length 4 1 R, ...) — a gen>0 ref parsed as a
+# direct length would silently truncate the stream body
+_RE_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s*\d+\s+R)")
 _RE_TEXT_SHOW = re.compile(
     rb"\((?P<s>(?:\\.|[^\\()])*)\)\s*(?P<op>Tj|'|\")|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ"
     rb"|(?P<nl>T\*|TD|Td|ET)"

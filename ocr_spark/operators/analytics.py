@@ -101,6 +101,9 @@ def group_quantiles(df: DataFrame, group_col: str, value_col: str,
     import numpy as np
     import pandas as pd
 
+    # group column keeps its incoming type (an int bucket column must not
+    # come back as string)
+    group_type = df.schema[group_col].dataType.simpleString()
     out_cols = ", ".join(f"q{int(q * 100)} double" for q in qs)
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -113,7 +116,7 @@ def group_quantiles(df: DataFrame, group_col: str, value_col: str,
     return (
         df.select(group_col, value_col)
         .groupBy(group_col)
-        .applyInPandas(stats, schema=f"{group_col} string, {out_cols}")
+        .applyInPandas(stats, schema=f"{group_col} {group_type}, {out_cols}")
     )
 
 

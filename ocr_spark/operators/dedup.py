@@ -33,6 +33,26 @@ MINHASH_PERMS = 32          # signature length
 LSH_BANDS = 8               # bands of 4 -> catches jaccard >~ 0.6
 SHINGLE_N = 3               # word n-gram shingles
 
+# Keep-latest registry for the signature tables the pair joins persist: a
+# long-lived driver (bench loops, notebook sessions) calling these repeatedly
+# would otherwise accumulate cached blocks for the session lifetime. Each call
+# releases the PREVIOUS call's cache under the same key; release_cached()
+# frees everything (callers own the lifetime of the latest result only).
+_CACHED: dict[str, DataFrame] = {}
+
+
+def _persist_scoped(key: str, df: DataFrame) -> DataFrame:
+    prev = _CACHED.pop(key, None)
+    if prev is not None:
+        prev.unpersist()
+    _CACHED[key] = df.persist()
+    return df
+
+
+def release_cached() -> None:
+    while _CACHED:
+        _CACHED.popitem()[1].unpersist()
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct canonical text with the
@@ -110,7 +130,9 @@ def minhash_lsh_pairs(
       near-dup recall for dropped buckets is recovered by their OTHER bands.
     """
     rows_per_band = perms // bands
-    sigs = minhash_signatures(df, text_col, id_col, perms).persist()
+    sigs = _persist_scoped(
+        "minhash_sigs", minhash_signatures(df, text_col, id_col, perms)
+    )
 
     banded = sigs.select(
         F.col(id_col).alias("id"),
@@ -316,7 +338,7 @@ def winnow_pairs(df: DataFrame, min_shared: int = 2, text_col: str = "text",
     # three downstream references (df-count, both join sides) would re-run
     # the fingerprint UDF; persist the (id, fp) longs instead — at corpus
     # scale this is the signatures table you'd materialize anyway
-    flat = flat.persist()
+    flat = _persist_scoped("winnow_flat", flat)
     rare = (
         flat.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= max_df)

@@ -81,7 +81,14 @@ def extract_pages(
     if num_partitions is None:
         num_partitions = parallelism * 2
     if repartition == "auto":
-        repartition = pruned.rdd.getNumPartitions() < parallelism
+        # file-count probe (no DataFrame->RDD conversion plan): a file scan
+        # with fewer files than task slots can't fill the cluster, so shuffle;
+        # non-file sources (empty inputFiles) also shuffle — the safe default
+        try:
+            n_files = len(df.inputFiles())
+        except Exception:
+            n_files = 0
+        repartition = n_files < parallelism
     if repartition:
         pruned = salted_repartition(pruned, num_partitions, salt_buckets=salt_buckets)
     return pruned.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)

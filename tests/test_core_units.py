@@ -131,6 +131,14 @@ class TestPdf:
                + b"\nendstream")
         assert extract_pdf_text(pdf) == "hi there"
 
+    def test_indirect_length_nonzero_generation(self):
+        """Regression: a gen>0 indirect ref (/Length 4 1 R) must not be
+        parsed as direct length 4 (which would truncate the stream body)."""
+        body = b"BT (hi there) Tj ET"
+        pdf = (b"%PDF-1.4\n<< /Length 4 1 R >> stream\n" + body
+               + b"\nendstream")
+        assert extract_pdf_text(pdf) == "hi there"
+
 
 class TestExtractRecord:
     def test_null_html_with_text(self):
