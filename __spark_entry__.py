@@ -292,17 +292,19 @@ def q_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking (UDTF + SQL LATERAL join): documents fan out
-    to overlapping 60-token windows at stride 50 — the 1:N table-function
-    shape scalar UDFs can't express."""
+    """Context-window chunking, expression-only: documents fan out to
+    overlapping 60-token windows at stride 50 via split/sequence/explode/
+    slice — no Python in the plan (the UDTF LATERAL variant is kept as an
+    alternate demo in operators/chunking.py)."""
     from ocr_spark.operators.chunking import chunk_documents
 
     return chunk_documents(spark, _t(spark, sf_dir, "documents"))
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing: chunks -> fixed-token-budget training sequences
-    (global-ordered window cumsum; boundary semantics, see ops/chunking)."""
+    """Sequence packing: chunks -> fixed-token-budget training sequences via
+    the two-pass range-partitioned global cumsum (partition-local window +
+    broadcast per-range offsets — no single-partition sort)."""
     from ocr_spark.operators.chunking import chunk_documents, pack_sequences
 
     return pack_sequences(chunk_documents(spark, _t(spark, sf_dir, "documents")))
@@ -751,10 +753,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": """
             WITH t AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n]+') AS toks
-                FROM documents WHERE length(trim(text)) > 0
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0b]+'),
+                                   t -> t <> '') AS toks
+                FROM documents
             ), n AS (
-                SELECT doc_id, len(toks) AS n FROM t
+                SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0
             ), c AS (
                 SELECT doc_id, n,
                        unnest(generate_series(0, CAST(ceil(n / 50.0) AS BIGINT) - 1)) AS ci
@@ -772,10 +776,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "chunk_documents": """
             WITH t AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n]+') AS toks
-                FROM documents WHERE length(trim(text)) > 0
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '[ \t\n\r\f\x0b]+'),
+                                   t -> t <> '') AS toks
+                FROM documents
             ), n AS (
-                SELECT doc_id, toks, len(toks) AS n FROM t
+                SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
             ), c AS (
                 SELECT doc_id, toks, n,
                        unnest(generate_series(0, CAST(ceil(n / 50.0) AS BIGINT) - 1)) AS ci

@@ -91,3 +91,67 @@ def test_chunk_text_windows():
     chunks = chunk_text(" ".join(f"t{i}" for i in range(130)))
     assert len(chunks) == 3
     assert chunks[0][1].split()[50:] == chunks[1][1].split()[:10]
+    # the shared tokenizer class: \r \f \v split exactly like space/tab/\n
+    assert chunk_text("a\rb\fc\x0bd\te", 4, 3) == [(0, "a b c d", 4), (1, "d e", 2)]
+
+
+def _crafted_docs(spark):
+    rows = [
+        (0, "plain words " * 40),
+        (1, "tabs\tand\nnewlines\rand\fother\x0bwhitespace " * 13),
+        (2, " leading and trailing  \n"),
+        (3, ""),                      # zero tokens -> zero chunks
+        (4, None),                    # null text -> zero chunks
+        (5, " ".join(f"w{i}" for i in range(137))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_documents_expression_matches_pure_chunker(spark):
+    from ocr_spark.operators.chunking import chunk_documents, chunk_text
+
+    docs = _crafted_docs(spark)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_text, r.n_tokens)
+        for r in chunk_documents(spark, docs).collect()
+    }
+    expected = {}
+    for doc_id, text in docs.collect():
+        for idx, chunk, n in chunk_text(text or ""):
+            expected[(doc_id, idx)] = (chunk, n)
+    assert got == expected
+    assert not any(k[0] in (3, 4) for k in got)
+
+
+def test_chunk_documents_udtf_variant_agrees(spark):
+    from ocr_spark.operators.chunking import chunk_documents, chunk_documents_udtf
+
+    docs = _crafted_docs(spark)
+    expr = sorted(map(tuple, chunk_documents(spark, docs).collect()))
+    udtf = sorted(map(tuple, chunk_documents_udtf(spark, docs).collect()))
+    assert expr == udtf
+
+
+def test_pack_sequences_two_pass_matches_global_cumsum(spark):
+    """The range-partitioned two-pass cumsum must equal the naive global
+    computation at high partition counts (64 partitions over 600 chunks)."""
+    from ocr_spark.operators.chunking import chunk_documents, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range((i * 37) % 130 + 1)))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(spark, docs)
+    got = {
+        (r.doc_id, r.chunk_idx): r.seq_id
+        for r in pack_sequences(chunks, num_partitions=64).collect()
+    }
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.n_tokens) for r in chunks.collect()
+    )
+    acc, expected = 0, {}
+    for doc_id, chunk_idx, n_tokens in rows:
+        expected[(doc_id, chunk_idx)] = acc // 256
+        acc += n_tokens
+    assert got == expected

@@ -59,6 +59,27 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in plan
 
 
+def test_chunk_documents_is_expression_only(spark):
+    plan = _plan(spark, "chunk_documents")
+    # no Python anywhere in the chunk plan: the 1:N fan-out is
+    # split/sequence/explode/slice inside codegen
+    for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDTF", "MapInPandas"):
+        assert node not in plan, node
+    assert "Generate" in _tree(plan) and "explode" in plan
+
+
+def test_pack_sequences_has_no_single_partition_window(spark):
+    plan = _plan(spark, "pack_sequences")
+    tree = _tree(plan)
+    # the scale-killer signature of an unpartitioned window is an
+    # Exchange SinglePartition feeding it; the two-pass cumsum must
+    # range-partition instead and broadcast the per-range offsets
+    assert "Exchange SinglePartition" not in tree
+    assert "rangepartitioning" in plan
+    assert "Window" in tree
+    assert "BroadcastHashJoin" in tree
+
+
 def test_ivf_assignment_has_partial_argmax(spark):
     plan = _plan(spark, "ivf_topk")
     assert "partial_max_by" in plan       # map-side combine for cell assignment
