@@ -138,7 +138,9 @@ def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, jaccard-verified (non-SQL: xxhash64)."""
+    """MinHash+LSH near-dup candidates, jaccard-verified. The md5-based
+    universal-hash family makes the full LSH pipeline SQL-replayable, so
+    this has an exact DuckDB twin (bands, bucket caps, and all)."""
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
@@ -565,8 +567,65 @@ _QUALITY = (
 )
 
 
+def _minhash_oracle() -> str:
+    """DuckDB twin of minhash_lsh_pairs: same shingles, same md5-based
+    universal-hash signatures (constants inlined from operators.dedup),
+    same band slicing, bucket caps, and exact-jaccard verification."""
+    from ocr_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_AB,
+        MINHASH_PERMS,
+        _MH_P,
+    )
+
+    rpb = MINHASH_PERMS // LSH_BANDS
+    sig_exprs = ",\n                   ".join(
+        f"list_min([({a}*h + {b}) % {_MH_P} for h in bhs])" for a, b in MINHASH_AB
+    )
+    jac = ("round(len(list_intersect(a.sh, b.sh)) * 1.0 / "
+           "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS id, string_split({_CANON}, ' ') AS toks FROM documents
+        ), shin AS (
+            SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE [array_to_string(list_slice(toks, i, i + 2), ' ')
+                      for i in generate_series(1, len(toks) - 2)] END AS shingles
+            FROM toks
+        ), bhx AS (
+            SELECT id, shingles,
+                   [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS bhs
+            FROM shin
+        ), sig AS (
+            SELECT id, shingles,
+                   [{sig_exprs}] AS sig
+            FROM bhx
+        ), banded AS (
+            SELECT id, b.band,
+                   list_slice(sig, b.band * {rpb} + 1, b.band * {rpb} + {rpb}) AS bucket
+            FROM sig, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band) b
+        ), small AS (
+            SELECT band, bucket FROM banded GROUP BY band, bucket
+            HAVING count(*) > 1 AND count(*) <= 256
+        ), keep AS (
+            SELECT bd.id, bd.band, bd.bucket FROM banded bd
+            JOIN small s ON bd.band = s.band AND bd.bucket = s.bucket
+        ), cand AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM keep l JOIN keep r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+        ), dsh AS (
+            SELECT id, list_distinct(shingles) AS sh FROM shin
+        )
+        SELECT id_a, id_b, {jac} AS jaccard
+        FROM cand JOIN dsh a ON id_a = a.id JOIN dsh b ON id_b = b.id
+        WHERE {jac} >= 0.5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
+        "minhash_pairs": _minhash_oracle(),
         "flagship_extract": f"""
             SELECT 'https://docs.example.com/' || doc_id AS url,
                    CASE WHEN length({_CANON_RAW}) >= 25
@@ -1056,10 +1115,10 @@ def oracle_sql() -> dict[str, str]:
                    'stub' AS decoder
             FROM d
         """,
-        # minhash_pairs / simhash / embedding_neardup / winnow_pairs /
-        # stream_extract: intentionally no SQL twin (xxhash64 / seeded
-        # hyperplanes / rolling hash / a streaming sink are engine-native);
-        # the driver records the weaker rows-only check for these.
+        # simhash / winnow_pairs / stream_extract: intentionally no SQL twin
+        # (FNV-1a bit voting / the 61-bit rolling hash are engine-native; a
+        # streaming sink has no SQL analog); the driver records the weaker
+        # rows-only check for these, and crafted-truth unit tests pin them.
     }
     d["union_branches"] = (
         d["flagship_extract"] + " UNION ALL " + d["pdf_extract"]

@@ -7,8 +7,9 @@ At corpus scale that generalizes to the family below. Shuffle discipline:
 - exact:   ONE shuffle (groupBy fingerprint).
 - minhash: signatures computed JVM-side with array expressions (no shuffle,
   no Python); candidate generation = explode bands -> ONE shuffle on
-  (band, band_hash); verification joins shingle arrays only for candidate
-  pairs (sort-merge join on doc ids).
+  (band, band signature slice); verification joins shingle arrays only for
+  candidate pairs (sort-merge join on doc ids). The hash family is
+  md5-based universal hashing, so the whole pipeline is SQL-replayable.
 - simhash: one Arrow-vectorized pandas UDF (numpy bit-packing), then a
   band-bucket shuffle like minhash.
 - embedding near-dup: cosine >= threshold within LSH buckets (see
@@ -89,22 +90,53 @@ def _shingles(text_col: str):
     )
 
 
+# Universal-hash minhash family: h_i(x) = (a_i * base(x) + b_i) mod P, with
+# base(x) = the first 32 bits of md5(x) and fixed seeded (a_i, b_i). Chosen
+# over an engine-native hash (xxhash64) because every piece — md5, substr,
+# hex->int, integer arithmetic — exists verbatim in ANSI SQL/DuckDB, so the
+# whole LSH pipeline has an exact oracle twin. Bounds keep the arithmetic in
+# signed 64-bit: a_i < 2^30, base < 2^32 => a_i*base + b_i < 2^63.
+_MH_P = (1 << 61) - 1
+
+
+def _mh_constants(perms: int, seed: int = 1234567) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+            for _ in range(perms)]
+
+
+MINHASH_AB = _mh_constants(MINHASH_PERMS)
+
+
+def _base_hash(col):
+    """First 32 bits of md5 as a long — portable across Spark and SQL."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        perms: int = MINHASH_PERMS) -> DataFrame:
     """(id, shingles, sig: array<long>[perms]) — min over per-perm hashes.
 
-    Hash family: xxhash64(shingle, perm_index) — deterministic, seedable,
-    JVM-native. Entirely expression-level: computing a signature is a map
-    stage with zero shuffle.
+    One md5 per shingle; the perm family is linear arithmetic over that base
+    hash. Entirely expression-level: computing a signature is a map stage
+    with zero shuffle and zero Python.
     """
-    sh = _shingles(text_col).alias("shingles")
+    ab = MINHASH_AB if perms == MINHASH_PERMS else _mh_constants(perms)
+    base = df.select(
+        F.col(id_col), _shingles(text_col).alias("shingles")
+    ).withColumn("bh", F.transform(F.col("shingles"), _base_hash))
+
+    def perm(a: int, b: int):
+        # closure factory: pyspark infers lambda arity from the FULL python
+        # signature, so default-arg captures would mis-declare a 3-ary lambda
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_P)
+
     sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(perms)
-        ]
+        *[F.array_min(F.transform(F.col("bh"), perm(a, b))) for a, b in ab]
     ).alias("sig")
-    return df.select(F.col(id_col), sh).select(id_col, "shingles", sig)
+    return base.select(id_col, "shingles", sig)
 
 
 def minhash_lsh_pairs(
@@ -134,6 +166,9 @@ def minhash_lsh_pairs(
         "minhash_sigs", minhash_signatures(df, text_col, id_col, perms)
     )
 
+    # bucket key = the band's raw signature slice (array<long>): collision-
+    # free, SQL-replayable, and still only rows_per_band longs per row —
+    # the heavy shingle arrays never enter the candidate join
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -141,9 +176,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
