@@ -156,9 +156,43 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, [float(x) for x in qvec], k=20)
 
 
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + planted near-duplicates: vec_id < 8 re-appear as
+    vec_id+1000000 scaled by 1.02 (same direction => same LSH bucket,
+    cosine 1.0) so the near-dup query provably witnesses its operator —
+    the r01 entry returned 0 rows, which taught the driver nothing."""
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("embedding"))
+    planted = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.02).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup pairs (non-SQL: seeded hyperplanes)."""
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+    """Hyperplane-LSH embedding near-dup pairs with 1-bit multiprobe and
+    hot-bucket caps; seeded planes are inlined into the DuckDB twin as
+    literals, so this is fully oracle-checked."""
+    return embedding_neardup_pairs(
+        _neardup_corpus(spark, sf_dir), threshold=0.9, dim=64
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-band near-dup pairs over documents + planted dups
+    (doc_id % 50 == 0 re-appears as doc_id+1000000 with one token appended
+    -> small hamming distance). Rows-only: FNV-1a bit voting is
+    engine-native; crafted-truth tests pin the semantics."""
+    from ocr_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where(F.pmod(F.col("doc_id"), F.lit(50)) == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzmarker")).alias("text"),
+    )
+    return simhash_pairs(d.unionByName(planted), max_hamming=3)
 
 
 def q_validate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,6 +531,7 @@ _QUERIES = {
         "token_jaccard": q_token_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "validate_docs": q_validate_docs,
@@ -567,6 +602,56 @@ _QUALITY = (
 )
 
 
+def _embedding_neardup_oracle() -> str:
+    """DuckDB twin of q_embedding_neardup. The seeded hyperplanes are
+    inlined as literals; the sign-decision dot products are UNROLLED as
+    left-associated sums so both engines evaluate the identical IEEE-754
+    operation sequence (a near-zero dot must not flip its sign between a
+    fold and a differently-ordered library sum). The verification cosine
+    uses list_dot_product + round(4), same as the other embedding oracles."""
+    from ocr_spark.operators.similarity import N_PLANES, hyperplanes
+
+    planes = hyperplanes(N_PLANES, 64)
+
+    def dot(p: list[float]) -> str:
+        return " + ".join(f"e[{i + 1}]*{p[i]!r}" for i in range(64))
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(planes[j])} >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    probe_list = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(N_PLANES)]
+    )
+    cos = ("list_dot_product(a.e, b.e) / "
+           "(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))")
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.02)
+            FROM embeddings WHERE vec_id < 8
+        ), keyed AS (
+            SELECT vec_id AS id, e, CAST({bucket} AS BIGINT) AS bucket FROM corpus
+        ), ok AS (
+            SELECT bucket FROM keyed GROUP BY bucket HAVING count(*) <= 256
+        ), base AS (
+            SELECT k.id, k.bucket FROM keyed k JOIN ok USING (bucket)
+        ), probes AS (
+            SELECT pr.id, pr.pb AS bucket FROM (
+                SELECT id, unnest([{probe_list}]) AS pb FROM keyed
+            ) pr JOIN ok o ON pr.pb = o.bucket
+        ), cand AS (
+            SELECT DISTINCT p.id AS id_a, b.id AS id_b
+            FROM probes p JOIN base b ON p.bucket = b.bucket AND p.id < b.id
+        )
+        SELECT id_a, id_b, round({cos}, 4) AS cosine
+        FROM cand JOIN keyed a ON id_a = a.id JOIN keyed b ON id_b = b.id
+        WHERE round({cos}, 4) >= 0.9
+    """
+
+
 def _minhash_oracle() -> str:
     """DuckDB twin of minhash_lsh_pairs: same shingles, same md5-based
     universal-hash signatures (constants inlined from operators.dedup),
@@ -626,6 +711,7 @@ def _minhash_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     d = {
         "minhash_pairs": _minhash_oracle(),
+        "embedding_neardup": _embedding_neardup_oracle(),
         "flagship_extract": f"""
             SELECT 'https://docs.example.com/' || doc_id AS url,
                    CASE WHEN length({_CANON_RAW}) >= 25
@@ -1115,7 +1201,8 @@ def oracle_sql() -> dict[str, str]:
                    'stub' AS decoder
             FROM d
         """,
-        # simhash / winnow_pairs / stream_extract: intentionally no SQL twin
+        # simhash / simhash_pairs / winnow_pairs / stream_extract:
+        # intentionally no SQL twin
         # (FNV-1a bit voting / the 61-bit rolling hash are engine-native; a
         # streaming sink has no SQL analog); the driver records the weaker
         # rows-only check for these, and crafted-truth unit tests pin them.

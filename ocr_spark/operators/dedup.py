@@ -298,6 +298,83 @@ def _fnv1a64(s: str) -> int:
     return h
 
 
+SIMHASH_BANDS = 4           # 16-bit bands: hamming <= 3 guarantees a shared band
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id", bands: int = SIMHASH_BANDS,
+                  max_bucket: int = 256) -> DataFrame:
+    """Near-duplicate pairs from 64-bit SimHash signatures via hamming-band
+    LSH: the signature splits into ``bands`` equal bit-slices (JVM-side
+    shiftright + mask), pairs sharing any slice are candidates, and
+    candidates are verified with the exact popcount hamming distance
+    (``bit_count(a XOR b) <= max_hamming``). Pigeonhole guarantee: any pair
+    with hamming < ``bands`` shares at least one band, so recall is exact
+    for ``max_hamming <= bands - 1`` (the default).
+
+    Same shuffle discipline as minhash: the band join carries only
+    (id, band, bucket) longs; buckets with more than ``max_bucket`` members
+    are dropped before pairing (identical-signature floods — e.g. empty
+    documents, all-zero signatures — are exact-dedup's job, not simhash's).
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = simhash64(df, text_col, id_col).select(
+        F.col(id_col).alias("id"), F.col("simhash")
+    )
+    sigs = _persist_scoped("simhash_sigs", sigs)
+
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    small_buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band", "bucket")
+    )
+    banded = banded.join(small_buckets, ["band", "bucket"], "left_semi")
+
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 WINNOW_K = 8            # char k-gram length
 WINNOW_WINDOW = 4       # winnowing window (guarantee: any match >= k+w-1 chars detected)
 _POLY_B = 1_000_003

@@ -51,41 +51,89 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
-def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
-                            vec_col: str = "embedding", id_col: str = "vec_id",
-                            n_planes: int = N_PLANES) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
-
-    Bucket key = sign bits of <v, plane_j> for deterministic pseudo-random
-    hyperplanes (seeded; same buckets every run). Pairs sharing a bucket are
-    verified with exact cosine. Recall is per-bucket (single probe) —
-    documented tradeoff; raise n_planes for precision, add probes for recall.
-    """
+def hyperplanes(n_planes: int = N_PLANES, dim: int = 64,
+                seed: int = PLANE_SEED) -> list[list[float]]:
+    """The seeded pseudo-random hyperplanes as plain Python floats — shared
+    by the Spark expression and the SQL oracle (which inlines them as
+    literals), so both engines bucket identically."""
     import numpy as np
 
-    dim = len(df.select(vec_col).first()[0])
-    rng = np.random.RandomState(PLANE_SEED)
-    planes = rng.standard_normal((n_planes, dim))
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
 
+
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
+                            vec_col: str = "embedding", id_col: str = "vec_id",
+                            n_planes: int = N_PLANES, dim: int = 64,
+                            max_bucket: int = 256,
+                            multiprobe: bool = True) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH.
+
+    Bucket key = integer of sign bits of <v, plane_j> for deterministic
+    seeded hyperplanes (``hyperplanes()``; ``dim`` is passed in — no driver
+    probe of the data). Candidate pairs share a bucket under 1-bit-flip
+    multiprobe (every vector probes its own bucket plus the ``n_planes``
+    buckets one sign-flip away, so any pair whose sign vectors differ in at
+    most one plane is found); candidates are verified with exact cosine.
+
+    Scale guards (the 100 TB shape):
+    - buckets larger than ``max_bucket`` are dropped before pairing — a
+      boilerplate-identical embedding cluster would otherwise contribute k^2
+      pairs on one partition; dropped-bucket recall comes back through the
+      multiprobe flips (mirror of the minhash cap, dedup.py);
+    - the probe join carries only (id, bucket ints); vectors re-join only
+      for the deduplicated candidate set.
+    """
+    planes = hyperplanes(n_planes, dim)
     emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    bucket = F.concat_ws(
-        "",
-        *[
-            F.when(_dot(emb, F.array(*[F.lit(float(p)) for p in planes[j]])) >= 0, "1")
-            .otherwise("0")
+    bucket = sum(
+        (
+            F.when(
+                _dot(emb, F.array(*[F.lit(p) for p in planes[j]])) >= 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
             for j in range(n_planes)
-        ],
+        ),
+        F.lit(0),
+    ).cast("long")
+
+    keyed = df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    ok = (
+        keyed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= max_bucket)
+        .select("bucket")
     )
-    keyed = df.select(F.col(id_col).alias("id"), emb.alias("v"), bucket.alias("bucket"))
-    a, b = keyed.alias("a"), keyed.alias("b")
-    cand = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    base = keyed.join(ok, "bucket", "left_semi")
+
+    probe_buckets = [F.col("bucket")]
+    if multiprobe:
+        probe_buckets += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
+        ]
+    probes = (
+        keyed.select("id", F.explode(F.array(*probe_buckets)).alias("bucket"))
+        .join(ok, "bucket", "left_semi")
     )
+
+    cand = (
+        probes.alias("p")
+        .join(
+            base.alias("b"),
+            (F.col("p.bucket") == F.col("b.bucket")) & (F.col("p.id") < F.col("b.id")),
+        )
+        .select(F.col("p.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), emb.alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), emb.alias("vb"))
     return (
-        cand.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine_col(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 4).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -92,10 +92,65 @@ def test_cosine_topk_order(vecs):
 
 
 def test_embedding_neardup_lsh(vecs):
-    pairs = embedding_neardup_pairs(vecs, threshold=0.95, n_planes=6).toPandas()
+    pairs = embedding_neardup_pairs(vecs, threshold=0.95, n_planes=6, dim=4).toPandas()
     got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
     assert (0, 1) in got            # near-identical vectors share every bucket
     assert all(c >= 0.95 for c in pairs.cosine)
+
+
+def test_embedding_neardup_hot_bucket_capped(spark):
+    """A boilerplate-identical embedding cluster larger than max_bucket must
+    be dropped before pairing (no quadratic bucket), while distinct near-dup
+    pairs in other buckets are still found."""
+    flood = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(600)]
+    pair = [(1000, [-1.0, 0.5, -0.5, 0.25]), (1001, [-1.02, 0.51, -0.51, 0.255])]
+    df = spark.createDataFrame(flood + pair, "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(
+        df, threshold=0.95, n_planes=6, dim=4, max_bucket=256
+    ).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (1000, 1001) in got
+    # every flood pair lives in the dropped hot bucket
+    assert not any(a < 600 and b < 600 for a, b in got)
+
+
+def test_embedding_neardup_multiprobe_superset(spark):
+    """1-bit multiprobe can only add candidate pairs, never lose them."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(4)]) for i in range(80)]
+    rows += [(1000 + i, [x * 1.02 for x in rows[i][1]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = embedding_neardup_pairs(
+        df, threshold=0.9, n_planes=6, dim=4, multiprobe=False).toPandas()
+    multi = embedding_neardup_pairs(
+        df, threshold=0.9, n_planes=6, dim=4, multiprobe=True).toPandas()
+    s = {(a, b) for a, b in zip(single.id_a, single.id_b)}
+    m = {(a, b) for a, b in zip(multi.id_a, multi.id_b)}
+    assert s <= m
+    assert all((i, 1000 + i) in m for i in range(10))  # same-bucket planted dups
+
+
+def test_simhash_pairs_crafted_truth(spark):
+    from ocr_spark.operators.dedup import simhash_pairs
+
+    rows = [
+        (0, BASE),
+        (1, BASE),                               # identical -> hamming 0
+        (2, BASE + " zzmarker"),                 # near dup -> small hamming
+        (3, "utterly unrelated content on query planners and shuffle services "
+            "with none of the base vocabulary present at all in this row"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # short docs give each token a large vote weight: one appended token
+    # flips 7 bits here (deterministic), so verify with a wider budget —
+    # the <= bands-1 pigeonhole guarantee is about recall, not precision
+    pairs = simhash_pairs(df, max_hamming=8).toPandas()
+    got = {(a, b): h for a, b, h in zip(pairs.id_a, pairs.id_b, pairs.hamming)}
+    assert got[(0, 1)] == 0
+    assert (0, 2) in got and got[(0, 2)] == 7
+    assert not any(3 in p for p in got)
 
 
 def test_knn_brute_force(spark, vecs):
