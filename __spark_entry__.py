@@ -981,25 +981,48 @@ def oracle_sql() -> dict[str, str]:
                 EXCEPT
                 SELECT doc_id FROM documents WHERE n_chars > 300)
         """,
+        # ivf_topk: seeds = first 16 vectors, ONE Lloyd refinement iteration
+        # (assign to seeds -> per-cell element-wise mean rounded to 6 dp),
+        # then assignment / nprobe / re-rank against the refined centroids —
+        # the exact replay of ivf_centroids(n_iters=1).
         "ivf_topk": """
-            WITH cents AS (
-                SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
-                FROM embeddings WHERE vec_id < 16
+            WITH corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            ), seeds AS (
+                SELECT vec_id AS cent_id, e AS cv FROM corpus WHERE vec_id < 16
             ), q AS (
-                SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+                SELECT e AS qv FROM corpus WHERE vec_id = 0
+            ), assign0 AS (
+                SELECT vec_id, cent_id FROM (
+                    SELECT c.vec_id, s.cent_id,
+                           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                             list_dot_product(c.e, s.cv)
+                             / (sqrt(list_dot_product(c.e, c.e))
+                                * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                             s.cent_id ASC) AS rn
+                    FROM corpus c, seeds s
+                ) WHERE rn = 1
+            ), dims AS (
+                SELECT vec_id, i AS pos, e[i] AS x
+                FROM corpus, unnest(generate_series(1, len(e))) AS t(i)
+            ), refined AS (
+                SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+                    SELECT a.cent_id, d.pos, round(avg(d.x), 6) AS m
+                    FROM assign0 a JOIN dims d ON a.vec_id = d.vec_id
+                    GROUP BY a.cent_id, d.pos
+                ) GROUP BY cent_id
             ), assign AS (
                 SELECT vec_id, cent_id FROM (
-                    SELECT e.vec_id, c.cent_id,
-                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
-                             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                                      CAST(e.embedding AS DOUBLE[])))
-                                * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-                             c.cent_id ASC) AS rn
-                    FROM embeddings e, cents c
+                    SELECT c.vec_id, r.cent_id,
+                           row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                             list_dot_product(c.e, r.cv)
+                             / (sqrt(list_dot_product(c.e, c.e))
+                                * sqrt(list_dot_product(r.cv, r.cv))) DESC,
+                             r.cent_id ASC) AS rn
+                    FROM corpus c, refined r
                 ) WHERE rn = 1
             ), probes AS (
-                SELECT cent_id FROM cents, q
+                SELECT cent_id FROM refined, q
                 ORDER BY list_dot_product(cv, qv)
                          / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
                          DESC, cent_id ASC
@@ -1009,13 +1032,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id, cos,
                        row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
                 FROM (
-                    SELECT e.vec_id,
-                           list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
-                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                                    CAST(e.embedding AS DOUBLE[])))
+                    SELECT c.vec_id,
+                           list_dot_product(c.e, q.qv)
+                           / (sqrt(list_dot_product(c.e, c.e))
                               * sqrt(list_dot_product(q.qv, q.qv))) AS cos
-                    FROM embeddings e
-                    JOIN assign a ON e.vec_id = a.vec_id
+                    FROM corpus c
+                    JOIN assign a ON c.vec_id = a.vec_id
                     JOIN probes p ON a.cent_id = p.cent_id
                     CROSS JOIN q
                 )

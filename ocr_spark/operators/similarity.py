@@ -139,38 +139,73 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     )
 
 
-def ivf_topk(df: DataFrame, k: int = 10, n_centroids: int = 16, n_probe: int = 4,
-             vec_col: str = "embedding", id_col: str = "vec_id",
-             query_id: int = 0) -> DataFrame:
-    """IVF-style approximate nearest neighbour: the scale path for ANN.
-
-    Coarse quantizer: the first ``n_centroids`` corpus vectors (deterministic
-    — no iterative k-means, so the cell assignment is a pure function of the
-    data and the oracle can replay it). Every vector is assigned to its
-    best-cosine cell via a broadcast join + ``max_by`` partial aggregation
-    (map-side combine: the corpus shuffles once on ``vec_id``, never N²).
-    The query probes its ``n_probe`` nearest cells and re-ranks exactly
-    within them — at 100 TB only ~n_probe/n_centroids of the corpus is
-    scored against the query instead of all of it.
-
-    Output: (vec_id, cosine, rank) — top-``k`` within the probed cells.
-    """
-    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    cents = F.broadcast(
-        df.where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cent_id"), emb.alias("cv"))
-    )
-    qv = df.where(F.col(id_col) == query_id).select(emb.alias("qv"))
-
-    # cell assignment: argmax cosine over centroids, ties -> lowest cent_id
-    scored = df.select(F.col(id_col), emb.alias("v")).join(cents)
+def _assign_cells(corpus: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """argmax-cosine cell assignment via broadcast join + max_by partial
+    aggregation (map-side combine; ties -> lowest cent_id). corpus shuffles
+    once on the id, never N^2."""
+    scored = corpus.join(F.broadcast(cents))
     cos = cosine_col(F.col("v"), F.col("cv"))
-    assigned = scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col).agg(
         F.max_by(
             F.col("cent_id"), F.struct(cos.alias("c"), (-F.col("cent_id")).alias("t"))
         ).alias("cent_id"),
         F.first("v").alias("v"),  # constant within the group (one vector per id)
     )
+
+
+def ivf_centroids(df: DataFrame, n_centroids: int = 16, n_iters: int = 1,
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Coarse quantizer for IVF: seeded with the first ``n_centroids``
+    corpus vectors, then refined with ``n_iters`` fixed Lloyd iterations —
+    assign every vector to its best-cosine cell, recompute each cell's
+    centroid as the element-wise mean. Entirely DataFrame expressions
+    (posexplode -> grouped avg -> array rebuild), so the result is a pure,
+    SQL-replayable function of the data (no sampling, no RNG), yet the
+    cells track the data distribution instead of whatever the first
+    ``n_centroids`` rows happened to be (the degenerate-quantizer fix).
+
+    Centroid components are rounded to 6 dp on both engines so sub-ulp
+    summation-order differences in the distributed mean cannot flip a
+    downstream argmax. Cells that attract no vectors die (standard Lloyd).
+    """
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents = df.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), emb.alias("cv")
+    )
+    corpus = df.select(F.col(id_col), emb.alias("v"))
+    for _ in range(n_iters):
+        assigned = _assign_cells(corpus, cents, id_col)
+        by_dim = assigned.select(
+            "cent_id", F.posexplode("v").alias("pos", "x")
+        ).groupBy("cent_id", "pos").agg(F.round(F.avg("x"), 6).alias("m"))
+        cents = by_dim.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    return cents
+
+
+def ivf_topk(df: DataFrame, k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id: int = 0, n_iters: int = 1) -> DataFrame:
+    """IVF-style approximate nearest neighbour: the scale path for ANN.
+
+    Coarse quantizer: ``ivf_centroids`` (deterministic seeded Lloyd — a
+    pure function of the data, so the oracle replays it exactly). Every
+    vector is assigned to its best-cosine cell via a broadcast join +
+    ``max_by`` partial aggregation. The query probes its ``n_probe``
+    nearest cells and re-ranks exactly within them — at 100 TB only
+    ~n_probe/n_centroids of the corpus is scored against the query instead
+    of all of it.
+
+    Output: (vec_id, cosine, rank) — top-``k`` within the probed cells.
+    """
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents = ivf_centroids(df, n_centroids, n_iters, vec_col, id_col)
+    qv = df.where(F.col(id_col) == query_id).select(emb.alias("qv"))
+
+    assigned = _assign_cells(df.select(F.col(id_col), emb.alias("v")), cents, id_col)
 
     # probe selection: the query's n_probe nearest cells (16-row job)
     probes = (

@@ -184,6 +184,36 @@ def test_ivf_topk_probes_subset(spark):
     assert len(one) < 12
 
 
+def test_ivf_refined_centroids_recall(spark):
+    """Seeded-Lloyd refinement must track the data distribution: on a
+    two-cluster corpus whose seeds all fall in cluster A, the refined
+    quantizer's recall@10 for a cluster-B query must beat (or match) the
+    raw-seed quantizer and clear 0.8."""
+    from ocr_spark.operators.similarity import ivf_topk
+
+    def jitter(i, j):
+        return ((i * 31 + j * 17) % 13 - 6) / 40.0
+
+    rows = [(i, [1.0 + jitter(i, 0), jitter(i, 1), jitter(i, 2), jitter(i, 3)])
+            for i in range(30)]
+    rows += [(30 + i, [jitter(i, 4), 1.0 + jitter(i, 5), jitter(i, 6), jitter(i, 7)])
+             for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    brute = set(cosine_topk(df, rows[30][1], k=10).toPandas().vec_id)
+
+    def recall(n_iters):
+        got = set(
+            ivf_topk(df, k=10, n_centroids=16, n_probe=2, query_id=30,
+                     n_iters=n_iters).toPandas().vec_id
+        )
+        return len(got & brute) / len(brute)
+
+    r_seed, r_refined = recall(0), recall(1)
+    assert r_refined >= r_seed
+    assert r_refined >= 0.8
+
+
 def test_winnow_fingerprints_local_match_guarantee(spark):
     """Winnowing: docs sharing a long substring share a fingerprint even
     when the rest differs entirely; disjoint docs share none."""
