@@ -200,6 +200,22 @@ def q_validate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validation_report(validate_documents(_t(spark, sf_dir, "documents")))
 
 
+def q_doc_assessment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-validator per-row shapes: V2 length bands, V4 min-over-
+    estimates, V5 symmetry ratio/check, V9 graded assessment label."""
+    from ocr_spark.operators.validate import assess_documents
+
+    return assess_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_corr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 correlation flags: expected-correlated column pairs flagged when
+    Pearson r drops below threshold (one aggregate, stack unpivot)."""
+    from ocr_spark.operators.validate import correlation_flags
+
+    return correlation_flags(_t(spark, sf_dir, "documents"))
+
+
 def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-layer parity: TPC-H-Q1-shaped multi-agg (count/sum/avg/min/max)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -535,6 +551,8 @@ _QUERIES = {
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "validate_docs": q_validate_docs,
+        "doc_assessment": q_doc_assessment,
+        "corr_flags": q_corr_flags,
         "agg_pricing": q_agg_pricing,
         "top_customers": q_top_customers,
         "lang_distribution": q_lang_distribution,
@@ -593,6 +611,8 @@ _LANG_PRED = (
     f"case when {_CJK_RATIO} > 0.30 then 'zh' "
     f"when {_STOP_RATIO} > 0.05 then 'en' else 'other' end"
 )
+_WS_TOKENS = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+              "ELSE len(regexp_split_to_array(trim(text), '[ \t\n]+')) END")
 _QUALITY = (
     "round("
     "(case when length(text) between 100 and 20000 then 1.0 "
@@ -730,8 +750,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": f"""
             SELECT doc_id,
                    len({_TOKENS}) AS n_tokens,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '[ \t\n]+')) END AS n_ws_tokens,
+                   {_WS_TOKENS} AS n_ws_tokens,
                    round({_PUNCT_RATIO}, 4) AS punct_ratio,
                    round({_STOP_RATIO}, 4) AS stopword_ratio,
                    {_QUALITY} AS quality
@@ -796,6 +815,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT status, count(*) AS n_rows,
                    round(avg(completeness), 4) AS avg_completeness
             FROM w GROUP BY status ORDER BY status
+        """,
+        "doc_assessment": """
+            WITH v AS (
+                SELECT doc_id, n_chars, text,
+                    (text IS NOT NULL AND length(text) > 0) AS c1,
+                    (n_chars IS NOT NULL AND n_chars BETWEEN 1 AND 100000) AS c2,
+                    (n_chars = length(text)) AS c3,
+                    (lang IN ('en','zh','de','fr','es','ja')) AS c4
+                FROM documents
+            ), w AS (
+                SELECT doc_id,
+                    COALESCE(n_chars, -1) AS n,
+                    length(COALESCE(text, '')) AS ln,
+                    round((CAST(COALESCE(c1,false) AS INT) + CAST(COALESCE(c2,false) AS INT)
+                         + CAST(COALESCE(c3,false) AS INT) + CAST(COALESCE(c4,false) AS INT)) / 4.0, 4)
+                      AS completeness
+                FROM v
+            )
+            SELECT doc_id,
+                   CASE WHEN n >= 1 AND n < 20 THEN 'tiny'
+                        WHEN n >= 20 AND n < 100 THEN 'short'
+                        WHEN n >= 100 AND n < 2000 THEN 'normal'
+                        WHEN n >= 2000 AND n < 100001 THEN 'long'
+                        ELSE 'out_of_range' END AS length_band,
+                   least(n, ln) AS len_est,
+                   least(n, ln) >= 1 AS chk_min_estimate,
+                   round(abs(n - ln) * 1.0 / greatest(n, ln, 1), 4) AS sym_ratio,
+                   round(abs(n - ln) * 1.0 / greatest(n, ln, 1), 4) <= 0.05 AS chk_symmetry,
+                   completeness,
+                   CASE WHEN completeness >= 1.0 THEN 'excellent'
+                        WHEN completeness >= 0.75 THEN 'good'
+                        WHEN completeness >= 0.5 THEN 'fair'
+                        ELSE 'poor' END AS assessment
+            FROM w
+        """,
+        "corr_flags": f"""
+            WITH c AS (
+                SELECT round(corr(n_chars, length(COALESCE(text, ''))), 4) AS n_chars_vs_len,
+                       round(corr(length(COALESCE(text, '')), {_WS_TOKENS}), 4) AS len_vs_ws_tokens,
+                       round(corr({_STOP_RATIO}, length(COALESCE(text, ''))), 4) AS stopword_vs_len
+                FROM documents
+            )
+            SELECT pair, corr, COALESCE(corr < 0.7, true) AS flagged FROM (
+                SELECT 'n_chars_vs_len' AS pair, n_chars_vs_len AS corr FROM c
+                UNION ALL SELECT 'len_vs_ws_tokens', len_vs_ws_tokens FROM c
+                UNION ALL SELECT 'stopword_vs_len', stopword_vs_len FROM c
+            ) ORDER BY pair
         """,
         "agg_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -94,6 +94,102 @@ def failing_check_topk(validated: DataFrame, check_cols: tuple[str, ...] = DOC_C
     return unpivoted.orderBy(F.desc("n_failed"), F.asc("check_name")).limit(k)
 
 
+# V2 warning-range bands (data_validator.py:204-213 classifies values into
+# labeled ranges instead of a bare pass/fail): document length bands.
+LENGTH_BANDS = ((1, 20, "tiny"), (20, 100, "short"), (100, 2000, "normal"),
+                (2000, 100001, "long"))
+
+SYMMETRY_TOL = 0.05
+
+
+def assess_documents(df: DataFrame) -> DataFrame:
+    """Per-row assessment over documents — the deeper validator shapes:
+
+    V2 banded classification (data_validator.py:204-213): ``length_band``
+      labels n_chars into (tiny/short/normal/long/out_of_range) instead of
+      a bare range boolean.
+    V4 min-over-estimates (data_validator.py:305-322 takes the min of
+      several independent estimates as the conservative value): ``len_est``
+      = least(n_chars, length(text)); ``chk_min_estimate`` gates on it.
+    V5 symmetry check (data_validator.py:324-339 compares two columns that
+      should agree within a relative tolerance): ``sym_ratio`` =
+      |n_chars - length(text)| / greatest(both, 1) with ``chk_symmetry``
+      at tolerance 0.05.
+    V9 assessment label (data_validator.py:474-521 rolls per-row scores
+      into a graded label): excellent / good / fair / poor from the
+      completeness fraction.
+    """
+    v = validate_documents(df)
+    n = F.coalesce(F.col("n_chars").cast("long"), F.lit(-1))
+    band = F.lit("out_of_range")
+    for lo, hi, label in reversed(LENGTH_BANDS):
+        band = F.when((n >= lo) & (n < hi), label).otherwise(band)
+    ln = F.length(F.coalesce(F.col("text"), F.lit("")))
+    est = F.least(n, ln)
+    diff = F.abs(n - ln)
+    denom = F.greatest(n, ln, F.lit(1))
+    sym_ratio = F.round(diff.cast("double") / denom.cast("double"), 4)
+    assessment = (
+        F.when(F.col("completeness") >= 1.0, "excellent")
+        .when(F.col("completeness") >= 0.75, "good")
+        .when(F.col("completeness") >= 0.5, "fair")
+        .otherwise("poor")
+    )
+    return v.select(
+        "doc_id",
+        band.alias("length_band"),
+        est.alias("len_est"),
+        (est >= 1).alias("chk_min_estimate"),
+        sym_ratio.alias("sym_ratio"),
+        (sym_ratio <= SYMMETRY_TOL).alias("chk_symmetry"),
+        "completeness",
+        assessment.alias("assessment"),
+    )
+
+
+CORR_FLAG_MIN = 0.7
+
+
+def _pearson(x, y):
+    """Pearson r as covar_samp / (stddev*stddev) with an explicit zero-
+    variance guard -> NULL. Spark's builtin corr raises DIVIDE_BY_ZERO
+    under ANSI when a column is constant (e.g. a ratio that is 0 for every
+    document); a validator must report 'no correlation established', not
+    crash the job."""
+    sx, sy = F.stddev_samp(x), F.stddev_samp(y)
+    return F.when((sx == 0) | (sy == 0), F.lit(None).cast("double")).otherwise(
+        F.covar_samp(x, y) / (sx * sy)
+    )
+
+
+def correlation_flags(df: DataFrame) -> DataFrame:
+    """V6 correlation flags (data_validator.py:341-362: columns expected to
+    move together are flagged when their Pearson correlation drops below a
+    threshold). One full-table aggregate computes every pair's corr
+    (map-side partial moments, one reduce), then a driver-cheap unpivot:
+    (pair, corr, flagged). Pairs: the cross-field identity pair
+    (n_chars vs length), a structural pair (length vs whitespace tokens),
+    and a deliberately weak pair (stopword ratio vs length) so the flag
+    path is exercised, not just the happy path. A NULL corr (zero-variance
+    column) is flagged: no established correlation is itself a finding."""
+    from ..functions.text import stopword_ratio, whitespace_token_count
+
+    ln = F.length(F.coalesce(F.col("text"), F.lit("")))
+    pairs = {
+        "n_chars_vs_len": _pearson(F.col("n_chars"), ln),
+        "len_vs_ws_tokens": _pearson(ln, whitespace_token_count("text")),
+        "stopword_vs_len": _pearson(stopword_ratio("text"), ln),
+    }
+    wide = df.agg(*[F.round(c, 4).alias(k) for k, c in pairs.items()])
+    stacked = ", ".join(f"'{k}', {k}" for k in pairs)
+    out = wide.selectExpr(f"stack({len(pairs)}, {stacked}) as (pair, corr)")
+    return out.select(
+        "pair",
+        "corr",
+        F.coalesce(F.col("corr") < CORR_FLAG_MIN, F.lit(True)).alias("flagged"),
+    ).orderBy("pair")
+
+
 def validate_extracted(df: DataFrame) -> DataFrame:
     """Expectations over the engine's own output table (extracted shape) —
     transposed validation_rules (FIXTURES.md §5): text length floor per
