@@ -74,8 +74,15 @@ def run_extract(
     num_partitions: int | None = None,
     resume: bool = True,
     fail_chunk_after: int | None = None,
+    partition_by: str | None = "content_kind",
+    stats_cols: tuple[str, ...] = ("url",),
 ) -> ExtractResult:
     """Run (or resume) the extraction batch over ``pages``.
+
+    Output snapshots are Hive-partitioned by ``partition_by`` (the stated
+    layout column — content kind splits the html/pdf/text branches) and
+    record per-entry min/max ``stats_cols`` in the manifest, so downstream
+    reads prune committed segments at the manifest level (S4).
 
     ``fail_chunk_after``: test hook — raise after committing that many chunks
     (crash injection for the resume property test; SURVEY §5).
@@ -101,7 +108,10 @@ def run_extract(
             res.chunks_skipped += 1
             continue
         snap = out_table.append(
-            extracted, properties={"run_id": run_id, "chunk": chunk, "rows": n}
+            extracted,
+            properties={"run_id": run_id, "chunk": chunk, "rows": n},
+            partition_by=partition_by,
+            stats_cols=stats_cols,
         )
         metrics = _partition_metrics(extracted, run_id, chunk).withColumn(
             "snapshot_id", F.lit(snap)

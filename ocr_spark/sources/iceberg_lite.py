@@ -2,21 +2,28 @@
 
 The sandbox has no Iceberg jars, so this implements the minimal subset the
 contract needs — snapshot commits, append-only manifests, read-of-committed-
-only, and resume — as parquet data files + JSON manifests with rename-based
-atomic publication. The API is table-shaped so real Iceberg (``writeTo()``/
-``system.snapshots``) is a drop-in at deploy time.
+only, resume, and MANIFEST-LEVEL PRUNING — as parquet data files + JSON
+manifests with rename-based atomic publication. The API is table-shaped so
+real Iceberg (``writeTo()``/``system.snapshots``) is a drop-in at deploy time.
 
 This is the graft analog of the reference's idempotent segment lifecycle:
 clear-then-reprocess per segment, artifacts landing atomically next to the
 input, a failed segment leaving others unaffected
-(batch_folder_process.py:819-822,853-876; SURVEY §3.2).
+(batch_folder_process.py:819-822,853-876; SURVEY §3.2), plus its
+directory-structure work pruning (batch_folder_process.py:763-787,
+one_key_process.py:705-722) transposed to manifest metadata: each manifest
+entry records the data dir's partition values and per-column min/max stats,
+and ``read(partition_eq=..., ranges=...)`` selects data dirs BEFORE
+``spark.read.parquet`` ever sees them. At crawl scale this is the single
+biggest scan lever: a predicate on the partition column or a stats column
+skips whole committed segments without opening a single footer.
 
 Layout:
-    <root>/data/<snapshot_id>/part-*.parquet     -- written FIRST
-    <root>/manifests/<seq:012d>-<snapshot_id>.json  -- renamed-in LAST (commit point)
+    <root>/data/<snapshot_id>/[<col>=<val>/]part-*.parquet  -- written FIRST
+    <root>/manifests/<seq:012d>-<snapshot_id>.json  -- renamed-in LAST (commit)
 
-A snapshot's manifest records its own data dir plus its parent chain; readers
-list manifests, take the max sequence number, and read the union of data dirs
+A snapshot's manifest records its own entries plus its parent chain; readers
+list manifests, take the max sequence number, and read the union of entries
 reachable from it. A crash between data write and manifest rename leaves an
 orphan data dir that no reader ever sees — no partial visibility (tested by
 crash injection in tests/test_resume.py).
@@ -32,6 +39,13 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _json_safe(v):
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)
 
 
 class IcebergLiteTable:
@@ -50,35 +64,80 @@ class IcebergLiteTable:
         with open(os.path.join(self._manifest_dir, name)) as f:
             return json.load(f)
 
-    # -- public API (Iceberg-shaped) ------------------------------------------
-    def current_snapshot(self) -> dict | None:
-        ms = self._manifests()
-        return self._load(ms[-1]) if ms else None
+    @staticmethod
+    def _entries_of(snap: dict) -> list[dict]:
+        """Manifest entries, tolerating the pre-stats manifest format (bare
+        data_dirs) by synthesizing metadata-free entries."""
+        if "entries" in snap:
+            return snap["entries"]
+        return [
+            {"dir": d, "base": d, "partition": {}, "stats": {}}
+            for d in snap.get("data_dirs", [])
+        ]
 
-    def snapshots(self) -> list[dict]:
-        return [self._load(m) for m in self._manifests()]
+    def _collect_entries(self, spark: SparkSession, out_dir: str,
+                         partition_by: str | None,
+                         stats_cols: tuple[str, ...]) -> list[dict]:
+        """Metadata for a freshly-written data dir: one entry per partition
+        subdir (Hive layout) or one for the whole dir, with min/max stats
+        per requested column. Stats come from a scan of the NEW files only —
+        the metadata-collection pass real Iceberg reads from parquet footers.
+        """
+        if partition_by:
+            subdirs = sorted(
+                d for d in os.listdir(out_dir)
+                if os.path.isdir(os.path.join(out_dir, d)) and "=" in d
+            )
+            entries = [
+                {
+                    "dir": os.path.join(out_dir, d),
+                    "base": out_dir,
+                    "partition": {d.split("=", 1)[0]: d.split("=", 1)[1]},
+                    "stats": {},
+                }
+                for d in subdirs
+            ]
+            if stats_cols:
+                written = spark.read.option("basePath", out_dir).parquet(out_dir)
+                aggs = []
+                for c in stats_cols:
+                    aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+                by_part = {
+                    str(r[partition_by]): r
+                    for r in written.groupBy(partition_by).agg(*aggs).collect()
+                }
+                for e in entries:
+                    r = by_part.get(e["partition"][partition_by])
+                    if r is not None:
+                        e["stats"] = {
+                            c: [_json_safe(r[f"min_{c}"]), _json_safe(r[f"max_{c}"])]
+                            for c in stats_cols
+                        }
+            return entries
+        entry = {"dir": out_dir, "base": out_dir, "partition": {}, "stats": {}}
+        if stats_cols:
+            written = spark.read.parquet(out_dir)
+            aggs = []
+            for c in stats_cols:
+                aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+            r = written.agg(*aggs).collect()[0]
+            entry["stats"] = {
+                c: [_json_safe(r[f"min_{c}"]), _json_safe(r[f"max_{c}"])]
+                for c in stats_cols
+            }
+        return [entry]
 
-    def exists(self) -> bool:
-        return bool(self._manifests())
-
-    def data_dirs(self) -> list[str]:
-        snap = self.current_snapshot()
-        return list(snap["data_dirs"]) if snap else []
-
-    def append(self, df: DataFrame, properties: dict | None = None) -> str:
-        """Write df as parquet, then atomically publish a new snapshot whose
-        manifest = parent data dirs + the new dir. Returns snapshot_id."""
-        snapshot_id = uuid.uuid4().hex[:16]
-        out_dir = os.path.join(self._data_dir, snapshot_id)
-        df.write.mode("errorifexists").parquet(out_dir)
-
+    def _commit(self, entries: list[dict], snapshot_id: str,
+                properties: dict | None) -> str:
         parent = self.current_snapshot()
         seq = (parent["sequence"] + 1) if parent else 0
         manifest = {
             "snapshot_id": snapshot_id,
             "sequence": seq,
             "parent_id": parent["snapshot_id"] if parent else None,
-            "data_dirs": (parent["data_dirs"] if parent else []) + [out_dir],
+            "entries": entries,
+            # kept for tooling/back-compat: the flat dir list
+            "data_dirs": [e["dir"] for e in entries],
             "properties": properties or {},
         }
         os.makedirs(self._manifest_dir, exist_ok=True)
@@ -91,39 +150,118 @@ class IcebergLiteTable:
         os.rename(tmp, final)  # the commit point (atomic on POSIX)
         return snapshot_id
 
-    def overwrite(self, df: DataFrame, properties: dict | None = None) -> str:
+    # -- public API (Iceberg-shaped) ------------------------------------------
+    def current_snapshot(self) -> dict | None:
+        ms = self._manifests()
+        return self._load(ms[-1]) if ms else None
+
+    def snapshots(self) -> list[dict]:
+        return [self._load(m) for m in self._manifests()]
+
+    def exists(self) -> bool:
+        return bool(self._manifests())
+
+    def entries(self) -> list[dict]:
+        snap = self.current_snapshot()
+        return self._entries_of(snap) if snap else []
+
+    def data_dirs(self) -> list[str]:
+        return [e["dir"] for e in self.entries()]
+
+    def append(self, df: DataFrame, properties: dict | None = None,
+               partition_by: str | None = None,
+               stats_cols: tuple[str, ...] = ()) -> str:
+        """Write df as parquet, then atomically publish a new snapshot whose
+        manifest = parent entries + the new entries. ``partition_by`` writes
+        Hive-layout subdirs recorded as separate prunable entries;
+        ``stats_cols`` records per-entry min/max for those columns.
+        Returns snapshot_id."""
+        snapshot_id = uuid.uuid4().hex[:16]
+        out_dir = os.path.join(self._data_dir, snapshot_id)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(out_dir)
+        new = self._collect_entries(df.sparkSession, out_dir, partition_by,
+                                    tuple(stats_cols))
+        parent = self.current_snapshot()
+        entries = (self._entries_of(parent) if parent else []) + new
+        return self._commit(entries, snapshot_id, properties)
+
+    def overwrite(self, df: DataFrame, properties: dict | None = None,
+                  partition_by: str | None = None,
+                  stats_cols: tuple[str, ...] = ()) -> str:
         """New snapshot that replaces all prior data (logical truncate+append)."""
         snapshot_id = uuid.uuid4().hex[:16]
         out_dir = os.path.join(self._data_dir, snapshot_id)
-        df.write.mode("errorifexists").parquet(out_dir)
-        parent = self.current_snapshot()
-        seq = (parent["sequence"] + 1) if parent else 0
-        manifest = {
-            "snapshot_id": snapshot_id,
-            "sequence": seq,
-            "parent_id": parent["snapshot_id"] if parent else None,
-            "data_dirs": [out_dir],
-            "properties": properties or {},
-        }
-        os.makedirs(self._manifest_dir, exist_ok=True)
-        tmp = os.path.join(self._manifest_dir, f".tmp-{snapshot_id}.json")
-        final = os.path.join(self._manifest_dir, f"{seq:012d}-{snapshot_id}.json")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, final)
-        return snapshot_id
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(out_dir)
+        new = self._collect_entries(df.sparkSession, out_dir, partition_by,
+                                    tuple(stats_cols))
+        return self._commit(new, snapshot_id, properties)
 
-    def read(self, spark: SparkSession, schema: str | None = None) -> DataFrame | None:
-        """DataFrame over all committed data; None if no snapshot exists."""
-        dirs = self.data_dirs()
-        if not dirs:
+    def select_entries(self, partition_eq: dict | None = None,
+                       ranges: dict | None = None) -> list[dict]:
+        """Manifest entries that MAY satisfy the predicate — conservative
+        pruning: an entry is dropped only when its recorded metadata proves
+        it cannot match (unknown partition values / missing stats keep it).
+
+        partition_eq: {col: value} — drop entries whose recorded partition
+          value differs (values compare as strings, the Hive-dir encoding).
+        ranges: {col: (lo, hi)} inclusive — drop entries whose recorded
+          [min, max] for col does not overlap [lo, hi].
+        """
+        keep = []
+        for e in self.entries():
+            ok = True
+            for col, v in (partition_eq or {}).items():
+                pv = e.get("partition", {}).get(col)
+                if pv is not None and str(pv) != str(v):
+                    ok = False
+                    break
+            if ok:
+                for col, (lo, hi) in (ranges or {}).items():
+                    st = e.get("stats", {}).get(col)
+                    if st and st[0] is not None and st[1] is not None:
+                        if st[1] < lo or st[0] > hi:
+                            ok = False
+                            break
+            if ok:
+                keep.append(e)
+        return keep
+
+    def read(self, spark: SparkSession, schema: str | None = None,
+             partition_eq: dict | None = None,
+             ranges: dict | None = None) -> DataFrame | None:
+        """DataFrame over committed data matching the predicate; None if no
+        snapshot exists, an EMPTY frame (schema required) if everything was
+        pruned. Hive-partitioned entries read with their snapshot basePath so
+        the partition column is restored; dirs group by base to keep one
+        scan per snapshot."""
+        if not self.exists():
             return None
-        reader = spark.read
-        if schema:
-            reader = reader.schema(schema)
-        return reader.parquet(*dirs)
+        entries = self.select_entries(partition_eq, ranges)
+        if not entries:
+            if schema is None:
+                raise ValueError(
+                    "all entries pruned; pass a schema to get an empty frame"
+                )
+            return spark.createDataFrame([], schema)
+        by_base: dict[str, list[str]] = {}
+        for e in entries:
+            by_base.setdefault(e.get("base", e["dir"]), []).append(e["dir"])
+        parts = []
+        for base, dirs in sorted(by_base.items()):
+            reader = spark.read.option("basePath", base)
+            if schema:
+                reader = reader.schema(schema)
+            parts.append(reader.parquet(*sorted(dirs)))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     def read_at(self, spark: SparkSession, sequence: int,
                 schema: str | None = None) -> DataFrame | None:
@@ -133,27 +271,43 @@ class IcebergLiteTable:
         overwrites, or compactions committed after it."""
         for snap in self.snapshots():
             if snap["sequence"] == sequence:
-                if not snap["data_dirs"]:
+                entries = self._entries_of(snap)
+                if not entries:
                     return None
-                reader = spark.read
-                if schema:
-                    reader = reader.schema(schema)
-                return reader.parquet(*snap["data_dirs"])
+                by_base: dict[str, list[str]] = {}
+                for e in entries:
+                    by_base.setdefault(e.get("base", e["dir"]), []).append(e["dir"])
+                parts = []
+                for base, dirs in sorted(by_base.items()):
+                    reader = spark.read.option("basePath", base)
+                    if schema:
+                        reader = reader.schema(schema)
+                    parts.append(reader.parquet(*sorted(dirs)))
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p)
+                return df
         raise ValueError(f"no snapshot with sequence {sequence}")
 
     def compact(self, spark: SparkSession, target_partitions: int,
-                schema: str | None = None) -> str | None:
+                schema: str | None = None,
+                partition_by: str | None = None,
+                stats_cols: tuple[str, ...] = ()) -> str | None:
         """Rewrite the table's current contents into one fresh data dir with
         ``target_partitions`` files (Iceberg's rewrite_data_files). At crawl
         scale, chunked appends accumulate small files whose per-file open +
         footer cost comes to dominate scans; compaction restores scan-sized
-        files. Readers are never disturbed: the rewrite is just another
-        snapshot commit, and time-travel reads of pre-compaction sequences
-        still see the old dirs (nothing is deleted)."""
+        files. Pass ``partition_by``/``stats_cols`` to (re)build pruning
+        metadata for the compacted layout. Readers are never disturbed: the
+        rewrite is just another snapshot commit, and time-travel reads of
+        pre-compaction sequences still see the old dirs (nothing is
+        deleted)."""
         df = self.read(spark, schema)
         if df is None:
             return None
         return self.overwrite(
             df.coalesce(target_partitions),
             properties={"operation": "compact", "target_partitions": target_partitions},
+            partition_by=partition_by,
+            stats_cols=stats_cols,
         )

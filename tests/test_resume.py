@@ -64,7 +64,9 @@ def test_orphan_data_invisible_without_manifest(spark, tmp_path):
     orphan = os.path.join(root, "extracted", "data", "deadbeef00000000")
     read_extracted(spark, root).limit(5).write.parquet(orphan)
     assert table.read(spark).count() == before  # orphan invisible
-    assert len(table.data_dirs()) == 1
+    # the orphan dir never appears among committed entries (the partitioned
+    # layout may legitimately commit one entry per content kind)
+    assert not any(d.startswith(orphan) for d in table.data_dirs())
 
 
 def test_metrics_rows_per_partition(spark, tmp_path):
@@ -128,3 +130,84 @@ def test_extract_reads_iceberg_lite_input(spark, tmp_path):
     assert len(from_table) == 50
     assert [f.name for f in read_pages(spark, troot).schema.fields] == \
         [f.split(" ")[0] for f in PAGES_SCHEMA.split(", ")]
+
+
+# ---- manifest-level pruning (S4) -------------------------------------------
+
+def _docs_df(spark, lo, hi):
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(lo, hi)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_partitioned_append_prunes_by_partition_value(spark, tmp_path):
+    t = IcebergLiteTable(str(tmp_path / "t"))
+    t.append(_docs_df(spark, 0, 90), partition_by="lang", stats_cols=("doc_id",))
+    all_entries = t.entries()
+    assert len(all_entries) == 3
+    assert {e["partition"]["lang"] for e in all_entries} == {"en", "de", "fr"}
+
+    pruned = t.select_entries(partition_eq={"lang": "en"})
+    assert len(pruned) == 1 and len(pruned) < len(all_entries)
+
+    got = t.read(spark, partition_eq={"lang": "en"}).select("doc_id").collect()
+    want = t.read(spark).where("lang = 'en'").select("doc_id").collect()
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in want)
+
+
+def test_range_stats_prune_whole_snapshots(spark, tmp_path):
+    t = IcebergLiteTable(str(tmp_path / "t"))
+    t.append(_docs_df(spark, 0, 100), stats_cols=("doc_id",))
+    t.append(_docs_df(spark, 100, 200), stats_cols=("doc_id",))
+    assert len(t.entries()) == 2
+
+    hit = t.select_entries(ranges={"doc_id": (150, 160)})
+    assert len(hit) == 1
+    assert hit[0]["stats"]["doc_id"] == [100, 199]
+
+    got = t.read(spark, ranges={"doc_id": (150, 160)})
+    # the pruned read sees only the second snapshot's rows
+    assert got.count() == 100
+    # everything pruned -> empty frame with the requested schema
+    empty = t.read(spark, schema="doc_id long, text string, lang string",
+                   ranges={"doc_id": (5000, 6000)})
+    assert empty.count() == 0
+
+
+def test_pre_stats_manifest_format_still_reads(spark, tmp_path):
+    """Back-compat: manifests written before entries/stats existed (bare
+    data_dirs) must read fine and survive pruning conservatively."""
+    import json
+
+    t = IcebergLiteTable(str(tmp_path / "t"))
+    t.append(_docs_df(spark, 0, 30))
+    # rewrite the manifest in the old format
+    mdir = os.path.join(t.root, "manifests")
+    name = sorted(os.listdir(mdir))[0]
+    with open(os.path.join(mdir, name)) as f:
+        m = json.load(f)
+    old = {k: v for k, v in m.items() if k != "entries"}
+    with open(os.path.join(mdir, name), "w") as f:
+        json.dump(old, f)
+
+    assert t.read(spark).count() == 30
+    # unknown metadata is kept (conservative), never mistakenly pruned
+    assert len(t.select_entries(partition_eq={"lang": "en"})) == 1
+    assert len(t.select_entries(ranges={"doc_id": (0, 1)})) == 1
+
+
+def test_pipeline_writes_prunable_partitioned_snapshots(spark, tmp_path):
+    root = str(tmp_path / "p")
+    pages = synth_pages(spark, 120)
+    run_extract(spark, pages, root, run_id="r", chunks=2, num_partitions=4)
+    t = IcebergLiteTable(f"{root}/extracted")
+    entries = t.entries()
+    assert all(e["partition"].get("content_kind") for e in entries)
+    assert all("url" in e["stats"] for e in entries)
+    full = read_extracted(spark, root)
+    html_only = t.read(spark, partition_eq={"content_kind": "html"})
+    assert html_only.count() == full.where("content_kind = 'html'").count()
+    # pruning selected strictly fewer dirs than the full read when several
+    # kinds exist, and never more
+    kinds = {e["partition"]["content_kind"] for e in entries}
+    if len(kinds) > 1:
+        assert len(t.select_entries(partition_eq={"content_kind": "html"})) < len(entries)
