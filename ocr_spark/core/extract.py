@@ -14,15 +14,19 @@ Dispatch (deterministic):
   html is NULL/empty  -> text-column fallback (E4 analog,
                          optimized_ocr_processor.py:350-385) else 'empty'
   html starts %PDF    -> pdf branch (core.pdfparse)
-  else                -> HTML branch (core.htmlparse); bytes decode as UTF-8,
-                         falling back to latin-1 (total, deterministic)
+  else                -> HTML branch (core.htmlparse) through the F14
+                         two-strategy cascade: strict scoring first
+                         (confidence early-exit), lenient rescoring when
+                         strict keeps nothing ('ok_lenient' status); bytes
+                         decode as UTF-8, falling back to latin-1 (total,
+                         deterministic)
   branch raised       -> text fallback if available else 'error:<Class>'
   branch returned ''  -> text fallback if available else 'empty'
 """
 
 from __future__ import annotations
 
-from .htmlparse import extract_html_text
+from .htmlparse import extract_html_text_cascade
 from .normalize import normalize_text
 from .pdfparse import extract_pdf_text
 
@@ -37,6 +41,7 @@ RESULT_COLUMNS = (
 )
 
 STATUS_OK = "ok"
+STATUS_OK_LENIENT = "ok_lenient"    # recovered by the lenient retry strategy
 STATUS_EMPTY = "empty"
 STATUS_FALLBACK = "fallback_text"
 
@@ -70,12 +75,17 @@ def extract_record(url: str, html: bytes | None, text: str | None, lang: str | N
         return result("", STATUS_EMPTY, "none", 0)
 
     kind = "pdf" if html[:4] == b"%PDF" else "html"
+    status_ok = STATUS_OK
     try:
         if kind == "pdf":
             raw, n_blocks = extract_pdf_text(html), -1
             out = normalize_text(raw)
         else:
-            raw, n_blocks = extract_html_text(_decode(html))
+            # F14 cascade: strict strategy with early exit, lenient rescore
+            # only when strict keeps nothing (one tokenize pass either way)
+            raw, n_blocks, strategy = extract_html_text_cascade(_decode(html))
+            if strategy == "lenient" and raw:
+                status_ok = STATUS_OK_LENIENT
             # tokenizer output is normalize_text-canonical by construction:
             # every block is normalize_inline'd (single spaces, mapped chars
             # removed, stripped) and non-empty blocks join with one LF —
@@ -93,4 +103,4 @@ def extract_record(url: str, html: bytes | None, text: str | None, lang: str | N
         if fallback:
             return result(fallback, STATUS_FALLBACK, kind, 0)
         return result("", STATUS_EMPTY, kind, 0)
-    return result(out, STATUS_OK, kind, n_blocks)
+    return result(out, status_ok, kind, n_blocks)

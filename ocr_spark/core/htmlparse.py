@@ -71,6 +71,13 @@ MIN_BLOCK_CHARS = 25          # minimum kept-block length (non-heading)
 MIN_HEADING_CHARS = 3         # headings kept even when short
 MAX_LINK_DENSITY = 0.45       # prune blocks dominated by anchor text
 
+# Lenient second-pass thresholds (the F14 multi-strategy analog: the
+# reference retries 6-9 preprocessing variants with confidence early-exit,
+# one_key_process.py:496-547; here the strategies differ in SCORING, so the
+# tokenize pass runs once and only empty-strict pages pay a rescoring).
+LENIENT_MIN_BLOCK_CHARS = 5
+LENIENT_MAX_LINK_DENSITY = 0.8
+
 _TAG_RE = re.compile(
     r"<(/?)([a-zA-Z][a-zA-Z0-9:_.-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"
 )
@@ -91,6 +98,8 @@ class Block:
     blocked: bool = False       # inside boilerplate tag or blocklisted class/id
     heading: bool = False
     depth: int = 0
+    boiler_blocked: bool = False  # structural boilerplate tag (nav/footer/...)
+    class_blocked: bool = False   # class/id blocklist hit (the heuristic part)
 
 
 def _attrs_blocked(attrs: str) -> bool:
@@ -137,6 +146,8 @@ def extract_blocks(html_text: str) -> list[Block]:
                         blocked=boiler_depth > 0 or class_depth > 0,
                         heading=cur_heading,
                         depth=len(block_stack),
+                        boiler_blocked=boiler_depth > 0,
+                        class_blocked=class_depth > 0,
                     )
                 )
             parts.clear()
@@ -264,32 +275,68 @@ def extract_blocks(html_text: str) -> list[Block]:
     return blocks
 
 
-def score_blocks(blocks: list[Block]) -> list[Block]:
+def score_blocks(blocks: list[Block],
+                 min_block_chars: int = MIN_BLOCK_CHARS,
+                 min_heading_chars: int = MIN_HEADING_CHARS,
+                 max_link_density: float = MAX_LINK_DENSITY,
+                 include_class_blocked: bool = False) -> list[Block]:
     """Keep content blocks, prune boilerplate — the best-of cascade analog
     (reference confidence argmax, one_key_process.py:521-560) collapsed into
-    a single deterministic scoring pass."""
+    a single deterministic scoring pass. Thresholds are parameters so the
+    lenient retry strategy rescoring reuses the same pass."""
     kept = []
     for b in blocks:
-        if b.blocked:
+        if b.boiler_blocked:
+            continue
+        if b.class_blocked and not include_class_blocked:
             continue
         n = b.total_chars
         if b.heading:
-            if n >= MIN_HEADING_CHARS and (n == 0 or b.link_chars / n <= MAX_LINK_DENSITY):
+            if n >= min_heading_chars and (n == 0 or b.link_chars / n <= max_link_density):
                 kept.append(b)
             continue
-        if n < MIN_BLOCK_CHARS:
+        if n < min_block_chars:
             continue
-        if n and b.link_chars / n > MAX_LINK_DENSITY:
+        if n and b.link_chars / n > max_link_density:
             continue
         kept.append(b)
     return kept
 
 
 def extract_html_text(html_text: str) -> tuple[str, int]:
-    """HTML -> (main-content text, kept-block count).
+    """HTML -> (main-content text, kept-block count), strict strategy only.
 
     Blocks join with a single newline; normalize_text is applied by the
     caller-level contract in core.extract (one normalization, one place).
     """
     blocks = score_blocks(extract_blocks(html_text))
     return "\n".join(b.text for b in blocks), len(blocks)
+
+
+def extract_html_text_cascade(html_text: str) -> tuple[str, int, str]:
+    """HTML -> (text, kept-block count, strategy) through the two-strategy
+    cascade (F14 analog with confidence early-exit):
+
+    1. 'strict'  — the production thresholds above; a non-empty result
+       exits immediately (the reference's confidence early-exit).
+    2. 'lenient' — only when strict keeps nothing: rescore the SAME token
+       stream with a lower length floor, a higher link-density ceiling, and
+       the class/id blocklist suspended (the heuristic classifier gets a
+       second opinion; structural boilerplate tags nav/footer/... stay
+       excluded). Recovers pages whose entire content the strict heuristics
+       misclassify — short-paragraph pages, content inside a 'related'-
+       classed container — instead of dropping them to empty.
+
+    Tokenization runs ONCE; the cascade only rescans the block list.
+    """
+    blocks = extract_blocks(html_text)
+    kept = score_blocks(blocks)
+    if kept:
+        return "\n".join(b.text for b in kept), len(kept), "strict"
+    kept = score_blocks(
+        blocks,
+        min_block_chars=LENIENT_MIN_BLOCK_CHARS,
+        max_link_density=LENIENT_MAX_LINK_DENSITY,
+        include_class_blocked=True,
+    )
+    return "\n".join(b.text for b in kept), len(kept), "lenient"

@@ -194,8 +194,8 @@ def validate_extracted(df: DataFrame) -> DataFrame:
     """Expectations over the engine's own output table (extracted shape) —
     transposed validation_rules (FIXTURES.md §5): text length floor per
     content_kind, status vocabulary, bytes accounting."""
-    chk_status = F.col("extract_status").rlike("^(ok|empty|fallback_text|error:)")
-    chk_ok_nonempty = (F.col("extract_status") != "ok") | (F.length("text") > 0)
+    chk_status = F.col("extract_status").rlike("^(ok|ok_lenient|empty|fallback_text|error:)")
+    chk_ok_nonempty = (~F.col("extract_status").startswith("ok")) | (F.length("text") > 0)
     chk_bytes = F.col("bytes_out") == F.length(F.encode(F.coalesce("text", F.lit("")), "UTF-8"))
     chk_blocks = (F.col("content_kind") != "html") | (F.col("extract_status") != "ok") | (
         F.col("n_blocks") > 0

@@ -140,6 +140,60 @@ class TestPdf:
         assert extract_pdf_text(pdf) == "hi there"
 
 
+class TestLenientCascade:
+    def test_strict_success_exits_early(self):
+        from ocr_spark.core.htmlparse import extract_html_text_cascade
+
+        html = "<p>" + "real article content " * 3 + "</p>"
+        text, n, strategy = extract_html_text_cascade(html)
+        assert strategy == "strict" and n == 1 and "real article" in text
+
+    def test_lenient_recovers_class_blocklisted_content(self):
+        """Content the class heuristic misclassifies (everything inside a
+        'related'-classed container) drops to empty under strict; the
+        lenient pass recovers it with status ok_lenient."""
+        from ocr_spark.core.extract import extract_record
+        from ocr_spark.core.htmlparse import extract_html_text_cascade
+
+        html = ('<div class="related"><p>this is the entire article body, '
+                "long enough to keep and clearly prose</p></div>")
+        text, n, strategy = extract_html_text_cascade(html)
+        assert strategy == "lenient" and n == 1 and "entire article" in text
+
+        r = extract_record("u", html.encode(), None, "en")
+        assert r["extract_status"] == "ok_lenient"
+        assert "entire article" in r["text"] and r["n_blocks"] == 1
+
+    def test_lenient_recovers_short_paragraph_pages(self):
+        from ocr_spark.core.extract import extract_record
+
+        html = "<p>short one.</p><p>short two.</p>"
+        r = extract_record("u", html.encode(), None, "en")
+        assert r["extract_status"] == "ok_lenient"
+        assert r["text"] == "short one.\nshort two." and r["n_blocks"] == 2
+
+    def test_lenient_still_excludes_structural_boilerplate(self):
+        """nav/footer content stays excluded even in the lenient pass —
+        the retry questions the heuristic classifier, not the semantics."""
+        from ocr_spark.core.extract import extract_record
+
+        html = ("<nav><p>menu menu menu menu menu menu menu</p></nav>"
+                "<footer><p>copyright footer boilerplate text here</p></footer>")
+        r = extract_record("u", html.encode(), None, "en")
+        assert r["extract_status"] == "empty" and r["text"] == ""
+
+    def test_lenient_never_fires_on_synth_corpus(self):
+        """The deterministic synthetic pages all succeed strictly, so the
+        flagship oracle and golden pins are unaffected by the cascade."""
+        from ocr_spark.core.extract import extract_record
+        from ocr_spark.core.synth import gen_page
+
+        for i in range(200):
+            p = gen_page(i, seed=7)
+            r = extract_record(p["url"], p["html"], p["text"], p["lang"])
+            assert not r["extract_status"].startswith("ok_lenient")
+
+
 class TestExtractRecord:
     def test_null_html_with_text(self):
         r = extract_record("u", None, "  fallback\r\ntext  ", "en")
