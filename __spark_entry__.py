@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import (
+    TOKEN_PATTERN,
     fingerprint_md5,
     lang_id,
     punct_ratio,
@@ -304,6 +305,14 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_event_values(_t(spark, sf_dir, "events"), EVENT_TYPES)
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: top-3 most distinctive terms per document (explode ->
+    tf -> df -> smoothed-idf join -> per-doc window top-k, all expressions)."""
+    from ocr_spark.operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch k-NN: 3 probe vectors vs the corpus (broadcast + window top-k)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -561,6 +570,7 @@ _QUERIES = {
         "top_events_per_user": q_top_events_per_user,
         "sessionize": q_sessionize,
         "pivot_events": q_pivot_events,
+        "tfidf_terms": q_tfidf_terms,
         "knn": q_knn,
         "media_meta": q_media_meta,
         "pdf_extract": q_pdf_extract,
@@ -611,6 +621,7 @@ _LANG_PRED = (
     f"case when {_CJK_RATIO} > 0.30 then 'zh' "
     f"when {_STOP_RATIO} > 0.05 then 'en' else 'other' end"
 )
+_TOKEN_SQL = TOKEN_PATTERN.replace("'", "''")  # SQL-literal-escaped
 _WS_TOKENS = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
               "ELSE len(regexp_split_to_array(trim(text), '[ \t\n]+')) END")
 _QUALITY = (
@@ -934,6 +945,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
                    round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view
             FROM events GROUP BY user_id
+        """,
+        "tfidf_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_SQL}')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (
+                SELECT count(*) AS n FROM documents
+            ), scored AS (
+                SELECT doc_id, term,
+                       round(tf * ln((n + 1.0) / (df + 1.0)), 4) AS tfidf
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tfidf, rank FROM (
+                SELECT doc_id, term, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 3
         """,
         "knn": """
             WITH q AS (

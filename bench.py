@@ -55,15 +55,21 @@ SCALE_REPS = int(os.environ.get("OCR_BENCH_SCALE_REPS", "2"))
 # stage, and at 120k pages the 4N level finishes in ~6 s so ~3 s of per-job
 # constants (stage scheduling, Python-worker round-trips, parquet commit)
 # eats ~30% of its wall — constants that amortize to ~0 in the hours-long
-# stages of a real cluster run. 240k keeps both levels constant-dominated-not.
-SCALE_PAGES = int(os.environ.get("OCR_BENCH_SCALE_PAGES", str(max(240_000, N_PAGES))))
+# stages of a real cluster run. Each PAIR gets its own input sized so ITS
+# 4N level stays parse-bound (~25s+): 240k for 2->8, 2x that for 4->16
+# (the r01 artifact recorded 4->16 below target exactly because the 16-core
+# level ran the same input as the 8-core level and was ~40% constants).
+SCALE_PAGES = int(os.environ.get("OCR_BENCH_SCALE_PAGES", str(max(360_000, N_PAGES))))
+SCALE_PAGES_4N = int(os.environ.get("OCR_BENCH_SCALE_PAGES_4N", str(2 * SCALE_PAGES)))
+DO_QUERIES = os.environ.get("OCR_BENCH_QUERIES", "1") == "1"
 PAGES_DIR = f"/tmp/ocr_spark_bench/pages_{N_PAGES}"
 
 BENCH_QUERIES = (
     "flagship_extract pdf_extract exact_dedup token_stats lang_id fingerprint "
-    "minhash_pairs simhash cosine_topk ivf_topk embedding_neardup validate_docs "
+    "minhash_pairs simhash simhash_pairs cosine_topk ivf_topk embedding_neardup "
+    "validate_docs doc_assessment corr_flags "
     "agg_pricing top_customers lang_distribution events_hourly resume_antijoin "
-    "asof_join chunk_documents winnow_pairs group_quantiles"
+    "asof_join chunk_documents pack_sequences winnow_pairs group_quantiles"
 ).split()
 
 
@@ -117,16 +123,16 @@ def scale_worker(cores: int) -> None:
     print(json.dumps({"cores": cores, "walls": walls, "min_wall": min(walls)}))
 
 
-def run_scale_level(cores: int) -> dict:
+def run_scale_level(cores: int, pages: int) -> dict:
     cpu_list = f"0-{cores - 1}"
     out = subprocess.run(
         ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
          "--scale-worker", str(cores)],
         capture_output=True, text=True, check=True,
         # the child derives PAGES_DIR from OCR_BENCH_PAGES: point it at the
-        # (pre-materialized) scaling table
+        # (pre-materialized) scaling table for THIS pair
         env={**os.environ, "OCR_BENCH_SCALING": "0",
-             "OCR_BENCH_PAGES": str(SCALE_PAGES),
+             "OCR_BENCH_PAGES": str(pages),
              "OCR_BENCH_REPS": str(SCALE_REPS)},
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -141,8 +147,10 @@ def main() -> None:
 
     spark = get_spark(master=f"local[{CPUS}]", app_name="ocr-spark-bench")
     materialize_pages(spark, N_PAGES)
-    if DO_SCALING and SCALE_PAGES != N_PAGES:
-        materialize_pages(spark, SCALE_PAGES)  # on all cores, before pinning
+    if DO_SCALING:
+        # on all cores, before pinning
+        for pages in {SCALE_PAGES, SCALE_PAGES_4N} - {N_PAGES}:
+            materialize_pages(spark, pages)
 
     # warmup: spin up python workers + JIT before any measurement
     run_extract_job(spark, PAGES_DIR, "/tmp/ocr_spark_bench/warmup_out")
@@ -167,7 +175,7 @@ def main() -> None:
 
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES if DO_QUERIES else ():
         fn = queries[name]
         best = None
         rows = 0
@@ -185,31 +193,46 @@ def main() -> None:
     # ---- two-level scaling evidence (taskset-pinned subprocesses) ----------
     if DO_SCALING:
         # Each level samples two measurement bursts separated by an idle
-        # gap inside one warm pinned JVM (scale_worker), min across all:
-        # contention episodes on this shared box last minutes, so
-        # consecutive reps all land in the same episode and can skew the
-        # pair ratio in either direction (observed 0.59..1.14).
-        levels = (2, 4, 8, 16)
-        walls = {c: run_scale_level(c)["min_wall"] for c in levels}
+        # gap inside one warm pinned JVM (scale_worker); min across all
+        # approximates the uncontended wall (contention episodes on this
+        # shared box last minutes, so consecutive reps all land in the same
+        # episode and can skew the pair ratio in either direction — observed
+        # 0.59..1.14), and the median is recorded alongside so a lucky/
+        # unlucky single sample is visible as min/median disagreement.
+        import statistics
+
+        pair_specs = ((2, 8, SCALE_PAGES), (4, 16, SCALE_PAGES_4N))
+        level_walls: dict[tuple[int, int], list[float]] = {}
+        for n, n4, pages in pair_specs:
+            for cores in (n, n4):
+                if (cores, pages) not in level_walls:
+                    level_walls[(cores, pages)] = run_scale_level(cores, pages)["walls"]
         pairs = []
-        for n, n4 in ((2, 8), (4, 16)):
+        for n, n4, pages in pair_specs:
+            wn, w4 = level_walls[(n, pages)], level_walls[(n4, pages)]
+            mn, m4 = min(wn), min(w4)
+            dn, d4 = statistics.median(wn), statistics.median(w4)
             pairs.append(
                 {
                     "n_cores": n,
                     "4n_cores": n4,
-                    "t_n": round(walls[n], 3),
-                    "t_4n": round(walls[n4], 3),
-                    "docs_per_sec_n": round(SCALE_PAGES / walls[n], 1),
-                    "docs_per_sec_4n": round(SCALE_PAGES / walls[n4], 1),
-                    "efficiency": round(walls[n] / (4 * walls[n4]), 3),
+                    "pages": pages,
+                    "t_n": round(mn, 3),
+                    "t_4n": round(m4, 3),
+                    "t_n_median": round(dn, 3),
+                    "t_4n_median": round(d4, 3),
+                    "docs_per_sec_n": round(pages / mn, 1),
+                    "docs_per_sec_4n": round(pages / m4, 1),
+                    "efficiency": round(mn / (4 * m4), 3),
+                    "efficiency_median": round(dn / (4 * d4), 3),
                 }
             )
         best = max(pairs, key=lambda p: p["efficiency"])
-        result["scaling"] = {**best, "pinned": True, "pages": SCALE_PAGES,
-                             "pairs": pairs}
+        result["scaling"] = {**best, "pinned": True, "pairs": pairs}
         for p in pairs:
-            log(f"bench: scaling (pinned) {p['n_cores']}->{p['4n_cores']}: "
-                f"t_n={p['t_n']}s t_4n={p['t_4n']}s efficiency={p['efficiency']}")
+            log(f"bench: scaling (pinned) {p['n_cores']}->{p['4n_cores']} "
+                f"@{p['pages']}p: t_n={p['t_n']}s t_4n={p['t_4n']}s "
+                f"eff_min={p['efficiency']} eff_median={p['efficiency_median']}")
 
     print(json.dumps(result), flush=True)
 
