@@ -305,6 +305,34 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_event_values(_t(spark, sf_dir, "events"), EVENT_TYPES)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based per-stratum sampling (corpus mixing): en at
+    50%, zh at 25%, everything else at 10% — pure map-side filter, same
+    rows on every run/partitioning/engine."""
+    from ocr_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, {"en": 0.5, "zh": 0.25}, default_rate=0.1).select(
+        "doc_id", "lang"
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing an 8-token-gram with
+    the held-out benchmark slice (doc_id % 97 == 0). Verbatim 'memorized'
+    copies of the benchmark are planted (id + 1000000) so the check always
+    witnesses real contamination."""
+    from ocr_spark.operators.dedup import contamination_check
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(97)) == 0
+    bench = d.where(is_bench)
+    corpus = d.where(~is_bench).unionByName(
+        bench.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return contamination_check(corpus, bench)
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus TF-IDF: top-3 most distinctive terms per document (explode ->
     tf -> df -> smoothed-idf join -> per-doc window top-k, all expressions)."""
@@ -570,6 +598,8 @@ _QUERIES = {
         "top_events_per_user": q_top_events_per_user,
         "sessionize": q_sessionize,
         "pivot_events": q_pivot_events,
+        "stratified_sample": q_stratified_sample,
+        "contamination": q_contamination,
         "tfidf_terms": q_tfidf_terms,
         "knn": q_knn,
         "media_meta": q_media_meta,
@@ -945,6 +975,55 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
                    round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view
             FROM events GROUP BY user_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id || ':sample'), 1, 8))::BIGINT % 10000 <
+                  CASE WHEN lang = 'en' THEN 5000
+                       WHEN lang = 'zh' THEN 2500
+                       ELSE 1000 END
+        """,
+        "contamination": f"""
+            WITH bench AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+            ), corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM bench
+            ), bt AS (
+                SELECT doc_id, string_split({_CANON}, ' ') AS toks FROM bench
+            ), bg0 AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+                            ELSE [array_to_string(list_slice(toks, i, i + 7), ' ')
+                                  for i in generate_series(1, len(toks) - 7)] END AS grams
+                FROM bt
+            ), bg AS (
+                SELECT DISTINCT doc_id AS bench_id,
+                       ('0x' || substr(md5(gr), 1, 8))::BIGINT AS g
+                FROM (SELECT doc_id, unnest(grams) AS gr FROM bg0)
+            ), rare AS (
+                SELECT g FROM bg GROUP BY g HAVING count(*) <= 64
+            ), bkeep AS (
+                SELECT bg.bench_id, bg.g FROM bg JOIN rare USING (g)
+            ), ct AS (
+                SELECT doc_id, string_split({_CANON}, ' ') AS toks FROM corpus
+            ), cg0 AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+                            ELSE [array_to_string(list_slice(toks, i, i + 7), ' ')
+                                  for i in generate_series(1, len(toks) - 7)] END AS grams
+                FROM ct
+            ), cg AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(gr), 1, 8))::BIGINT AS g
+                FROM (SELECT doc_id, unnest(grams) AS gr FROM cg0)
+            )
+            SELECT cg.doc_id,
+                   count(DISTINCT cg.g) AS n_matched_grams,
+                   count(DISTINCT bkeep.bench_id) AS n_bench_docs
+            FROM cg JOIN bkeep ON cg.g = bkeep.g
+            GROUP BY cg.doc_id
         """,
         "tfidf_terms": f"""
             WITH toks AS (

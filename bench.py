@@ -69,7 +69,8 @@ BENCH_QUERIES = (
     "minhash_pairs simhash simhash_pairs cosine_topk ivf_topk embedding_neardup "
     "validate_docs doc_assessment corr_flags "
     "agg_pricing top_customers lang_distribution events_hourly resume_antijoin "
-    "asof_join chunk_documents pack_sequences winnow_pairs group_quantiles"
+    "asof_join chunk_documents pack_sequences winnow_pairs group_quantiles "
+    "tfidf_terms stratified_sample contamination"
 ).split()
 
 

@@ -309,6 +309,56 @@ def _fnv1a64(s: str) -> int:
     return h
 
 
+CONTAM_NGRAM = 8            # token n-gram length for decontamination
+
+
+def contamination_check(corpus: DataFrame, benchmark: DataFrame,
+                        n: int = CONTAM_NGRAM, text_col: str = "text",
+                        id_col: str = "doc_id", max_df: int = 64) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    token ``n``-gram with any benchmark document — the standard
+    training-data hygiene pass (a benchmark answer string memorized
+    verbatim in the corpus shows up as a long shared n-gram).
+
+    Shape: n-gram both sides with the shared canonicalizer, hash each gram
+    to ONE long (the md5-portable base hash, so the SQL twin replays it),
+    equi-join corpus grams against the (small) benchmark gram set —
+    broadcast when it fits — and aggregate matches per corpus document.
+    ``max_df`` drops grams that appear in more than that many BENCHMARK
+    docs first: corpus-common boilerplate phrases are not evidence of
+    contamination and would fan the join out quadratically.
+
+    Returns (doc_id, n_matched_grams, n_bench_docs) per contaminated
+    corpus document.
+    """
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        toks = F.split(normalized_for_fingerprint(text_col), " ")
+        cnt = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+        arr = F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(arr).alias("gram")
+        ).select(out_id, _base_hash(F.col("gram")).alias("g"))
+
+    bench = grams(benchmark, "bench_id").distinct()
+    rare = (
+        bench.groupBy("g").agg(F.count(F.lit(1)).alias("bdf"))
+        .where(F.col("bdf") <= max_df)
+        .select("g")
+    )
+    bench = bench.join(rare, "g", "left_semi")
+    hits = grams(corpus, "doc_id").distinct().join(bench, "g")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_matched_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
 SIMHASH_BANDS = 4           # 16-bit bands: hamming <= 3 guarantees a shared band
 
 

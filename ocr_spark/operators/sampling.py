@@ -1,0 +1,53 @@
+"""Deterministic hash-based sampling — the training-data downsampling op.
+
+Corpus mixing needs per-stratum rates (downweight boilerplate-heavy
+languages, upweight rare ones) that are REPRODUCIBLE: the same row set on
+every run, every partitioning, every engine — which rules out RNG-based
+``df.sample``/``sampleBy`` (seed + partition dependent, and not replayable
+in SQL). Instead each row's key hashes to a bucket in [0, DENOM) via the
+same md5-derived 32-bit base hash the minhash family uses (portable to
+DuckDB verbatim), and a row is kept when ``bucket < rate * DENOM``.
+
+Properties the pipeline relies on:
+- pure map-side filter: no shuffle, no state, linear scale-out;
+- nested samples: rate 0.1 is a subset of rate 0.5 (same hash, smaller
+  cutoff) — growing a sample never resamples;
+- salt decorrelates: different salts give independent samples over the
+  same keys (held-out splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SAMPLE_DENOM = 10_000
+
+
+def sample_bucket(key_col, salt: str = "sample") -> Column:
+    """Deterministic bucket in [0, SAMPLE_DENOM) from the row key + salt.
+    SQL twin: ('0x' || substr(md5(key || ':' || salt), 1, 8))::BIGINT % 10000.
+    """
+    key = F.concat_ws(":", F.col(key_col).cast("string"), F.lit(salt))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(SAMPLE_DENOM))
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "doc_id",
+                salt: str = "sample") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by key hash."""
+    return df.where(sample_bucket(key_col, salt) < int(rate * SAMPLE_DENOM))
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      default_rate: float = 0.0, stratum_col: str = "lang",
+                      key_col: str = "doc_id", salt: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling: ``rates`` maps stratum values to
+    keep fractions; unlisted strata keep ``default_rate``. One map-side
+    CASE + filter — the per-language corpus mixing shape."""
+    cutoff = F.lit(int(default_rate * SAMPLE_DENOM))
+    for value, rate in sorted(rates.items()):
+        cutoff = F.when(
+            F.col(stratum_col) == value, F.lit(int(rate * SAMPLE_DENOM))
+        ).otherwise(cutoff)
+    return df.where(sample_bucket(key_col, salt) < cutoff)
