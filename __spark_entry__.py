@@ -146,7 +146,9 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash document signatures (vectorized pandas UDF; non-SQL)."""
+    """SimHash document signatures (vectorized pandas UDF). The md5-based
+    token-hash family makes the signature SQL-replayable, so this has an
+    exact DuckDB twin (64-way bit-vote unnest)."""
     return simhash64(_t(spark, sf_dir, "documents"))
 
 
@@ -184,8 +186,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming-band near-dup pairs over documents + planted dups
     (doc_id % 50 == 0 re-appears as doc_id+1000000 with one token appended
-    -> small hamming distance). Rows-only: FNV-1a bit voting is
-    engine-native; crafted-truth tests pin the semantics."""
+    -> small hamming distance). Exact DuckDB twin: md5 token hashes, band
+    shift/mask, bucket caps, and popcount verification all replay in SQL."""
     from ocr_spark.operators.dedup import simhash_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -524,7 +526,8 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprints -> substring-overlap candidate
+    """Rolling-hash winnowing fingerprints (exact DuckDB twin: inlined
+    polynomial powers + rightmost-argmin window) -> substring-overlap candidate
     pairs (rows-only: the 61-bit polynomial rolling hash is engine-native)."""
     from ocr_spark.operators.dedup import winnow_pairs
 
@@ -769,10 +772,147 @@ def _minhash_oracle() -> str:
     """
 
 
+def _simhash_sig_ctes(source: str) -> str:
+    """Shared CTE chain computing 64-bit SimHash per id from a
+    ``(id, text)`` relation — the exact twin of ``dedup.simhash64``:
+    canonical tokens, first-64-bits-of-md5 token hashes (big-endian,
+    byte-for-byte the engine's ``md5(tok).digest()[:8]``), per-bit
+    +1/-1 voting, bit set iff votes > 0, wrapped to signed int64."""
+    canon = "trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))"
+    return f"""
+        base AS ({source}),
+        sh_toks AS (
+            SELECT id, string_split({canon}, ' ') AS toks FROM base
+        ), sh_hx AS (
+            SELECT id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+            FROM (SELECT id, unnest(toks) AS tok FROM sh_toks)
+            WHERE tok <> ''
+        ), sh_votes AS (
+            SELECT id, b.bit,
+                   sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM sh_hx, (SELECT unnest(generate_series(0, 63)) AS bit) b
+            GROUP BY id, b.bit
+        ), sh_raw AS (
+            SELECT id,
+                   sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit)
+                            ELSE 0::HUGEINT END) AS s
+            FROM sh_votes GROUP BY id
+        ), sig AS (
+            SELECT b.id,
+                   CAST(coalesce(CASE WHEN s >= 9223372036854775808
+                                      THEN s - 18446744073709551616
+                                      ELSE s END, 0) AS BIGINT) AS simhash
+            FROM base b LEFT JOIN sh_raw USING (id)
+        )"""
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of q_simhash: per-document SimHash signatures."""
+    ctes = _simhash_sig_ctes("SELECT doc_id AS id, text FROM documents")
+    return f"""
+        WITH {ctes}
+        SELECT id AS doc_id, simhash FROM sig
+    """
+
+
+def _simhash_pairs_oracle() -> str:
+    """DuckDB twin of q_simhash_pairs: documents + the planted near-dups
+    (doc_id % 50 == 0 re-appears as doc_id+1000000 with ' zzmarker'
+    appended), then the identical hamming-band LSH: 4 16-bit bands
+    (shift+mask parity with Spark's arithmetic shiftright holds because
+    the mask discards sign-extension bits), buckets capped at (1, 256],
+    candidates verified with exact popcount hamming <= 3."""
+    from ocr_spark.operators.dedup import SIMHASH_BANDS
+
+    width = 64 // SIMHASH_BANDS
+    mask = (1 << width) - 1
+    source = """SELECT doc_id AS id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS id, text || ' zzmarker' AS text
+                FROM documents WHERE doc_id % 50 = 0"""
+    ctes = _simhash_sig_ctes(source)
+    return f"""
+        WITH {ctes}, banded AS (
+            SELECT id, b.band,
+                   (simhash >> (b.band * {width})) & {mask} AS bucket
+            FROM sig, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band) b
+        ), small AS (
+            SELECT band, bucket FROM banded GROUP BY band, bucket
+            HAVING count(*) > 1 AND count(*) <= 256
+        ), keep AS (
+            SELECT bd.id, bd.band, bd.bucket FROM banded bd
+            JOIN small USING (band, bucket)
+        ), cand AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM keep l JOIN keep r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM cand JOIN sig a ON id_a = a.id JOIN sig b ON id_b = b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+def _winnow_pairs_oracle() -> str:
+    """DuckDB twin of q_winnow_pairs: the polynomial rolling hash over
+    char k-grams of the canonical text (powers of B mod 2^61-1 inlined,
+    ``unicode()`` == Python ``ord``), winnowing as a rightmost-argmin
+    window (row_number ORDER BY h ASC, pos DESC over each w-window),
+    the <= w-gram min fallback, the df <= 16 fingerprint cap, and the
+    shared-fingerprint pair count — byte-identical to
+    ``dedup.winnow_fingerprints`` + ``winnow_pairs``."""
+    from ocr_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_WINDOW,
+        _POLY_B,
+        _POLY_MASK,
+    )
+
+    k, w = WINNOW_K, WINNOW_WINDOW
+    powers = [pow(_POLY_B, k - 1 - j, _POLY_MASK) for j in range(k)]
+    canon = "trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))"
+    term = " + ".join(
+        f"unicode(substr(s, pos + {j}, 1))::HUGEINT * {p}::HUGEINT"
+        for j, p in enumerate(powers)
+    )
+    return f"""
+        WITH c AS (
+            SELECT doc_id AS id, {canon} AS s FROM documents
+        ), g AS (
+            SELECT id, pos, (({term}) % {_POLY_MASK})::BIGINT AS h
+            FROM (SELECT id, s, unnest(generate_series(1, len(s) - {k} + 1))
+                  FROM c WHERE len(s) >= {k}) t(id, s, pos)
+        ), wins AS (
+            SELECT id, pos AS wend FROM g WHERE pos >= {w}
+        ), wcand AS (
+            SELECT wn.id, wn.wend, g2.pos, g2.h,
+                   row_number() OVER (PARTITION BY wn.id, wn.wend
+                                      ORDER BY g2.h ASC, g2.pos DESC) AS rn
+            FROM wins wn JOIN g g2
+              ON g2.id = wn.id AND g2.pos BETWEEN wn.wend - {w - 1} AND wn.wend
+        ), picked AS (
+            SELECT DISTINCT id, h FROM wcand WHERE rn = 1
+            UNION
+            SELECT id, min(h) FROM g GROUP BY id HAVING count(*) < {w}
+        ), rare AS (
+            SELECT h FROM picked GROUP BY h HAVING count(*) <= 16
+        ), kept AS (
+            SELECT p.id, p.h FROM picked p JOIN rare USING (h)
+        )
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+        FROM kept a JOIN kept b ON a.h = b.h AND a.id < b.id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "minhash_pairs": _minhash_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
+        "simhash": _simhash_oracle(),
+        "simhash_pairs": _simhash_pairs_oracle(),
+        "winnow_pairs": _winnow_pairs_oracle(),
         "flagship_extract": f"""
             SELECT 'https://docs.example.com/' || doc_id AS url,
                    CASE WHEN length({_CANON_RAW}) >= 25
@@ -1401,11 +1541,10 @@ def oracle_sql() -> dict[str, str]:
                    'stub' AS decoder
             FROM d
         """,
-        # simhash / simhash_pairs / winnow_pairs / stream_extract:
-        # intentionally no SQL twin
-        # (FNV-1a bit voting / the 61-bit rolling hash are engine-native; a
-        # streaming sink has no SQL analog); the driver records the weaker
-        # rows-only check for these, and crafted-truth unit tests pin them.
+        # stream_extract: intentionally no SQL twin (a streaming sink has
+        # no SQL analog); the driver records the weaker rows-only check,
+        # and the batch-byte-equality assertion inside the query plus the
+        # restart tests pin its semantics.
     }
     d["union_branches"] = (
         d["flagship_extract"] + " UNION ALL " + d["pdf_extract"]

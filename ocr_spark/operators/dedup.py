@@ -10,8 +10,9 @@ At corpus scale that generalizes to the family below. Shuffle discipline:
   (band, band signature slice); verification joins shingle arrays only for
   candidate pairs (sort-merge join on doc ids). The hash family is
   md5-based universal hashing, so the whole pipeline is SQL-replayable.
-- simhash: one Arrow-vectorized pandas UDF (numpy bit-packing), then a
-  band-bucket shuffle like minhash.
+- simhash: one Arrow-vectorized pandas UDF (numpy bit-packing) over
+  JVM-canonicalized tokens with md5-based token hashes (SQL-replayable,
+  like minhash), then a band-bucket shuffle like minhash.
 - embedding near-dup: cosine >= threshold within LSH buckets (see
   operators/similarity.py for the bucketing).
 
@@ -277,18 +278,31 @@ def token_jaccard_pairs(
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document via one Arrow-vectorized pandas UDF
     (numpy bit voting — the justified Python hot path: 64 bitwise
-    aggregations per token don't fit expression form)."""
+    aggregations per token don't fit expression form).
+
+    Tokens are computed JVM-side with the shared canonical tokenizer
+    (``normalized_for_fingerprint`` split on single spaces), and the
+    per-token hash is the first 64 bits of md5 (big-endian) — the same
+    portable family minhash uses — so the full signature is replayable
+    in ANSI SQL: ``('0x' || substr(md5(tok), 1, 16))::UBIGINT`` yields
+    the identical hash in DuckDB and the bit voting is a 64-way
+    unnest + sum. The exact twin lives in ``__spark_entry__._simhash_oracle``.
+    """
+    import hashlib
+
     @F.pandas_udf(LongType())
-    def _simhash(texts: "pd.Series") -> "pd.Series":
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if not t:
+    def _simhash(tok_arrays: "pd.Series") -> "pd.Series":
+        out = np.zeros(len(tok_arrays), dtype=np.int64)
+        for i, toks in enumerate(tok_arrays):
+            if toks is None or len(toks) == 0:
                 continue
-            toks = t.lower().split()
-            if not toks:
-                continue
-            # FNV-1a per token, vectorized bit votes
-            hs = np.array([_fnv1a64(tok) for tok in toks], dtype=np.uint64)
+            hs = np.array(
+                [
+                    int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                    for t in toks
+                ],
+                dtype=np.uint64,
+            )
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
             votes = (2 * bits - 1).sum(axis=0)
             sig = np.uint64(0)
@@ -298,15 +312,10 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             out[i] = np.int64(sig.astype(np.int64))
         return pd.Series(out)
 
-    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
-
-
-def _fnv1a64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    toks = F.filter(
+        F.split(normalized_for_fingerprint(text_col), " "), lambda x: x != ""
+    )
+    return df.select(F.col(id_col), _simhash(toks).alias("simhash"))
 
 
 CONTAM_NGRAM = 8            # token n-gram length for decontamination
@@ -451,15 +460,23 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     row per document with the sorted distinct fingerprint array — two
     documents sharing any substring of length >= k+window-1 share a
     fingerprint, which is the local-match guarantee exact dedup and token
-    sets lack. Arrow-vectorized pandas UDF (numpy sliding-window argmin);
-    rows-only for the driver (the rolling hash is engine-native)."""
+    sets lack. Arrow-vectorized pandas UDF (numpy sliding-window argmin).
+
+    The hash input is the JVM-side canonical text
+    (``normalized_for_fingerprint`` — the same expression every dedup
+    oracle replays as ``trim(regexp_replace(lower(text),'[ \\t\\n]+',' '))``),
+    and the polynomial hash is plain modular arithmetic, so the whole
+    fingerprint set is SQL-replayable: per-position k-gram hashes via
+    inlined powers of B mod 2^61-1, winnowing via a rightmost-argmin
+    window function. Exact twin: ``__spark_entry__._winnow_pairs_oracle``.
+    """
     from pyspark.sql.types import ArrayType
 
     @F.pandas_udf(ArrayType(LongType()))
     def _winnow(texts: "pd.Series") -> "pd.Series":
         out = []
         for t in texts:
-            s = " ".join(t.lower().split()) if t else ""
+            s = t or ""
             n = len(s)
             if n < k:
                 out.append([])
@@ -489,7 +506,8 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         return pd.Series(out)
 
     return df.select(
-        F.col(id_col), _winnow(F.col(text_col)).alias("fingerprints")
+        F.col(id_col),
+        _winnow(normalized_for_fingerprint(text_col)).alias("fingerprints"),
     )
 
 

@@ -144,12 +144,13 @@ def test_simhash_pairs_crafted_truth(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     # short docs give each token a large vote weight: one appended token
-    # flips 7 bits here (deterministic), so verify with a wider budget —
-    # the <= bands-1 pigeonhole guarantee is about recall, not precision
+    # flips 5 bits here (deterministic under the md5 family), so verify with
+    # a wider budget — the <= bands-1 pigeonhole guarantee is about recall,
+    # not precision
     pairs = simhash_pairs(df, max_hamming=8).toPandas()
     got = {(a, b): h for a, b, h in zip(pairs.id_a, pairs.id_b, pairs.hamming)}
     assert got[(0, 1)] == 0
-    assert (0, 2) in got and got[(0, 2)] == 7
+    assert (0, 2) in got and got[(0, 2)] == 5
     assert not any(3 in p for p in got)
 
 
