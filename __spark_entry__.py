@@ -534,6 +534,18 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(_t(spark, sf_dir, "documents"), min_shared=2)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): large-star/small-star connected
+    components over the MinHash-LSH pair graph, plus keep-one-per-cluster
+    selection — the last stage of a real corpus dedup pass. Exact DuckDB
+    twin: the same pair SQL feeding a recursive min-reachable-label CTE."""
+    from ocr_spark.operators.cc import dedup_clusters
+    from ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_clusters(d, minhash_lsh_pairs(d, threshold=0.5))
+
+
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming path: the same extraction core as a file-source
     micro-batch stream with checkpointed exactly-once parquet sink
@@ -624,6 +636,7 @@ _QUERIES = {
         "frame_sample": q_frame_sample,
         "image_resize": q_image_resize,
         "winnow_pairs": q_winnow_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "stream_extract": q_stream_extract,
     }
 
@@ -906,9 +919,38 @@ def _winnow_pairs_oracle() -> str:
     """
 
 
+def _dedup_clusters_oracle() -> str:
+    """DuckDB twin of q_dedup_clusters: the minhash pair SQL (verbatim, so
+    the edge set is bit-identical) feeding a recursive CTE that computes
+    each node's minimum reachable id — exactly the min-label components
+    large-star/small-star converges to — then the singleton/keeper
+    projection over all documents."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+        cc_e AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, lbl) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM cc_e) t(u)
+            UNION
+            SELECT cc_e.u, r.lbl FROM cc_e JOIN reach r ON cc_e.v = r.u
+        ),
+        comp AS (
+            SELECT u AS id, min(lbl) AS component FROM reach GROUP BY u
+        )
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS component,
+               (d.doc_id = coalesce(c.component, d.doc_id)) AS is_keeper
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "minhash_pairs": _minhash_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),

@@ -1,0 +1,65 @@
+"""Connected-components dedup clustering: crafted truth, chain-shaped
+adversarial components, partitioning invariance, and keeper selection."""
+
+import pytest
+
+from ocr_spark.operators.cc import connected_components, dedup_clusters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def _comp_map(df):
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def test_two_components_and_min_labels(spark):
+    got = _comp_map(connected_components(_edges(spark, [(1, 2), (2, 3), (10, 11)])))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_component_converges_logarithmically(spark):
+    """A 64-node path is the adversarial diameter case for label
+    propagation (O(n) rounds); large-star/small-star must collapse it
+    within the CC_MAX_ITER=24 alternation budget."""
+    path = [(i, i + 1) for i in range(63)]
+    got = _comp_map(connected_components(_edges(spark, path)))
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_edge_direction_and_duplicates_irrelevant(spark):
+    got = _comp_map(
+        connected_components(_edges(spark, [(5, 2), (2, 5), (2, 9), (9, 2), (9, 9)]))
+    )
+    assert got == {2: 2, 5: 2, 9: 2}
+
+
+def test_partitioning_invariance(spark):
+    ring = [(i, (i + 1) % 20) for i in range(20)] + [(30, 31)]
+    a = _comp_map(connected_components(_edges(spark, ring)))
+    b = _comp_map(connected_components(_edges(spark, ring).repartition(7)))
+    assert a == b
+    assert set(a.values()) == {0, 30}
+
+
+def test_dedup_clusters_singletons_and_keepers(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = _edges(spark, [(0, 1), (1, 4)])
+    out = {
+        r["doc_id"]: (r["component"], r["is_keeper"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert out == {
+        0: (0, True),
+        1: (0, False),
+        4: (0, False),
+        2: (2, True),   # untouched by any pair -> singleton keeper
+        3: (3, True),
+        5: (5, True),
+    }
+    # exactly one keeper per component
+    by_comp = {}
+    for doc, (comp, keep) in out.items():
+        by_comp.setdefault(comp, []).append(keep)
+    assert all(sum(ks) == 1 for ks in by_comp.values())
