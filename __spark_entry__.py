@@ -534,6 +534,25 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(_t(spark, sf_dir, "documents"), min_shared=2)
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule filter with first-failing-rule reason labels;
+    every document survives to the output with its measurements (kept +
+    drop_reason), so one result drives both the clean-corpus selection
+    and the drop audit. Exact DuckDB twin."""
+    from ocr_spark.operators.quality import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-self-trained bigram LM score per document
+    (smoothed transition log-likelihood against the corpus's own counts).
+    Exact DuckDB twin."""
+    from ocr_spark.operators.quality import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (not just pairs): large-star/small-star connected
     components over the MinHash-LSH pair graph, plus keep-one-per-cluster
@@ -637,6 +656,8 @@ _QUERIES = {
         "image_resize": q_image_resize,
         "winnow_pairs": q_winnow_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "quality_filter": q_quality_filter,
+        "lm_score": q_lm_score,
         "stream_extract": q_stream_extract,
     }
 
@@ -947,10 +968,98 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
+def _quality_filter_oracle() -> str:
+    """DuckDB twin of q_quality_filter: same canonical tokens, the same
+    two-level (id, token) count aggregation, and the same first-failing-
+    rule CASE ladder with thresholds imported from operators.quality."""
+    from ocr_spark.operators.quality import (
+        MAX_MEAN_WORD_LEN,
+        MAX_SYMBOL_RATIO,
+        MAX_TOP_WORD_RATIO,
+        MAX_WORDS,
+        MIN_MEAN_WORD_LEN,
+        MIN_WORDS,
+    )
+
+    reason = f"""CASE
+        WHEN n_words < {MIN_WORDS} THEN 'too_short'
+        WHEN n_words > {MAX_WORDS} THEN 'too_long'
+        WHEN mean_word_len < {MIN_MEAN_WORD_LEN}
+             OR mean_word_len > {MAX_MEAN_WORD_LEN} THEN 'word_len'
+        WHEN symbol_ratio > {MAX_SYMBOL_RATIO} THEN 'symbol_heavy'
+        WHEN top_word_ratio > {MAX_TOP_WORD_RATIO} THEN 'repetitive'
+    END"""
+    return f"""
+        WITH qf_base AS (
+            SELECT doc_id AS id, {_CANON} AS s FROM documents
+        ), qf_toks AS (
+            SELECT id, s, [t for t in string_split(s, ' ') if t <> ''] AS toks
+            FROM qf_base
+        ), qf_tc AS (
+            SELECT id, tok, count(*) AS c
+            FROM (SELECT id, unnest(toks) AS tok FROM qf_toks)
+            GROUP BY id, tok
+        ), qf_stats AS (
+            SELECT id, CAST(sum(c) AS BIGINT) AS n_words,
+                   round(sum(c * length(tok)) * 1.0 / sum(c), 4) AS mean_word_len,
+                   CAST(max(c) AS BIGINT) AS top_c
+            FROM qf_tc GROUP BY id
+        ), qf_j AS (
+            SELECT t.id, coalesce(n_words, 0) AS n_words, mean_word_len,
+                   round(length(regexp_replace(s, '[a-z0-9 ]', '', 'g')) * 1.0
+                         / greatest(length(s), 1), 4) AS symbol_ratio,
+                   round(top_c * 1.0 / coalesce(n_words, 1), 4) AS top_word_ratio
+            FROM qf_toks t LEFT JOIN qf_stats st ON t.id = st.id
+        )
+        SELECT id AS doc_id, n_words, mean_word_len, symbol_ratio,
+               top_word_ratio, ({reason}) IS NULL AS kept,
+               {reason} AS drop_reason
+        FROM qf_j
+    """
+
+
+def _lm_score_oracle() -> str:
+    """DuckDB twin of q_lm_score: same canonical tokens, the same
+    corpus-level unigram/bigram counts and vocabulary size, the same
+    smoothed ln transition probability averaged per document."""
+    from ocr_spark.operators.quality import LM_ALPHA
+
+    return f"""
+        WITH lm_base AS (
+            SELECT doc_id AS id,
+                   [t for t in string_split({_CANON}, ' ') if t <> ''] AS toks
+            FROM documents
+        ), lm_bg AS (
+            SELECT id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM lm_base WHERE len(toks) >= 2)
+        ), lm_uni AS (
+            SELECT w1, count(*) AS c1
+            FROM (SELECT unnest(toks) AS w1 FROM lm_base) GROUP BY w1
+        ), lm_v AS (
+            SELECT count(*) AS v FROM lm_uni
+        ), lm_bc AS (
+            SELECT w1, w2, count(*) AS c2 FROM lm_bg GROUP BY w1, w2
+        ), lm_sc AS (
+            SELECT id, count(*) AS n_bigrams,
+                   round(avg(ln((c2 + {LM_ALPHA}) / (c1 + {LM_ALPHA} * v))), 4)
+                       AS lm_logprob
+            FROM lm_bg JOIN lm_bc USING (w1, w2) JOIN lm_uni USING (w1)
+                 CROSS JOIN lm_v
+            GROUP BY id
+        )
+        SELECT b.id AS doc_id,
+               CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, lm_logprob
+        FROM lm_base b LEFT JOIN lm_sc ON b.id = lm_sc.id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "minhash_pairs": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "quality_filter": _quality_filter_oracle(),
+        "lm_score": _lm_score_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
