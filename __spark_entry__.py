@@ -534,6 +534,21 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(_t(spark, sf_dir, "documents"), min_shared=2)
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-lite ingest edge: documents -> deterministic segment bytes ->
+    record splitter -> pages; emits the decoded payload so the oracle can
+    assert the full build/parse round trip is byte-exact per url (the
+    north rule's invariant applied to the ingest side)."""
+    from ocr_spark.sources.warc import warc_pages, warc_segments_from_documents
+
+    pages = warc_pages(warc_segments_from_documents(spark, sf_dir))
+    return pages.select(
+        "url",
+        F.decode("html", "UTF-8").alias("text"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style rule filter with first-failing-rule reason labels;
     every document survives to the output with its measurements (kept +
@@ -656,6 +671,7 @@ _QUERIES = {
         "image_resize": q_image_resize,
         "winnow_pairs": q_winnow_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "warc_roundtrip": q_warc_roundtrip,
         "quality_filter": q_quality_filter,
         "lm_score": q_lm_score,
         "stream_extract": q_stream_extract,
@@ -1060,6 +1076,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "quality_filter": _quality_filter_oracle(),
         "lm_score": _lm_score_oracle(),
+        "warc_roundtrip": """
+            SELECT 'warc://docs.example.com/' || doc_id AS url, text,
+                   strftime(TIMESTAMP '2026-02-03 04:05:06'
+                            + to_seconds(doc_id), '%Y-%m-%d %H:%M:%S') AS ts
+            FROM documents
+        """,
         "embedding_neardup": _embedding_neardup_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
