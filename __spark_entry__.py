@@ -534,6 +534,73 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_pairs(_t(spark, sf_dir, "documents"), min_shared=2)
 
 
+def _messy_urls(df: DataFrame) -> DataFrame:
+    """Deterministic adversarial-URL synth per doc_id: mixed-case scheme +
+    host, rotating www./userinfo/port decorations, utm params, unsorted
+    query params, fragments — every pathology url_canonicalize must
+    normalize, reproducible in plain SQL."""
+    d = F.col("doc_id")
+    return df.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit("crawler@")).otherwise(F.lit("")),
+            F.lit("h"),
+            (d % 23).cast("string"),
+            F.lit(".Example.ORG"),
+            F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            d.cast("string"),
+            F.when(d % 4 == 0, F.lit("?utm_source=x&b=2&a=1#frag"))
+            .when(d % 4 == 1, F.lit("?a=1"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+_SQL_MESSY_URL = (
+    "'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN 'crawler@' ELSE '' END"
+    " || 'h' || (doc_id % 23) || '.Example.ORG'"
+    " || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END"
+    " || '/p/' || doc_id"
+    " || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1#frag'"
+    "         WHEN doc_id % 4 = 1 THEN '?a=1' ELSE '' END"
+)
+
+
+def q_url_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parse + canonicalization columns (F-family for the web tier):
+    scheme/host/domain/path/canonical query/canonical url, all JVM
+    regexp expressions with byte-identical SQL twins."""
+    from ocr_spark.functions import urls as U
+
+    d = _messy_urls(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        U.url_scheme("url").alias("scheme"),
+        U.url_host("url").alias("host"),
+        U.registered_domain("url").alias("domain"),
+        U.url_path("url").alias("path"),
+        U.url_query_canonical("url").alias("query_canon"),
+        U.url_canonicalize("url").alias("url_canon"),
+    )
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl skew profile over canonical hosts (the grouping that
+    drives politeness budgets and salting decisions)."""
+    from ocr_spark.functions import urls as U
+
+    d = _messy_urls(_t(spark, sf_dir, "documents"))
+    return d.groupBy(U.url_host("url").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-lite ingest edge: documents -> deterministic segment bytes ->
     record splitter -> pages; emits the decoded payload so the oracle can
@@ -672,6 +739,8 @@ _QUERIES = {
         "winnow_pairs": q_winnow_pairs,
         "dedup_clusters": q_dedup_clusters,
         "warc_roundtrip": q_warc_roundtrip,
+        "url_parts": q_url_parts,
+        "host_stats": q_host_stats,
         "quality_filter": q_quality_filter,
         "lm_score": q_lm_score,
         "stream_extract": q_stream_extract,
@@ -984,6 +1053,40 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
+def _url_parts_oracle() -> str:
+    """DuckDB twin of q_url_parts: same messy-URL synth, same RE2-safe
+    parse/canonicalize templates (imported from functions.urls so the
+    two dialect versions can't drift apart silently)."""
+    from ocr_spark.functions import urls as U
+
+    c = "url"
+    return f"""
+        WITH u AS (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents)
+        SELECT doc_id,
+               {U.SQL_URL_SCHEME.format(c=c)} AS scheme,
+               {U.SQL_URL_HOST.format(c=c)} AS host,
+               {U.SQL_REGISTERED_DOMAIN.format(c=c)} AS domain,
+               {U.SQL_URL_PATH.format(c=c)} AS path,
+               {U.SQL_URL_QUERY_CANON.format(c=c)} AS query_canon,
+               {U.SQL_URL_CANON.format(c=c)} AS url_canon
+        FROM u
+    """
+
+
+def _host_stats_oracle() -> str:
+    from ocr_spark.functions import urls as U
+
+    return f"""
+        WITH u AS (
+            SELECT doc_id, n_chars, {_SQL_MESSY_URL} AS url FROM documents
+        )
+        SELECT {U.SQL_URL_HOST.format(c="url")} AS host,
+               count(*) AS n_docs,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM u GROUP BY 1
+    """
+
+
 def _quality_filter_oracle() -> str:
     """DuckDB twin of q_quality_filter: same canonical tokens, the same
     two-level (id, token) count aggregation, and the same first-failing-
@@ -1082,6 +1185,8 @@ def oracle_sql() -> dict[str, str]:
                             + to_seconds(doc_id), '%Y-%m-%d %H:%M:%S') AS ts
             FROM documents
         """,
+        "url_parts": _url_parts_oracle(),
+        "host_stats": _host_stats_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
