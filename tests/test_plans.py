@@ -84,3 +84,30 @@ def test_ivf_assignment_has_partial_argmax(spark):
     plan = _plan(spark, "ivf_topk")
     assert "partial_max_by" in plan       # map-side combine for cell assignment
     assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,16)]" in plan
+
+
+def test_quality_filter_stays_jvm_with_partial_agg(spark):
+    plan = _plan(spark, "quality_filter")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, node
+    # the (id, token) counts combine map-side before both exchanges
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert _tree(plan).count("Exchange") <= 3  # token counts + id stats (+AQE broadcast)
+
+
+def test_lm_score_stays_jvm_and_broadcasts_count_tables(spark):
+    plan = _plan(spark, "lm_score")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    # vocabulary-sized unigram/bigram counts reach the bigram stream as
+    # broadcasts; V is a broadcast 1-row aggregate (never a collect)
+    assert "BroadcastExchange" in plan
+    assert "CollectLimit" not in plan
+
+
+def test_url_parts_is_pure_projection(spark):
+    plan = _plan(spark, "url_parts")
+    tree = _tree(plan)
+    assert "Exchange" not in tree          # scalar exprs only: no shuffle
+    assert "Generate" not in tree
+    assert tree.count("Scan parquet") == 1
