@@ -136,6 +136,9 @@ def main(argv: list[str] | None = None) -> int:
     co.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
+    from .core.rules import assert_rules_sane
+
+    assert_rules_sane()  # P5: rule-table sanity gates every CLI job at load
     return args.fn(args)
 
 

@@ -87,6 +87,9 @@ def run_extract(
     ``fail_chunk_after``: test hook — raise after committing that many chunks
     (crash injection for the resume property test; SURVEY §5).
     """
+    from .core.rules import assert_rules_sane
+
+    assert_rules_sane()  # P5: a bad rule table fails the JOB, not the rows
     out_table = IcebergLiteTable(f"{table_root}/extracted")
     metrics_table = IcebergLiteTable(f"{table_root}/metrics")
     res = ExtractResult(run_id=run_id)
