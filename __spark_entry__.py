@@ -635,6 +635,16 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pass (rule filter -> exact dedup -> near-dup
+    clusters) emitting one disposition row per document — the end-to-end
+    pipeline a corpus user actually runs. Exact DuckDB twin composes the
+    member oracles over the same shrinking candidate sets."""
+    from ocr_spark.operators.corpus import clean_corpus
+
+    return clean_corpus(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (not just pairs): large-star/small-star connected
     components over the MinHash-LSH pair graph, plus keep-one-per-cluster
@@ -738,6 +748,7 @@ _QUERIES = {
         "image_resize": q_image_resize,
         "winnow_pairs": q_winnow_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "clean_corpus": q_clean_corpus,
         "warc_roundtrip": q_warc_roundtrip,
         "url_parts": q_url_parts,
         "host_stats": q_host_stats,
@@ -835,10 +846,12 @@ def _embedding_neardup_oracle() -> str:
     """
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(src: str = "documents") -> str:
     """DuckDB twin of minhash_lsh_pairs: same shingles, same md5-based
     universal-hash signatures (constants inlined from operators.dedup),
-    same band slicing, bucket caps, and exact-jaccard verification."""
+    same band slicing, bucket caps, and exact-jaccard verification.
+    ``src``: any relation exposing (doc_id, text) — the composed
+    clean-corpus oracle feeds it the post-exact-dedup CTE."""
     from ocr_spark.operators.dedup import (
         LSH_BANDS,
         MINHASH_AB,
@@ -848,13 +861,14 @@ def _minhash_oracle() -> str:
 
     rpb = MINHASH_PERMS // LSH_BANDS
     sig_exprs = ",\n                   ".join(
-        f"list_min([({a}*h + {b}) % {_MH_P} for h in bhs])" for a, b in MINHASH_AB
+        f"list_min([({a} * (h % {_MH_P}) + {b}) % {_MH_P} for h in bhs])"
+        for a, b in MINHASH_AB
     )
     jac = ("round(len(list_intersect(a.sh, b.sh)) * 1.0 / "
            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)")
     return f"""
         WITH toks AS (
-            SELECT doc_id AS id, string_split({_CANON}, ' ') AS toks FROM documents
+            SELECT doc_id AS id, string_split({_CANON}, ' ') AS toks FROM {src}
         ), shin AS (
             SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
                 ELSE [array_to_string(list_slice(toks, i, i + 2), ' ')
@@ -1173,10 +1187,54 @@ def _lm_score_oracle() -> str:
     """
 
 
+def _clean_corpus_oracle() -> str:
+    """DuckDB twin of q_clean_corpus: the quality oracle selects the kept
+    set, exact dedup keeps min doc_id per canonical md5, the minhash pair
+    oracle runs over the post-exact-dedup relation, the recursive CTE
+    labels components, and the final CASE reports the first removing
+    stage per document."""
+    return f"""
+        WITH RECURSIVE q AS ({_quality_filter_oracle()}),
+        qk AS (
+            SELECT d.doc_id, d.text FROM documents d
+            JOIN q ON d.doc_id = q.doc_id WHERE q.kept
+        ),
+        fpt AS (SELECT doc_id, md5({_CANON}) AS fp FROM qk),
+        ek AS (SELECT min(doc_id) AS doc_id FROM fpt GROUP BY fp),
+        ed AS (SELECT qk.doc_id, qk.text FROM qk JOIN ek USING (doc_id)),
+        pairs AS ({_minhash_oracle(src="ed")}),
+        cc_e AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, lbl) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM cc_e) t(u)
+            UNION
+            SELECT cc_e.u, r.lbl FROM cc_e JOIN reach r ON cc_e.v = r.u
+        ),
+        comp AS (SELECT u AS id, min(lbl) AS component FROM reach GROUP BY u),
+        nk AS (
+            SELECT ed.doc_id FROM ed LEFT JOIN comp ON ed.doc_id = comp.id
+            WHERE coalesce(comp.component, ed.doc_id) = ed.doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN qk2.doc_id IS NULL THEN 'quality'
+                    WHEN ek2.doc_id IS NULL THEN 'exact_dup'
+                    WHEN nk2.doc_id IS NULL THEN 'near_dup'
+                    ELSE 'kept' END AS stage
+        FROM documents d
+        LEFT JOIN (SELECT doc_id FROM qk) qk2 ON d.doc_id = qk2.doc_id
+        LEFT JOIN ek ek2 ON d.doc_id = ek2.doc_id
+        LEFT JOIN nk nk2 ON d.doc_id = nk2.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "minhash_pairs": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "clean_corpus": _clean_corpus_oracle(),
         "quality_filter": _quality_filter_oracle(),
         "lm_score": _lm_score_oracle(),
         "warc_roundtrip": """
