@@ -635,6 +635,40 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export: seeded md5 shuffle key ->
+    shard + stable in-shard position. Exact DuckDB twin."""
+    from ocr_spark.operators.sharding import shard_assignment
+
+    return shard_assignment(_t(spark, sf_dir, "documents"), n_shards=16)
+
+
+def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest gate: docs >= 250 arrive as the new batch
+    against committed docs < 250, plus planted exact copies (doc 0..4 at
+    +2000000) and near copies (docs 10/20/30 at +3000000 with a tail
+    token) so all three statuses are witnessed. Exact DuckDB twin."""
+    from ocr_spark.operators.incremental import incremental_status
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.where("doc_id < 250")
+    new = (
+        d.where("doc_id >= 250")
+        .unionByName(
+            d.where("doc_id < 5").select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.where("doc_id % 10 = 0 AND doc_id < 40").select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat("text", F.lit(" tailmarker")).alias("text"),
+            )
+        )
+    )
+    return incremental_status(new, old)
+
+
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning pass (rule filter -> exact dedup -> near-dup
     clusters) emitting one disposition row per document — the end-to-end
@@ -749,6 +783,8 @@ _QUERIES = {
         "winnow_pairs": q_winnow_pairs,
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
+        "shard_assignment": q_shard_assignment,
+        "dedup_increment": q_dedup_increment,
         "warc_roundtrip": q_warc_roundtrip,
         "url_parts": q_url_parts,
         "host_stats": q_host_stats,
@@ -1187,6 +1223,47 @@ def _lm_score_oracle() -> str:
     """
 
 
+def _dedup_increment_oracle() -> str:
+    """DuckDB twin of q_dedup_increment: same batch split + plants, the
+    committed fingerprint set, the minhash pair oracle over the union,
+    cross (new x committed) pairs only, first-matching-status CASE."""
+    return f"""
+        WITH old AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 250
+        ), newb AS (
+            SELECT doc_id, text FROM documents WHERE doc_id >= 250
+            UNION ALL
+            SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 5
+            UNION ALL
+            SELECT doc_id + 3000000, text || ' tailmarker'
+            FROM documents WHERE doc_id % 10 = 0 AND doc_id < 40
+        ), allb AS (
+            SELECT * FROM old UNION ALL SELECT * FROM newb
+        ), cfp AS (
+            SELECT DISTINCT md5({_CANON}) AS fp FROM old
+        ), exact AS (
+            SELECT doc_id FROM (SELECT doc_id, md5({_CANON}) AS fp FROM newb)
+            WHERE fp IN (SELECT fp FROM cfp)
+        ), pairs AS ({_minhash_oracle(src="allb")}),
+        near AS (
+            SELECT id_a AS doc_id FROM pairs
+            WHERE id_a IN (SELECT doc_id FROM newb)
+              AND id_b IN (SELECT doc_id FROM old)
+            UNION
+            SELECT id_b FROM pairs
+            WHERE id_b IN (SELECT doc_id FROM newb)
+              AND id_a IN (SELECT doc_id FROM old)
+        )
+        SELECT n.doc_id,
+               CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_seen'
+                    WHEN nr.doc_id IS NOT NULL THEN 'near_seen'
+                    ELSE 'new' END AS status
+        FROM newb n
+        LEFT JOIN (SELECT DISTINCT doc_id FROM exact) ex ON n.doc_id = ex.doc_id
+        LEFT JOIN near nr ON n.doc_id = nr.doc_id
+    """
+
+
 def _clean_corpus_oracle() -> str:
     """DuckDB twin of q_clean_corpus: the quality oracle selects the kept
     set, exact dedup keeps min doc_id per canonical md5, the minhash pair
@@ -1235,6 +1312,19 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
+        "dedup_increment": _dedup_increment_oracle(),
+        "shard_assignment": """
+            WITH k AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('shard-seed-1:' || doc_id), 1, 8))::BIGINT
+                           AS key
+                FROM documents
+            )
+            SELECT doc_id, CAST(key % 16 AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY key % 16
+                                           ORDER BY key, doc_id) - 1 AS INT) AS pos
+            FROM k
+        """,
         "quality_filter": _quality_filter_oracle(),
         "lm_score": _lm_score_oracle(),
         "warc_roundtrip": """

@@ -70,7 +70,9 @@ BENCH_QUERIES = (
     "validate_docs doc_assessment corr_flags "
     "agg_pricing top_customers lang_distribution events_hourly resume_antijoin "
     "asof_join chunk_documents pack_sequences winnow_pairs group_quantiles "
-    "tfidf_terms stratified_sample contamination"
+    "tfidf_terms stratified_sample contamination "
+    "quality_filter lm_score url_parts host_stats warc_roundtrip "
+    "dedup_clusters clean_corpus"
 ).split()
 
 

@@ -302,17 +302,22 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     @F.pandas_udf(LongType())
     def _simhash(tok_arrays: "pd.Series") -> "pd.Series":
+        # per-batch memo: corpus vocabularies repeat heavily across
+        # documents, so hash each distinct token once per Arrow batch
+        memo: dict[str, int] = {}
+
+        def th(t: str) -> int:
+            h = memo.get(t)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+                memo[t] = h
+            return h
+
         out = np.zeros(len(tok_arrays), dtype=np.int64)
         for i, toks in enumerate(tok_arrays):
             if toks is None or len(toks) == 0:
                 continue
-            hs = np.array(
-                [
-                    int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-                    for t in toks
-                ],
-                dtype=np.uint64,
-            )
+            hs = np.array([th(t) for t in toks], dtype=np.uint64)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
             votes = (2 * bits - 1).sum(axis=0)
             sig = np.uint64(0)
