@@ -635,6 +635,31 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate removal: documents are assembled into
+    multi-line pages with corpus-wide boilerplate (nav/footer on every
+    page, a promo line on half) around the real text plus a unique marker
+    line; line_dedup must strip exactly the boilerplate and keep content
+    + markers in order. Exact DuckDB twin."""
+    from ocr_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    assembled = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("nav home about contact\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("\nshared promo banner")
+            ).otherwise(F.lit("")),
+            F.lit("\nsite footer terms of service apply"),
+            F.lit("\ndoc marker "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return line_dedup(assembled)
+
+
 def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard export: seeded md5 shuffle key ->
     shard + stable in-shard position. Exact DuckDB twin."""
@@ -785,6 +810,7 @@ _QUERIES = {
         "clean_corpus": q_clean_corpus,
         "shard_assignment": q_shard_assignment,
         "dedup_increment": q_dedup_increment,
+        "line_dedup": q_line_dedup,
         "warc_roundtrip": q_warc_roundtrip,
         "url_parts": q_url_parts,
         "host_stats": q_host_stats,
@@ -1223,6 +1249,46 @@ def _lm_score_oracle() -> str:
     """
 
 
+def _line_dedup_oracle() -> str:
+    """DuckDB twin of q_line_dedup: same page assembly, same 60-bit md5
+    line hash, doc-frequency > max_df removal, ordered string_agg
+    reassembly."""
+    from ocr_spark.operators.dedup import LINE_MAX_DF
+
+    return f"""
+        WITH asm AS (
+            SELECT doc_id,
+                   'nav home about contact' || chr(10) || text ||
+                   CASE WHEN doc_id % 2 = 0
+                        THEN chr(10) || 'shared promo banner' ELSE '' END ||
+                   chr(10) || 'site footer terms of service apply' ||
+                   chr(10) || 'doc marker ' || doc_id AS text
+            FROM documents
+        ), parts AS (
+            SELECT doc_id AS id, string_split(text, chr(10)) AS p FROM asm
+        ), lines AS (
+            SELECT id, i - 1 AS pos, p[i] AS line,
+                   ('0x' || substr(md5(trim(p[i])), 1, 15))::BIGINT AS lh
+            FROM (SELECT id, p, unnest(generate_series(1, len(p))) AS i
+                  FROM parts)
+        ), hot AS (
+            SELECT lh FROM lines WHERE trim(line) <> ''
+            GROUP BY lh HAVING count(DISTINCT id) > {LINE_MAX_DF}
+        ), marked AS (
+            SELECT l.id, l.pos, l.line,
+                   (h.lh IS NOT NULL AND trim(l.line) <> '') AS dropped
+            FROM lines l LEFT JOIN hot h ON l.lh = h.lh
+        )
+        SELECT id AS doc_id,
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT dropped), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM marked GROUP BY id
+    """
+
+
 def _dedup_increment_oracle() -> str:
     """DuckDB twin of q_dedup_increment: same batch split + plants, the
     committed fingerprint set, the minhash pair oracle over the union,
@@ -1313,6 +1379,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
         "dedup_increment": _dedup_increment_oracle(),
+        "line_dedup": _line_dedup_oracle(),
         "shard_assignment": """
             WITH k AS (
                 SELECT doc_id,

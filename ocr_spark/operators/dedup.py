@@ -556,3 +556,65 @@ def winnow_pairs(df: DataFrame, min_shared: int = 2, text_col: str = "text",
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+LINE_MAX_DF = 16        # lines in more docs than this are boilerplate
+
+
+def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               max_df: int = LINE_MAX_DF) -> DataFrame:
+    """Sub-document boilerplate removal (the CCNet/RefinedWeb line-dedup
+    pass): a LINE that appears in more than ``max_df`` documents is
+    boilerplate (nav text, cookie banners, footers) and is removed from
+    EVERY document; surviving lines reassemble in original order.
+    Returns (id, text, n_lines, n_dropped).
+
+    Shape: posexplode lines -> doc-frequency count keyed on the 60-bit
+    md5 hash of the trimmed line (15 hex digits: the largest md5 prefix
+    whose conv()-to-decimal stays inside signed 64-bit in both engines;
+    the count and the removal join carry (long, long) rows, never line
+    strings, across the shuffle; a 60-bit collision could at worst drop
+    one innocent line — acceptable for a boilerplate filter and
+    disclosed here) -> left-anti join against hot lines -> ordered
+    re-aggregation per document. Empty/whitespace-only lines are
+    structural, not content: they are never counted and never dropped.
+    Exactly SQL-replayable (``__spark_entry__._line_dedup_oracle``)."""
+    lh = F.conv(F.substring(F.md5(F.trim(F.col("line"))), 1, 15), 16, 10).cast("long")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", lh)
+
+    hot = (
+        lines.where(F.trim("line") != "")
+        .groupBy("lh")
+        .agg(F.countDistinct("id").alias("ldf"))
+        .where(F.col("ldf") > max_df)
+        .select("lh")
+    )
+    kept = lines.join(
+        hot.withColumn("hot", F.lit(True)), "lh", "left"
+    ).withColumn("drop", F.col("hot").isNotNull() & (F.trim("line") != ""))
+
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("drop"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("drop").cast("long")).alias("n_dropped"),
+        )
+        .select(F.col("id").alias(id_col), text_col, "n_lines", "n_dropped")
+    )

@@ -249,3 +249,38 @@ def test_winnow_deterministic_across_partitioning(spark):
     b = winnow_fingerprints(docs.repartition(7)).toPandas().sort_values(
         "doc_id").reset_index(drop=True)
     assert all(list(x) == list(y) for x, y in zip(a.fingerprints, b.fingerprints))
+
+
+def test_line_dedup_strips_corpus_boilerplate(spark):
+    from ocr_spark.operators.dedup import line_dedup
+
+    rows = [
+        (i, f"BOILER NAV LINE\ncontent {i} unique prose\n\nBOILER FOOTER")
+        for i in range(20)
+    ] + [(99, "BOILER NAV LINE")]  # a doc that is ALL boilerplate
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, max_df=5).collect()}
+    # boilerplate (df=21 and df=20 > 5) gone; unique content + the empty
+    # structural line survive in order
+    assert out[3]["text"] == "content 3 unique prose\n"
+    assert out[3]["n_lines"] == 4 and out[3]["n_dropped"] == 2
+    assert out[99]["text"] == "" and out[99]["n_dropped"] == 1
+
+
+def test_line_dedup_keeps_rare_lines_untouched(spark):
+    from ocr_spark.operators.dedup import line_dedup
+
+    rows = [(1, "alpha\nbeta"), (2, "gamma\ndelta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in line_dedup(df, max_df=1).collect()}
+    assert out == {1: "alpha\nbeta", 2: "gamma\ndelta"}
+
+
+def test_line_dedup_partitioning_invariance(spark):
+    from ocr_spark.operators.dedup import line_dedup
+
+    rows = [(i, f"shared header\nbody {i}\nshared tail") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(line_dedup(df, max_df=3).collect())
+    b = sorted(line_dedup(df.repartition(5), max_df=3).collect())
+    assert a == b
