@@ -111,3 +111,27 @@ def test_url_parts_is_pure_projection(spark):
     assert "Exchange" not in tree          # scalar exprs only: no shuffle
     assert "Generate" not in tree
     assert tree.count("Scan parquet") == 1
+
+
+def test_line_dedup_broadcasts_hot_lines_and_stays_jvm(spark):
+    plan = _plan(spark, "line_dedup")
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, node
+    # the hot-line set (vocabulary-sized) reaches the removal join as a
+    # broadcast; doc-frequency counts combine map-side (two-phase distinct)
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    # shuffle exchanges (excluding the broadcast): the two-phase distinct
+    # count + the single doc-id re-assembly exchange
+    tree = _tree(plan)
+    assert tree.count(" Exchange (") <= 3
+
+
+def test_shard_assignment_single_exchange_window(spark):
+    plan = _plan(spark, "shard_assignment")
+    tree = _tree(plan)
+    # exactly the shard writer's movement: one hash exchange on shard,
+    # then the per-shard sort the export needs anyway
+    assert tree.count("Exchange") == 1
+    assert "Window" in tree
+    assert "Exchange SinglePartition" not in tree
