@@ -635,6 +635,43 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host downsampling cap (over-represented-host control): at most
+    15 docs per canonical host survive, chosen by the deterministic
+    portable hash rank. Exact DuckDB twin."""
+    from ocr_spark.functions import urls as U
+    from ocr_spark.operators.sampling import cap_per_group
+
+    u = _messy_urls(_t(spark, sf_dir, "documents")).select(
+        "doc_id", U.url_host("url").alias("host")
+    )
+    return cap_per_group(u, "host", k=15)
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-rules audit: deterministic per-host robots.txt (mixed-case
+    directives, an empty Disallow, a non-rule line) parsed by the
+    conservative stateless reader, prefix-matched against each url's
+    path. Exact DuckDB twin."""
+    from ocr_spark.functions import urls as U
+    from ocr_spark.operators.robots import robots_disallow_rules, robots_filter
+
+    u = _messy_urls(_t(spark, sf_dir, "documents")).select("doc_id", "url")
+    hosts = u.select(U.url_host("url").alias("host")).distinct()
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /p/1\nDisallow:\nCrawl-delay: 5"),
+            F.when(
+                F.regexp_extract("host", r"h(\d+)\.", 1).cast("int") % 2 == 0,
+                F.lit("\ndisallow: /p/2"),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    rules = robots_disallow_rules(robots)
+    return robots_filter(u, rules).select("doc_id", "host", "path", "allowed")
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document boilerplate removal: documents are assembled into
     multi-line pages with corpus-wide boilerplate (nav/footer on every
@@ -811,6 +848,8 @@ _QUERIES = {
         "shard_assignment": q_shard_assignment,
         "dedup_increment": q_dedup_increment,
         "line_dedup": q_line_dedup,
+        "host_cap": q_host_cap,
+        "robots_filter": q_robots_filter,
         "warc_roundtrip": q_warc_roundtrip,
         "url_parts": q_url_parts,
         "host_stats": q_host_stats,
@@ -1249,6 +1288,68 @@ def _lm_score_oracle() -> str:
     """
 
 
+def _host_cap_oracle() -> str:
+    from ocr_spark.functions import urls as U
+    from ocr_spark.operators.sampling import SAMPLE_DENOM
+
+    host = U.SQL_URL_HOST.format(c="url")
+    return f"""
+        WITH u AS (
+            SELECT doc_id, {host} AS host
+            FROM (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents)
+        ), b AS (
+            SELECT doc_id, host,
+                   ('0x' || substr(md5(doc_id || ':hostcap'), 1, 8))::BIGINT
+                       % {SAMPLE_DENOM} AS bkt
+            FROM u
+        )
+        SELECT doc_id, host,
+               CAST(row_number() OVER (PARTITION BY host ORDER BY bkt, doc_id)
+                    AS INT) AS cap_rank,
+               row_number() OVER (PARTITION BY host ORDER BY bkt, doc_id) <= 15
+                   AS kept
+        FROM b
+    """
+
+
+def _robots_filter_oracle() -> str:
+    from ocr_spark.functions import urls as U
+
+    host = U.SQL_URL_HOST.format(c="url")
+    path = U.SQL_URL_PATH.format(c="url")
+    return f"""
+        WITH u AS (
+            SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents
+        ), p AS (
+            SELECT doc_id, {host} AS host, {path} AS path FROM u
+        ), hosts AS (
+            SELECT DISTINCT host FROM p
+        ), robots AS (
+            SELECT host,
+                   'User-agent: *' || chr(10) || 'Disallow: /p/1' || chr(10)
+                   || 'Disallow:' || chr(10) || 'Crawl-delay: 5' ||
+                   CASE WHEN CAST(regexp_extract(host, 'h(\\d+)\\.', 1) AS INT)
+                             % 2 = 0
+                        THEN chr(10) || 'disallow: /p/2' ELSE '' END AS txt
+            FROM hosts
+        ), rlines AS (
+            SELECT host, trim(unnest(string_split(txt, chr(10)))) AS lt
+            FROM robots
+        ), rules AS (
+            SELECT DISTINCT host, trim(substr(lt, 10)) AS prefix FROM rlines
+            WHERE starts_with(lower(lt), 'disallow:')
+              AND trim(substr(lt, 10)) <> ''
+        ), hit AS (
+            SELECT DISTINCT dp.host, dp.path
+            FROM (SELECT DISTINCT host, path FROM p) dp
+            JOIN rules r ON dp.host = r.host
+                        AND starts_with(dp.path, r.prefix)
+        )
+        SELECT p.doc_id, p.host, p.path, (h.host IS NULL) AS allowed
+        FROM p LEFT JOIN hit h ON p.host = h.host AND p.path = h.path
+    """
+
+
 def _line_dedup_oracle() -> str:
     """DuckDB twin of q_line_dedup: same page assembly, same 60-bit md5
     line hash, doc-frequency > max_df removal, ordered string_agg
@@ -1380,6 +1481,8 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": _clean_corpus_oracle(),
         "dedup_increment": _dedup_increment_oracle(),
         "line_dedup": _line_dedup_oracle(),
+        "host_cap": _host_cap_oracle(),
+        "robots_filter": _robots_filter_oracle(),
         "shard_assignment": """
             WITH k AS (
                 SELECT doc_id,

@@ -51,3 +51,22 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
             F.col(stratum_col) == value, F.lit(int(rate * SAMPLE_DENOM))
         ).otherwise(cutoff)
     return df.where(sample_bucket(key_col, salt) < cutoff)
+
+
+def cap_per_group(df: DataFrame, group_col: str, k: int,
+                  id_col: str = "doc_id", salt: str = "hostcap") -> DataFrame:
+    """Deterministic per-group downsampling cap: keep at most ``k`` rows
+    per group (the over-represented-host control every crawl mix needs —
+    without it one mega-host dominates whatever it touches). Which rows
+    survive is a pure function of (id, salt): rows rank by the same
+    portable md5 bucket ``sample_bucket`` uses (ties by id), and rank > k
+    drops. One exchange on the group key; the per-group sort is bounded
+    by group size. Returns the input rows + (cap_rank, kept)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_bucket(id_col, salt), F.col(id_col)
+    )
+    return df.withColumn("cap_rank", F.row_number().over(w)).withColumn(
+        "kept", F.col("cap_rank") <= k
+    )
