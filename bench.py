@@ -72,7 +72,8 @@ BENCH_QUERIES = (
     "asof_join chunk_documents pack_sequences winnow_pairs group_quantiles "
     "tfidf_terms stratified_sample contamination "
     "quality_filter lm_score url_parts host_stats warc_roundtrip "
-    "dedup_clusters clean_corpus line_dedup shard_assignment dedup_increment"
+    "dedup_clusters clean_corpus line_dedup shard_assignment dedup_increment "
+    "host_cap robots_filter"
 ).split()
 
 
