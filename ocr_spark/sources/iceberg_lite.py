@@ -260,7 +260,13 @@ class IcebergLiteTable:
             parts.append(reader.parquet(*sorted(dirs)))
         df = parts[0]
         for p in parts[1:]:
-            df = df.unionByName(p)
+            # schema evolution (Iceberg add/drop-column semantics): snapshots
+            # written with different schemas union on the column-name union,
+            # absent columns reading as NULL — old rows get NULL for columns
+            # added later, and a column dropped from new snapshots survives
+            # for old rows. Column order follows the oldest snapshot, new
+            # columns appended (deterministic: bases sort by snapshot dir).
+            df = df.unionByName(p, allowMissingColumns=True)
         return df
 
     def read_at(self, spark: SparkSession, sequence: int,
@@ -285,7 +291,7 @@ class IcebergLiteTable:
                     parts.append(reader.parquet(*sorted(dirs)))
                 df = parts[0]
                 for p in parts[1:]:
-                    df = df.unionByName(p)
+                    df = df.unionByName(p, allowMissingColumns=True)
                 return df
         raise ValueError(f"no snapshot with sequence {sequence}")
 

@@ -211,3 +211,32 @@ def test_pipeline_writes_prunable_partitioned_snapshots(spark, tmp_path):
     kinds = {e["partition"]["content_kind"] for e in entries}
     if len(kinds) > 1:
         assert len(t.select_entries(partition_eq={"content_kind": "html"})) < len(entries)
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg add-column semantics: snapshots written before a column
+    existed read NULL for it; time travel to the old sequence still sees
+    the old schema's data unchanged."""
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "evo"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"))
+    t.append(
+        spark.createDataFrame(
+            [(3, "c", 0.5)], "id long, name string, score double"
+        )
+    )
+    rows = {r["id"]: (r["name"], r["score"]) for r in t.read(spark).collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5)}
+    old = t.read_at(spark, 0)
+    assert old.columns == ["id", "name"] and old.count() == 2
+
+
+def test_schema_evolution_dropped_column_survives_for_old_rows(spark, tmp_path):
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "evo2"))
+    t.append(spark.createDataFrame([(1, "x")], "id long, legacy string"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    rows = {r["id"]: r["legacy"] for r in t.read(spark).collect()}
+    assert rows == {1: "x", 2: None}
