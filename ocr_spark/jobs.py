@@ -103,6 +103,23 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_expire(args: argparse.Namespace) -> int:
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(f"{args.table_root}/{args.table}")
+    if not t.exists():
+        print("no committed snapshots", file=sys.stderr)
+        return 1
+    res = t.expire_snapshots(keep_last=args.keep_last)
+    orphans = t.remove_orphans()
+    print(
+        f"expired {res['manifests_removed']} snapshots, "
+        f"reclaimed {res['dirs_removed']} data dirs, "
+        f"removed {len(orphans)} orphan dirs"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ocr_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -135,8 +152,17 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--target-partitions", type=int, default=64)
     co.set_defaults(fn=cmd_compact)
 
+    exp = sub.add_parser(
+        "expire", help="expire old snapshots and remove orphan data dirs"
+    )
+    exp.add_argument("--table-root", required=True)
+    exp.add_argument("--table", default="extracted")
+    exp.add_argument("--keep-last", type=int, default=3)
+    exp.set_defaults(fn=cmd_expire)
+
     args = p.parse_args(argv)
-    from .core.rules import assert_rules_sane
+    # absolute import: spark-submit runs this file as a top-level script
+    from ocr_spark.core.rules import assert_rules_sane
 
     assert_rules_sane()  # P5: rule-table sanity gates every CLI job at load
     return args.fn(args)

@@ -317,3 +317,56 @@ class IcebergLiteTable:
             partition_by=partition_by,
             stats_cols=stats_cols,
         )
+
+    # -- maintenance (Iceberg's expire_snapshots / remove_orphan_files) -------
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest ``keep_last`` snapshots and delete data
+        dirs no surviving snapshot references (Iceberg's expire_snapshots).
+        Time travel to expired sequences stops working — that is the point:
+        the storage they pinned is reclaimed. Readers of surviving
+        snapshots are untouched (their entries are preserved verbatim).
+        Returns {"manifests_removed": n, "dirs_removed": n}."""
+        import shutil
+
+        ms = self._manifests()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        drop, keep = ms[:-keep_last], ms[-keep_last:]
+        live = set()
+        for name in keep:
+            for e in self._entries_of(self._load(name)):
+                live.add(os.path.realpath(e["dir"]))
+        removed_dirs = 0
+        for name in drop:
+            for e in self._entries_of(self._load(name)):
+                d = os.path.realpath(e["dir"])
+                if d not in live and os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed_dirs += 1
+                    live.add(d)  # count each dir once
+            os.remove(os.path.join(self._manifest_dir, name))
+        return {"manifests_removed": len(drop), "dirs_removed": removed_dirs}
+
+    def remove_orphans(self) -> list[str]:
+        """Delete data dirs referenced by NO manifest — the leftovers of a
+        crash between data write and manifest rename (the crash-injection
+        window tests/test_resume.py exercises). Never touches a referenced
+        dir, so it is safe to run concurrently with readers. Returns the
+        removed dirs."""
+        import shutil
+
+        referenced = set()
+        for snap in self.snapshots():
+            for e in self._entries_of(snap):
+                # entries may be partition subdirs: the snapshot dir is the
+                # unit of write, so protect each entry's base (and itself)
+                referenced.add(os.path.realpath(e.get("base", e["dir"])))
+                referenced.add(os.path.realpath(e["dir"]))
+        removed = []
+        if os.path.isdir(self._data_dir):
+            for d in sorted(os.listdir(self._data_dir)):
+                full = os.path.realpath(os.path.join(self._data_dir, d))
+                if full not in referenced:
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(full)
+        return removed

@@ -240,3 +240,47 @@ def test_schema_evolution_dropped_column_survives_for_old_rows(spark, tmp_path):
     t.append(spark.createDataFrame([(2,)], "id long"))
     rows = {r["id"]: r["legacy"] for r in t.read(spark).collect()}
     assert rows == {1: "x", 2: None}
+
+
+def test_expire_snapshots_keeps_cumulative_chain_data(spark, tmp_path):
+    """Append manifests are cumulative: expiring old APPEND snapshots drops
+    manifests (time travel) but must not delete any dir the surviving
+    snapshot still references."""
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "exp"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "id long"))
+    res = t.expire_snapshots(keep_last=1)
+    assert res == {"manifests_removed": 2, "dirs_removed": 0}
+    assert sorted(r["id"] for r in t.read(spark).collect()) == [0, 1, 2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read_at(spark, 0)
+
+
+def test_expire_snapshots_reclaims_overwritten_data(spark, tmp_path):
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "exp2"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.overwrite(spark.createDataFrame([(2,)], "id long"))
+    res = t.expire_snapshots(keep_last=1)
+    assert res["manifests_removed"] == 1 and res["dirs_removed"] == 1
+    assert [r["id"] for r in t.read(spark).collect()] == [2]
+
+
+def test_remove_orphans_only_touches_unreferenced(spark, tmp_path):
+    import os
+
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "orph"))
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    orphan = os.path.join(str(tmp_path / "orph"), "data", "deadbeef")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "part-crashed.parquet"), "w").close()
+    removed = t.remove_orphans()
+    assert [os.path.basename(d) for d in removed] == ["deadbeef"]
+    assert [r["id"] for r in t.read(spark).collect()] == [1]
