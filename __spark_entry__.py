@@ -697,6 +697,29 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(assembled)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-run audit table (K5/A5-A8 at corpus level): per cleaning
+    disposition, document counts and mean quality/LM measurements. Exact
+    DuckDB twin composes the clean-corpus, quality, and LM oracles."""
+    from ocr_spark.operators.corpus import clean_corpus
+    from ocr_spark.operators.quality import bigram_lm_scores, quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    cc = clean_corpus(d)
+    qf = quality_filter(d).select("doc_id", "n_words")
+    lm = bigram_lm_scores(d).select("doc_id", "lm_logprob")
+    return (
+        cc.join(qf, "doc_id")
+        .join(lm, "doc_id")
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_words"), 2).alias("avg_words"),
+            F.round(F.avg("lm_logprob"), 4).alias("avg_lm_logprob"),
+        )
+    )
+
+
 def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard export: seeded md5 shuffle key ->
     shard + stable in-shard position. Exact DuckDB twin."""
@@ -845,6 +868,7 @@ _QUERIES = {
         "winnow_pairs": q_winnow_pairs,
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
+        "corpus_report": q_corpus_report,
         "shard_assignment": q_shard_assignment,
         "dedup_increment": q_dedup_increment,
         "line_dedup": q_line_dedup,
@@ -1474,11 +1498,28 @@ def _clean_corpus_oracle() -> str:
     """
 
 
+def _corpus_report_oracle() -> str:
+    """DuckDB twin of q_corpus_report: the member oracles as CTE
+    subqueries joined on doc_id, grouped by disposition stage."""
+    return f"""
+        WITH cc AS ({_clean_corpus_oracle()}),
+        qr AS ({_quality_filter_oracle()}),
+        lmr AS ({_lm_score_oracle()})
+        SELECT cc.stage, count(*) AS n_docs,
+               round(avg(qr.n_words), 2) AS avg_words,
+               round(avg(lmr.lm_logprob), 4) AS avg_lm_logprob
+        FROM cc JOIN qr ON cc.doc_id = qr.doc_id
+                JOIN lmr ON cc.doc_id = lmr.doc_id
+        GROUP BY cc.stage
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = {
         "minhash_pairs": _minhash_oracle(),
         "dedup_clusters": _dedup_clusters_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
+        "corpus_report": _corpus_report_oracle(),
         "dedup_increment": _dedup_increment_oracle(),
         "line_dedup": _line_dedup_oracle(),
         "host_cap": _host_cap_oracle(),
