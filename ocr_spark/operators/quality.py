@@ -61,45 +61,70 @@ def quality_filter(
     order (too_short, too_long, word_len, symbol_heavy, repetitive) so
     the label is deterministic; NULL when kept.
 
-    Plan shape: one explode, a (id, token) count aggregation, a second
-    per-id aggregation (word count / mean length / modal-token count all
-    fold into it), then one join back to the per-doc symbol ratio — every
-    document survives to the output with its measurements, so the same
-    result drives both "keep the clean corpus" and "audit what was
-    dropped and why"."""
+    Plan shape: PER-ROW expressions only — zero exchanges. Even the
+    modal-token count (the "repetitive" measurement, seemingly a
+    count-per-token aggregation) folds per row: sort the token array and
+    take the longest run of equal adjacent tokens with ``F.aggregate``.
+    An earlier revision exploded tokens through two hash aggregations +
+    a join for the same numbers; the per-row form computes identical
+    values with no shuffle at all, which also makes the operator
+    STATELESS — it applies unchanged to a readStream (the streaming
+    quality gate, tested in test_streaming_multimodal.py). The DuckDB
+    twin keeps the relational groupBy formulation: same semantics, and
+    the parity test is exactly the proof the two formulations agree."""
     canon = normalized_for_fingerprint(text_col)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.round(
-            F.length(F.regexp_replace(canon, "[a-z0-9 ]", ""))
-            / F.greatest(F.length(canon), F.lit(1)),
-            4,
-        ).alias("symbol_ratio"),
-        _tokens(text_col).alias("toks"),
-    )
-    tok_counts = (
-        base.select("id", F.explode("toks").alias("tok"))
-        .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    stats = tok_counts.groupBy("id").agg(
-        F.sum("c").alias("n_words"),
-        F.round(F.sum(F.col("c") * F.length("tok")) / F.sum("c"), 4).alias(
-            "mean_word_len"
+    n = F.size("toks")
+    sorted_toks = F.array_sort("toks")
+    run_state = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         ),
-        F.max("c").alias("top_c"),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
     )
     joined = (
-        base.select("id", "symbol_ratio")
-        .join(stats, "id", "left")
+        df.select(
+            F.col(id_col).alias("id"),
+            F.round(
+                F.length(F.regexp_replace(canon, "[a-z0-9 ]", ""))
+                / F.greatest(F.length(canon), F.lit(1)),
+                4,
+            ).alias("symbol_ratio"),
+            _tokens(text_col).alias("toks"),
+        )
         .select(
             "id",
-            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            "symbol_ratio",
+            n.cast("long").alias("n_words"),
+            F.when(
+                n > 0,
+                F.round(
+                    F.aggregate(
+                        "toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+                    )
+                    / n,
+                    4,
+                ),
+            ).alias("mean_word_len"),
+            F.when(n > 0, run_state.getField("best")).alias("top_c"),
+        )
+        .select(
+            "id",
+            "n_words",
             "mean_word_len",
             "symbol_ratio",
-            F.round(
-                F.col("top_c") / F.coalesce("n_words", F.lit(1)), 4
-            ).alias("top_word_ratio"),
+            F.round(F.col("top_c") / F.greatest("n_words", F.lit(1)), 4).alias(
+                "top_word_ratio"
+            ),
         )
     )
     reason = (

@@ -86,13 +86,17 @@ def test_ivf_assignment_has_partial_argmax(spark):
     assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,16)]" in plan
 
 
-def test_quality_filter_stays_jvm_with_partial_agg(spark):
+def test_quality_filter_is_zero_shuffle_projection(spark):
     plan = _plan(spark, "quality_filter")
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert node not in plan, node
-    # the (id, token) counts combine map-side before both exchanges
-    assert "partial_count" in plan or "partial_sum" in plan
-    assert _tree(plan).count("Exchange") <= 3  # token counts + id stats (+AQE broadcast)
+    # per-row formulation: even the modal-token count folds inside the row
+    # (sorted-array longest-run), so the whole filter is a projection —
+    # no exchange, no explode, stateless (streaming-safe)
+    tree = _tree(plan)
+    assert "Exchange" not in tree
+    assert "Generate" not in tree
+    assert tree.count("Scan parquet") == 1
 
 
 def test_lm_score_stays_jvm_and_broadcasts_count_tables(spark):

@@ -197,3 +197,39 @@ def test_image_resize_geometry(spark):
     # aspect ratio preserved within integer floor error
     shrunk = ok[ok.width > 512]
     assert ((shrunk.resized_w == 512) | (shrunk.resized_h == 512)).all()
+
+
+def test_quality_filter_applies_to_streams(spark, tmp_path):
+    """The per-row quality filter is stateless, so the SAME operator runs
+    unchanged over a readStream and matches its batch output exactly —
+    the streaming quality gate costs zero extra code."""
+    from ocr_spark.operators.quality import quality_filter
+
+    src = str(tmp_path / "qdocs")
+    docs = spark.createDataFrame(
+        [(i, ("word salad entry " * (3 + i % 20)) if i % 5 else "tiny")
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "qout")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        quality_filter(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = (
+        spark.read.parquet(out).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        quality_filter(docs).toPandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
