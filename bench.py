@@ -25,9 +25,10 @@ Env knobs:
   OCR_BENCH_PAGES      (default 120000)
   OCR_BENCH_SCALING    (default 1; 0 skips the two-level scaling runs)
   OCR_BENCH_REPS       (default 3; headline + query reps)
-  OCR_BENCH_SCALE_REPS (default 2; reps per burst — each level runs two
-                        bursts separated by OCR_BENCH_SCALE_GAP_S idle
-                        seconds [default 90] in one warm JVM, min of all)
+  OCR_BENCH_SCALE_REPS (default 2; reps per burst — each level runs
+                        OCR_BENCH_SCALE_BURSTS bursts [default 3]
+                        separated by OCR_BENCH_SCALE_GAP_S idle seconds
+                        [default 90] in one warm JVM, min of all)
 """
 
 from __future__ import annotations
@@ -107,22 +108,28 @@ def run_extract_job(spark, pages_dir: str, out_dir: str) -> float:
 SCALE_GAP_S = int(os.environ.get("OCR_BENCH_SCALE_GAP_S", "90"))
 
 
+SCALE_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_BURSTS", "3"))
+
+
 def scale_worker(cores: int) -> None:
-    """Subprocess mode (pinned via taskset by the parent): warmup, then TWO
-    measurement bursts separated by an idle gap — time-diversified samples
-    from one warm JVM (contention episodes on this shared box last minutes;
-    back-to-back reps all land in the same episode). Prints min wall."""
+    """Subprocess mode (pinned via taskset by the parent): warmup, then
+    ``SCALE_BURSTS`` measurement bursts separated by idle gaps — time-
+    diversified samples from one warm JVM. Contention episodes on this
+    shared box last minutes, so back-to-back reps all land in the same
+    episode; spreading bursts over ~2x the gap makes it likely at least
+    one burst samples an uncontended window (a burst that CAUGHT
+    contention shows up as efficiency > 1 on the pair, which the min
+    across bursts then discards). Prints min wall."""
     spark = get_spark(master=f"local[{cores}]", app_name=f"ocr-spark-scale-{cores}")
     run_extract_job(spark, PAGES_DIR, f"/tmp/ocr_spark_bench/warm_{cores}")  # warmup
-    walls = [
-        run_extract_job(spark, PAGES_DIR, f"/tmp/ocr_spark_bench/out_{cores}")
-        for _ in range(REPS)
-    ]
-    time.sleep(SCALE_GAP_S)  # idle: pinned cores released to the OS
-    walls += [
-        run_extract_job(spark, PAGES_DIR, f"/tmp/ocr_spark_bench/out_{cores}")
-        for _ in range(REPS)
-    ]
+    walls = []
+    for burst in range(SCALE_BURSTS):
+        if burst:
+            time.sleep(SCALE_GAP_S)  # idle: pinned cores released to the OS
+        walls += [
+            run_extract_job(spark, PAGES_DIR, f"/tmp/ocr_spark_bench/out_{cores}")
+            for _ in range(REPS)
+        ]
     spark.stop()
     print(json.dumps({"cores": cores, "walls": walls, "min_wall": min(walls)}))
 
