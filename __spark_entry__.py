@@ -788,10 +788,14 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.session import EXTRACTED_SCHEMA
     from ocr_spark.streaming.extract_stream import extract_stream, read_pages_stream
 
-    # deterministic scratch dir keyed by sf_dir: repeated driver/bench runs
-    # reuse one directory instead of leaking a fresh mkdtemp per call
+    # scratch dir keyed by (sf_dir, pid): repeated runs in ONE process reuse
+    # a directory (no mkdtemp leak), while concurrent processes (parallel
+    # pytest workers, driver + bench) can't rmtree each other's in-flight
+    # checkpoint/sink
+    import os
+
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    base = f"/tmp/ocr_spark_stream_q/{key}"
+    base = f"/tmp/ocr_spark_stream_q/{key}-{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)  # fresh checkpoint each run
     pages_from_documents(spark, sf_dir).limit(200).write.mode("overwrite").parquet(
         f"{base}/in"

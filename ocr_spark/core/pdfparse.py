@@ -30,7 +30,10 @@ _RE_STREAM = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
 # direct /Length only; negative lookahead rejects indirect refs of ANY
 # generation (/Length 4 0 R, /Length 4 1 R, ...) — a gen>0 ref parsed as a
 # direct length would silently truncate the stream body
-_RE_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\s*\d+\s+R)")
+# (?!\\d) pins the group to the FULL number first: without it the regex
+# engine backtracks \\d+ to a digit prefix where the indirect-ref
+# lookahead no longer sees "NN R" (/Length 41 0 R matched as length 4)
+_RE_LENGTH = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s*\d+\s+R)")
 _RE_TEXT_SHOW = re.compile(
     rb"\((?P<s>(?:\\.|[^\\()])*)\)\s*(?P<op>Tj|'|\")|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ"
     rb"|(?P<nl>T\*|TD|Td|ET)"

@@ -51,8 +51,11 @@ def url_path(c) -> Column:
 
 
 def url_query(c) -> Column:
-    """Raw query string (no '?'), '' when absent."""
-    return F.regexp_extract(_col(c), r"\?([^#]*)", 1)
+    """Raw query string (no '?'), '' when absent. The leading ``[^#]*``
+    anchors the '?' BEFORE any fragment — a bare ``\\?([^#]*)`` would
+    match a '?' inside the fragment ('/p#frag?x=1') and leak fragment
+    content into the canonical query."""
+    return F.regexp_extract(_col(c), r"^[^#]*\?([^#]*)", 1)
 
 
 def url_query_canonical(c) -> Column:
@@ -97,7 +100,7 @@ SQL_URL_PATH = (
     "CASE WHEN regexp_extract({c}, '://[^/?#]*([^?#]*)', 1) = '' THEN '/' "
     "ELSE regexp_extract({c}, '://[^/?#]*([^?#]*)', 1) END"
 )
-SQL_URL_QUERY = "regexp_extract({c}, '\\?([^#]*)', 1)"
+SQL_URL_QUERY = "regexp_extract({c}, '^[^#]*\\?([^#]*)', 1)"
 SQL_URL_QUERY_CANON = (
     # coalesce: DuckDB's array_to_string yields NULL (not '') on an empty list
     "coalesce(array_to_string(list_sort([p for p in string_split("

@@ -137,9 +137,21 @@ def pack_sequences(chunks: DataFrame, seq_tokens: int = 256,
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism * 2
 
-    ranged = chunks.repartitionByRange(
-        num_partitions, F.asc(id_col), F.asc("chunk_idx")
-    ).withColumn("_pid", F.spark_partition_id())
+    # persist: the totals pass and the final pass are two separate jobs, and
+    # without caching each would re-execute the range exchange — whose
+    # boundary SAMPLING can differ between executions on large inputs,
+    # shifting rows across _pid between the two passes and misaligning the
+    # broadcast offsets. Caching pins one materialized partitioning for both
+    # passes (and on cache eviction the recompute reuses the already-written
+    # shuffle output, which is equally stable).
+    from .dedup import _persist_scoped
+
+    ranged = _persist_scoped(
+        "pack_ranged",
+        chunks.repartitionByRange(
+            num_partitions, F.asc(id_col), F.asc("chunk_idx")
+        ).withColumn("_pid", F.spark_partition_id()),
+    )
 
     totals = (
         ranged.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))

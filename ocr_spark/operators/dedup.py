@@ -582,7 +582,11 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     lh = F.conv(F.substring(F.md5(F.trim(F.col("line"))), 1, 15), 16, 10).cast("long")
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        # \r?\n: CRLF documents would otherwise carry a trailing \r on
+        # every line — Spark trim strips spaces only, so "blank" lines
+        # ('\r') would count as content and the same line would hash
+        # differently in CRLF vs LF documents
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
     ).withColumn("lh", lh)
 
     hot = (

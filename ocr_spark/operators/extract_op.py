@@ -60,6 +60,46 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield frame
 
 
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf ('134217728b', '128m', plain int)."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    mult = units.get(raw[-1:], None)
+    if mult is not None and raw[:-1].isdigit():
+        return int(raw[:-1]) * mult
+    return int(raw) if raw.isdigit() else default
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int:
+    """Spark file-source bin-packing estimate: effective bytes =
+    sum(file size + openCostInBytes), partitions ~= ceil(effective /
+    maxPartitionBytes). Returns 0 (=> caller shuffles) when the input is
+    not a file scan or sizes are unreachable."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    if not files:
+        return 0
+    spark = df.sparkSession
+    max_pb = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return 0  # remote store: sizes not reachable driver-side here
+        try:
+            total += os.path.getsize(p.path) + open_cost
+        except OSError:
+            return 0
+    return max(1, math.ceil(total / max(max_pb, 1)))
+
+
 def extract_pages(
     df: DataFrame,
     num_partitions: int | None = None,
@@ -81,14 +121,17 @@ def extract_pages(
     if num_partitions is None:
         num_partitions = parallelism * 2
     if repartition == "auto":
-        # file-count probe (no DataFrame->RDD conversion plan): a file scan
-        # with fewer files than task slots can't fill the cluster, so shuffle;
-        # non-file sources (empty inputFiles) also shuffle — the safe default
-        try:
-            n_files = len(df.inputFiles())
-        except Exception:
-            n_files = 0
-        repartition = n_files < parallelism
+        # Estimate the SCAN partition count the way Spark's file source
+        # bins files — ceil(sum(size + openCost) / maxPartitionBytes) —
+        # and shuffle only when that can't fill the task slots. Raw file
+        # COUNT measures the wrong quantity in both directions: many tiny
+        # files bin-pack into few scan partitions (need the shuffle even
+        # though n_files >= slots), and one huge splittable parquet file
+        # yields many partitions (shuffle pointless even though
+        # n_files == 1). Metadata-only probe: paths + local sizes, no
+        # DataFrame->RDD conversion, no job. Non-file sources (empty
+        # inputFiles) or unreachable sizes shuffle — the safe default.
+        repartition = _estimated_scan_partitions(df) < parallelism
     if repartition:
         pruned = salted_repartition(pruned, num_partitions, salt_buckets=salt_buckets)
     return pruned.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)

@@ -29,8 +29,12 @@ from ..functions.urls import url_host, url_path
 def robots_disallow_rules(
     robots: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
 ) -> DataFrame:
-    """(host, prefix) for every non-empty Disallow directive."""
-    line = F.explode(F.split(F.col(robots_col), "\n")).alias("line")
+    """(host, prefix) for every non-empty Disallow directive. Lines split
+    on ``\\r?\\n``: robots.txt fetched over HTTP is almost always CRLF,
+    and Spark's ``trim`` strips spaces only — splitting on bare ``\\n``
+    would leave a trailing ``\\r`` on every prefix and silently defeat
+    every rule (pinned by the CRLF test)."""
+    line = F.explode(F.split(F.col(robots_col), "\r?\n")).alias("line")
     lines = robots.select(F.col(host_col).alias("host"), line)
     lt = F.trim("line")
     # strip the 9-char 'Disallow:' head, not split-on-colon — paths may

@@ -58,7 +58,14 @@ class IcebergLiteTable:
     def _manifests(self) -> list[str]:
         if not os.path.isdir(self._manifest_dir):
             return []
-        return sorted(f for f in os.listdir(self._manifest_dir) if f.endswith(".json"))
+        # exclude '.tmp-*.json': a crash between write and rename leaves a
+        # possibly-truncated tmp manifest that must never be read as a
+        # snapshot (json.load would poison every maintenance op)
+        return sorted(
+            f
+            for f in os.listdir(self._manifest_dir)
+            if f.endswith(".json") and not f.startswith(".")
+        )
 
     def _load(self, name: str) -> dict:
         with open(os.path.join(self._manifest_dir, name)) as f:
@@ -213,12 +220,22 @@ class IcebergLiteTable:
         ranges: {col: (lo, hi)} inclusive — drop entries whose recorded
           [min, max] for col does not overlap [lo, hi].
         """
+        from urllib.parse import unquote
+
         keep = []
         for e in self.entries():
             ok = True
             for col, v in (partition_eq or {}).items():
                 pv = e.get("partition", {}).get(col)
-                if pv is not None and str(pv) != str(v):
+                # recorded values come from Hive-escaped dir names
+                # ('a b' -> 'a%20b'); compare both forms so escapable
+                # characters never cause a FALSE prune (conservative:
+                # either representation matching keeps the entry)
+                if (
+                    pv is not None
+                    and str(pv) != str(v)
+                    and unquote(str(pv)) != str(v)
+                ):
                     ok = False
                     break
             if ok:
@@ -347,13 +364,21 @@ class IcebergLiteTable:
             os.remove(os.path.join(self._manifest_dir, name))
         return {"manifests_removed": len(drop), "dirs_removed": removed_dirs}
 
-    def remove_orphans(self) -> list[str]:
+    def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
         """Delete data dirs referenced by NO manifest — the leftovers of a
         crash between data write and manifest rename (the crash-injection
         window tests/test_resume.py exercises). Never touches a referenced
-        dir, so it is safe to run concurrently with readers. Returns the
-        removed dirs."""
+        dir, so it is safe to run concurrently with readers.
+
+        ``older_than_s``: only dirs whose mtime is at least this old are
+        deleted (real Iceberg's remove_orphan_files ``older_than`` guard)
+        — an IN-FLIGHT append's data dir is also unreferenced until its
+        manifest renames in, and deleting it would destroy data the
+        append is about to commit. Crash leftovers are by definition old;
+        a live write is by definition recent. Also removes stale
+        ``.tmp-*`` manifests past the same age. Returns the removed dirs."""
         import shutil
+        import time
 
         referenced = set()
         for snap in self.snapshots():
@@ -362,11 +387,17 @@ class IcebergLiteTable:
                 # unit of write, so protect each entry's base (and itself)
                 referenced.add(os.path.realpath(e.get("base", e["dir"])))
                 referenced.add(os.path.realpath(e["dir"]))
+        cutoff = time.time() - older_than_s
         removed = []
         if os.path.isdir(self._data_dir):
             for d in sorted(os.listdir(self._data_dir)):
                 full = os.path.realpath(os.path.join(self._data_dir, d))
-                if full not in referenced:
+                if full not in referenced and os.path.getmtime(full) < cutoff:
                     shutil.rmtree(full, ignore_errors=True)
                     removed.append(full)
+        if os.path.isdir(self._manifest_dir):
+            for f in os.listdir(self._manifest_dir):
+                full = os.path.join(self._manifest_dir, f)
+                if f.startswith(".tmp-") and os.path.getmtime(full) < cutoff:
+                    os.remove(full)
         return removed

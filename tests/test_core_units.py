@@ -222,3 +222,14 @@ class TestExtractRecord:
         r = extract_record("u", html, None, "en")
         assert r["bytes_in"] == len(html)
         assert r["bytes_out"] == len(r["text"].encode("utf-8")) > 0
+
+
+def test_pdf_length_regex_rejects_multidigit_indirect_refs():
+    """Backtracking trap: /Length 41 0 R must NOT match as direct length 4
+    (the regex engine shrinks \\d+ until the lookahead stops seeing 'N R')."""
+    from ocr_spark.core.pdfparse import _RE_LENGTH
+
+    assert _RE_LENGTH.search(b"/Length 41 0 R") is None
+    assert _RE_LENGTH.search(b"/Length 123 7 R") is None
+    assert _RE_LENGTH.search(b"/Length 4 1 R") is None
+    assert _RE_LENGTH.search(b"/Length 41 >>").group(1) == b"41"

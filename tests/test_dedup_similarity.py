@@ -284,3 +284,17 @@ def test_line_dedup_partitioning_invariance(spark):
     a = sorted(line_dedup(df, max_df=3).collect())
     b = sorted(line_dedup(df.repartition(5), max_df=3).collect())
     assert a == b
+
+
+def test_line_dedup_crlf_documents(spark):
+    """CRLF docs: blank lines ('\\r\\n\\r\\n') stay structural, and the same
+    line dedups identically across CRLF and LF documents."""
+    from ocr_spark.operators.dedup import line_dedup
+
+    rows = [(i, "SHARED HEADER\r\n\r\nbody {}\r\nSHARED TAIL".format(i))
+            for i in range(10)] + [(99, "SHARED HEADER\nbody 99\nSHARED TAIL")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup(df, max_df=4).collect()}
+    assert out[2]["text"] == "\nbody 2"      # header+tail hot across BOTH forms
+    assert out[2]["n_dropped"] == 2
+    assert out[99]["text"] == "body 99"      # LF doc shares the hot lines

@@ -281,6 +281,42 @@ def test_remove_orphans_only_touches_unreferenced(spark, tmp_path):
     orphan = os.path.join(str(tmp_path / "orph"), "data", "deadbeef")
     os.makedirs(orphan)
     open(os.path.join(orphan, "part-crashed.parquet"), "w").close()
-    removed = t.remove_orphans()
+    # default age guard: a FRESH unreferenced dir is an in-flight append's
+    # data, not a crash leftover — it must survive
+    assert t.remove_orphans() == []
+    removed = t.remove_orphans(older_than_s=0)
     assert [os.path.basename(d) for d in removed] == ["deadbeef"]
     assert [r["id"] for r in t.read(spark).collect()] == [1]
+
+
+def test_tmp_manifest_crash_leftover_is_invisible_and_cleaned(spark, tmp_path):
+    """A crash mid-manifest-write leaves .tmp-*.json; it must never be
+    read as a snapshot, and stale ones are swept by remove_orphans."""
+    import os
+
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    root = str(tmp_path / "tmpman")
+    t = IcebergLiteTable(root)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    broken = os.path.join(root, "manifests", ".tmp-deadbeef.json")
+    with open(broken, "w") as f:
+        f.write('{"snapshot_id": "dead', )  # truncated json
+    assert len(t.snapshots()) == 1          # tmp never parsed
+    t.expire_snapshots(keep_last=1)         # maintenance unaffected
+    t.remove_orphans(older_than_s=0)
+    assert not os.path.exists(broken)
+    assert [r["id"] for r in t.read(spark).collect()] == [1]
+
+
+def test_partition_pruning_survives_hive_escaping(spark, tmp_path):
+    """Partition values with escapable chars ('a b' -> 'a%20b' on disk)
+    must still match partition_eq on the RAW value — a false prune
+    silently returns zero rows for data that exists."""
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "esc"))
+    df = spark.createDataFrame([(1, "a b"), (2, "plain")], "id long, cat string")
+    t.append(df, partition_by="cat")
+    got = t.read(spark, partition_eq={"cat": "a b"})
+    assert [r["id"] for r in got.collect()] == [1]

@@ -52,3 +52,19 @@ def test_cap_per_group_ranks_dense(spark):
     df = spark.createDataFrame([(i, "x") for i in range(10)], "doc_id long, host string")
     out = cap_per_group(df, "host", k=3).toPandas()
     assert sorted(out.cap_rank) == list(range(1, 11))
+
+
+def test_robots_crlf_lines_parse_clean(spark):
+    """HTTP-fetched robots.txt is CRLF; prefixes must not carry \\r
+    (Spark trim strips spaces only — a trailing \\r would defeat every
+    rule silently)."""
+    robots = spark.createDataFrame(
+        [("c.com", "User-agent: *\r\nDisallow: /admin\r\nDisallow: /x\r\n")],
+        "host string, robots_txt string",
+    )
+    rules = {(r["host"], r["prefix"]) for r in robots_disallow_rules(robots).collect()}
+    assert rules == {("c.com", "/admin"), ("c.com", "/x")}
+
+    urls = spark.createDataFrame([(0, "https://c.com/admin/p")], "doc_id long, url string")
+    got = robots_filter(urls, robots_disallow_rules(robots)).first()
+    assert got["allowed"] is False

@@ -51,3 +51,9 @@ def test_param_order_invariance(spark):
     a = _parse(spark, "http://h.x/p?b=2&a=1")["canon"]
     b = _parse(spark, "http://h.x/p?a=1&b=2")["canon"]
     assert a == b == "http://h.x/p?a=1&b=2"
+
+
+def test_fragment_question_mark_is_not_a_query(spark):
+    got = _parse(spark, "https://example.com/p#frag?x=1")
+    assert got["q"] == ""
+    assert got["canon"] == "https://example.com/p"
