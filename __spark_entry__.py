@@ -649,10 +649,11 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robots-rules audit: deterministic per-host robots.txt (mixed-case
-    directives, an empty Disallow, a non-rule line) parsed by the
-    conservative stateless reader, prefix-matched against each url's
-    path. Exact DuckDB twin."""
+    """Robots-rules audit: deterministic per-host robots.txt (an
+    agent-specific deny-all group that must NOT leak into '*' traffic,
+    mixed-case directives, an empty Disallow, a non-rule line) parsed by
+    the group-aware reader, prefix-matched against each url's path.
+    Exact DuckDB twin."""
     from ocr_spark.functions import urls as U
     from ocr_spark.operators.robots import robots_disallow_rules, robots_filter
 
@@ -661,6 +662,10 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots = hosts.select(
         "host",
         F.concat(
+            # the badbot group's deny-all applies only to badbot: under the
+            # round-2 conservative (group-blind) reading every page would
+            # have been blocked — this row witnesses group-awareness
+            F.lit("User-agent: badbot\nDisallow: /\n\n"),
             F.lit("User-agent: *\nDisallow: /p/1\nDisallow:\nCrawl-delay: 5"),
             F.when(
                 F.regexp_extract("host", r"h(\d+)\.", 1).cast("int") % 2 == 0,
@@ -668,7 +673,7 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("robots_txt"),
     )
-    rules = robots_disallow_rules(robots)
+    rules = robots_disallow_rules(robots, agent="*")
     return robots_filter(u, rules).select("doc_id", "host", "path", "allowed")
 
 
@@ -1354,6 +1359,8 @@ def _robots_filter_oracle() -> str:
             SELECT DISTINCT host FROM p
         ), robots AS (
             SELECT host,
+                   'User-agent: badbot' || chr(10) || 'Disallow: /'
+                   || chr(10) || chr(10) ||
                    'User-agent: *' || chr(10) || 'Disallow: /p/1' || chr(10)
                    || 'Disallow:' || chr(10) || 'Crawl-delay: 5' ||
                    CASE WHEN CAST(regexp_extract(host, 'h(\\d+)\\.', 1) AS INT)
@@ -1361,12 +1368,35 @@ def _robots_filter_oracle() -> str:
                         THEN chr(10) || 'disallow: /p/2' ELSE '' END AS txt
             FROM hosts
         ), rlines AS (
-            SELECT host, trim(unnest(string_split(txt, chr(10)))) AS lt
-            FROM robots
+            SELECT host, i - 1 AS pos, trim(p[i]) AS lt
+            FROM (SELECT host, p, unnest(generate_series(1, len(p))) AS i
+                  FROM (SELECT host, regexp_split_to_array(txt, '\r?\n') AS p
+                        FROM robots))
+        ), lagged AS (
+            -- group fold, twin of robots_disallow_rules: a UA line starts a
+            -- group iff the previous line is not a UA line (stacked UA lines
+            -- share a group); running sum of group starts = group id
+            SELECT host, pos, lt,
+                   starts_with(lower(lt), 'user-agent:') AS is_ua,
+                   coalesce(lag(starts_with(lower(lt), 'user-agent:'))
+                            OVER (PARTITION BY host ORDER BY pos),
+                            false) AS prev_is_ua
+            FROM rlines
+        ), grouped AS (
+            SELECT host, pos, lt, is_ua,
+                   sum(CASE WHEN is_ua AND NOT prev_is_ua THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY host ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS gid
+            FROM lagged
+        ), star AS (
+            SELECT DISTINCT host, gid FROM grouped
+            WHERE is_ua AND lower(trim(substr(lt, 12))) = '*'
         ), rules AS (
-            SELECT DISTINCT host, trim(substr(lt, 10)) AS prefix FROM rlines
-            WHERE starts_with(lower(lt), 'disallow:')
-              AND trim(substr(lt, 10)) <> ''
+            SELECT DISTINCT g.host, trim(substr(g.lt, 10)) AS prefix
+            FROM grouped g JOIN star s ON g.host = s.host AND g.gid = s.gid
+            WHERE starts_with(lower(g.lt), 'disallow:')
+              AND trim(substr(g.lt, 10)) <> ''
         ), hit AS (
             SELECT DISTINCT dp.host, dp.path
             FROM (SELECT DISTINCT host, path FROM p) dp
@@ -1394,7 +1424,10 @@ def _line_dedup_oracle() -> str:
                    chr(10) || 'doc marker ' || doc_id AS text
             FROM documents
         ), parts AS (
-            SELECT doc_id AS id, string_split(text, chr(10)) AS p FROM asm
+            -- coalesce mirrors line_dedup's NULL-text guard: a NULL text
+            -- must come back as one empty line, not a vanished document
+            SELECT doc_id AS id, string_split(coalesce(text, ''), chr(10)) AS p
+            FROM asm
         ), lines AS (
             SELECT id, i - 1 AS pos, p[i] AS line,
                    ('0x' || substr(md5(trim(p[i])), 1, 15))::BIGINT AS lh
@@ -1640,20 +1673,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_assessment": """
             WITH v AS (
-                SELECT doc_id, n_chars, text,
+                SELECT doc_id, n_chars, text, lang,
                     (text IS NOT NULL AND length(text) > 0) AS c1,
                     (n_chars IS NOT NULL AND n_chars BETWEEN 1 AND 100000) AS c2,
                     (n_chars = length(text)) AS c3,
                     (lang IN ('en','zh','de','fr','es','ja')) AS c4
                 FROM documents
             ), w AS (
-                SELECT doc_id,
+                SELECT doc_id, lang,
                     COALESCE(n_chars, -1) AS n,
                     length(COALESCE(text, '')) AS ln,
                     round((CAST(COALESCE(c1,false) AS INT) + CAST(COALESCE(c2,false) AS INT)
                          + CAST(COALESCE(c3,false) AS INT) + CAST(COALESCE(c4,false) AS INT)) / 4.0, 4)
                       AS completeness
                 FROM v
+            ), g AS (
+                -- V7 group-conditioned band: per-lang expected n_chars band
+                SELECT *,
+                   CASE WHEN lang = 'zh' THEN 'zh'
+                        WHEN lang = 'en' THEN 'en'
+                        ELSE 'default' END AS lang_band,
+                   CASE WHEN lang = 'zh' THEN n BETWEEN 60 AND 450
+                        WHEN lang = 'en' THEN n BETWEEN 100 AND 600
+                        ELSE n BETWEEN 1 AND 100000 END AS chk_lang_band,
+                   CASE WHEN completeness >= 1.0 THEN 'excellent'
+                        WHEN completeness >= 0.75 THEN 'good'
+                        WHEN completeness >= 0.5 THEN 'fair'
+                        ELSE 'poor' END AS base_assessment
+                FROM w
             )
             SELECT doc_id,
                    CASE WHEN n >= 1 AND n < 20 THEN 'tiny'
@@ -1665,12 +1712,11 @@ def oracle_sql() -> dict[str, str]:
                    least(n, ln) >= 1 AS chk_min_estimate,
                    round(abs(n - ln) * 1.0 / greatest(n, ln, 1), 4) AS sym_ratio,
                    round(abs(n - ln) * 1.0 / greatest(n, ln, 1), 4) <= 0.05 AS chk_symmetry,
+                   lang_band, chk_lang_band,
                    completeness,
-                   CASE WHEN completeness >= 1.0 THEN 'excellent'
-                        WHEN completeness >= 0.75 THEN 'good'
-                        WHEN completeness >= 0.5 THEN 'fair'
-                        ELSE 'poor' END AS assessment
-            FROM w
+                   CASE WHEN NOT chk_lang_band AND base_assessment = 'excellent'
+                        THEN 'good' ELSE base_assessment END AS assessment
+            FROM g
         """,
         "corr_flags": f"""
             WITH c AS (

@@ -31,8 +31,13 @@ def url_scheme(c) -> Column:
 
 
 def url_authority(c) -> Column:
-    """Raw authority (may carry userinfo/port), '' when absent."""
-    return F.regexp_extract(_col(c), r"://([^/?#]+)", 1)
+    """Raw authority (may carry userinfo/port), '' when absent. Anchored
+    to a LEADING scheme so a schemeless/relative input carrying an
+    embedded absolute URL ('/redirect?to=http://evil.com/') never yields
+    the embedded host as its authority."""
+    return F.regexp_extract(
+        _col(c), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
+    )
 
 
 def url_host(c) -> Column:
@@ -45,17 +50,23 @@ def url_host(c) -> Column:
 
 
 def url_path(c) -> Column:
-    """Path component; '/' when empty."""
-    p = F.regexp_extract(_col(c), r"://[^/?#]*([^?#]*)", 1)
+    """Path component; '/' when empty. Scheme-anchored like
+    ``url_authority`` so embedded URLs in relative inputs don't donate a
+    path."""
+    p = F.regexp_extract(
+        _col(c), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
 def url_query(c) -> Column:
-    """Raw query string (no '?'), '' when absent. The leading ``[^#]*``
-    anchors the '?' BEFORE any fragment — a bare ``\\?([^#]*)`` would
-    match a '?' inside the fragment ('/p#frag?x=1') and leak fragment
-    content into the canonical query."""
-    return F.regexp_extract(_col(c), r"^[^#]*\?([^#]*)", 1)
+    """Raw query string (no '?'), '' when absent. The leading ``[^?#]*``
+    anchors on the FIRST '?' before any fragment: a greedy ``[^#]*``
+    would re-anchor on a literal '?' inside the query (legal per RFC
+    3986) and drop every param before it, and a bare ``\\?([^#]*)``
+    would match a '?' inside the fragment ('/p#frag?x=1') and leak
+    fragment content into the canonical query."""
+    return F.regexp_extract(_col(c), r"^[^?#]*\?([^#]*)", 1)
 
 
 def url_query_canonical(c) -> Column:
@@ -90,17 +101,18 @@ def url_canonicalize(c) -> Column:
 # --- exact SQL twins (DuckDB dialect; kept adjacent so drift is visible) ---
 
 SQL_URL_SCHEME = "lower(regexp_extract({c}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
-_SQL_AUTH = "regexp_extract({c}, '://([^/?#]+)', 1)"
+_SQL_AUTH = "regexp_extract({c}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)"
 SQL_URL_HOST = (
     "regexp_replace(regexp_replace(lower(regexp_replace(regexp_replace("
     + _SQL_AUTH
     + ", '^[^@]*@', ''), ':[0-9]*$', '')), '\\.$', ''), '^www\\.', '')"
 )
 SQL_URL_PATH = (
-    "CASE WHEN regexp_extract({c}, '://[^/?#]*([^?#]*)', 1) = '' THEN '/' "
-    "ELSE regexp_extract({c}, '://[^/?#]*([^?#]*)', 1) END"
+    "CASE WHEN regexp_extract({c}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    " = '' THEN '/' "
+    "ELSE regexp_extract({c}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END"
 )
-SQL_URL_QUERY = "regexp_extract({c}, '^[^#]*\\?([^#]*)', 1)"
+SQL_URL_QUERY = "regexp_extract({c}, '^[^?#]*\\?([^#]*)', 1)"
 SQL_URL_QUERY_CANON = (
     # coalesce: DuckDB's array_to_string yields NULL (not '') on an empty list
     "coalesce(array_to_string(list_sort([p for p in string_split("

@@ -23,10 +23,13 @@ convergence every node holds an edge to its component's minimum id. A
 adversarial chain-shaped duplicate clusters (A~B~C~... from transitive LSH
 hits) cost O(log n) shuffles, never O(n).
 
-Driver-side work per round is ONE scalar action (the changed-edge count for
-the convergence check) — the standard iterate-until-fixpoint pattern; no
-row data ever reaches the driver. Each round is eagerly localCheckpoint-ed
-to truncate lineage (unbounded plan growth is the canonical iterative-
+Driver-side work per round is one 2-scalar aggregate action (edge count +
+order-independent hash checksum for the convergence check) on top of the
+eager checkpoint's own job — the standard iterate-until-fixpoint pattern;
+no row data ever reaches the driver, and the exact set-equality verify
+(``exceptAll``) runs ONCE, only when the (count, checksum) fingerprint
+repeats, not every round. Each round is eagerly localCheckpoint-ed to
+truncate lineage (unbounded plan growth is the canonical iterative-
 DataFrame failure mode).
 
 The result is SQL-replayable: min-label components are exactly
@@ -75,9 +78,14 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``, where
     ``component`` is the minimum node id reachable from ``id``.
-    Alternates large-star / small-star until the edge set is stable
-    (checked with one count per round), then reads components off the
-    final star edges."""
+    Alternates large-star / small-star until the edge set is stable:
+    per round ONE cheap aggregate over the checkpointed edges — (count,
+    order-independent xxhash64 checksum) — and only when that fingerprint
+    repeats, a single exact ``exceptAll`` set-equality verify before
+    breaking (so the expensive set-diff job runs once per call, not once
+    per round), then reads components off the final star edges. Warns if
+    ``max_iter`` alternations exhaust without the edge set stabilizing —
+    downstream labels could then be non-minimal with no other signal."""
     work = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).cast("long").alias("u"),
@@ -86,7 +94,8 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    prev, prev_n = None, -1
+    prev, prev_fp = None, None
+    converged = False
     for _ in range(max_iter):
         # localCheckpoint (eager) BOTH materializes the round and truncates
         # the logical plan — without it each round's plan nests the previous
@@ -97,12 +106,31 @@ def connected_components(
         work = _star(_star(work, large=True), large=False).localCheckpoint(
             eager=True
         )
-        n = work.count()
-        if prev is not None and n == prev_n and work.exceptAll(prev).isEmpty():
+        row = work.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor of per-edge hashes is order-independent and can't
+            # overflow under ANSI (sum of longs can); the edge list is
+            # distinct so no duplicate pair ever self-cancels. With equal
+            # counts a matching xor makes set equality overwhelmingly
+            # likely — the one exceptAll below then makes it certain
+            F.bit_xor(F.xxhash64("u", "v")).alias("chk"),
+        ).collect()[0]
+        fp = (row["n"], row["chk"])
+        if prev is not None and fp == prev_fp and work.exceptAll(prev).isEmpty():
             # equal cardinality + empty one-sided difference = equal sets
             # (both are distinct edge lists)
+            converged = True
             break
-        prev, prev_n = work, n
+        prev, prev_fp = work, fp
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: edge set not stable after {max_iter} "
+            "alternations; component labels may be non-minimal",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # star edges point u -> component min v; the min itself appears only
     # on the v side, so union it back as its own representative
     comps = work.select(F.col("u").alias("id"), F.col("v").alias("component")).union(

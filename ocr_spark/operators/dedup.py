@@ -585,8 +585,12 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         # \r?\n: CRLF documents would otherwise carry a trailing \r on
         # every line — Spark trim strips spaces only, so "blank" lines
         # ('\r') would count as content and the same line would hash
-        # differently in CRLF vs LF documents
-        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "line"),
+        # differently in CRLF vs LF documents. coalesce: split(NULL)
+        # posexplodes to zero rows, which would silently DROP a NULL-text
+        # document from the output — every document must come back.
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\r?\n")
+        ).alias("pos", "line"),
     ).withColumn("lh", lh)
 
     hot = (

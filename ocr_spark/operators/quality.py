@@ -59,7 +59,10 @@ def quality_filter(
     (id, n_words, mean_word_len, symbol_ratio, top_word_ratio, kept,
     drop_reason). ``drop_reason`` is the FIRST failing rule in a fixed
     order (too_short, too_long, word_len, symbol_heavy, repetitive) so
-    the label is deterministic; NULL when kept.
+    the label is deterministic; NULL when kept. NULL text is coalesced
+    to '' up front so it grades as too_short (kept=False) instead of
+    falling through every NULL-valued rule to kept=True — PAGES_SCHEMA
+    text is nullable, and the DuckDB twin already coalesces.
 
     Plan shape: PER-ROW expressions only — zero exchanges. Even the
     modal-token count (the "repetitive" measurement, seemingly a
@@ -72,7 +75,8 @@ def quality_filter(
     quality gate, tested in test_streaming_multimodal.py). The DuckDB
     twin keeps the relational groupBy formulation: same semantics, and
     the parity test is exactly the proof the two formulations agree."""
-    canon = normalized_for_fingerprint(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    canon = normalized_for_fingerprint(text)
     n = F.size("toks")
     sorted_toks = F.array_sort("toks")
     run_state = F.aggregate(
@@ -99,7 +103,7 @@ def quality_filter(
                 / F.greatest(F.length(canon), F.lit(1)),
                 4,
             ).alias("symbol_ratio"),
-            _tokens(text_col).alias("toks"),
+            _tokens(text).alias("toks"),
         )
         .select(
             "id",

@@ -1,51 +1,93 @@
 """Robots-rules filtering for crawl pipelines.
 
 Before a page enters the corpus, pipelines honor (or at least audit
-against) the host's robots.txt. This module implements the CONSERVATIVE
-stateless reading used by several production crawlers: every
-``Disallow:`` directive in the file applies, regardless of which
-User-agent group it sits in — a superset of what any single agent is
-denied, so nothing an agent-specific parser would block ever slips
-through. That simplification is what makes the parse pure
-expressions (split -> filter -> trim; no per-line state machine, no
-Python) with an exact SQL twin; the trade-off is documented here, and a
-group-aware parser would slot in as a sequential fold over the same
-exploded lines.
+against) the host's robots.txt. This module implements the GROUP-AWARE
+reading of RFC 9309: lines fold into user-agent groups (one or more
+stacked ``User-agent:`` lines followed by rules), and a requesting agent
+obeys the group(s) naming it exactly, falling back to the ``*`` groups
+only when no exact group exists for that host. Rules appearing before
+any ``User-agent:`` line belong to no group and are ignored, per the RFC.
+
+The fold is still pure expressions — the per-line "state machine" is a
+host-partitioned running sum over the exploded lines (a UA line STARTS a
+new group iff the previous line is not itself a UA line, so stacked UA
+lines share a group) — with an exact SQL twin. Agent matching is exact
+token equality (lowercased), not the RFC's product-token prefix match; a
+crawl audit pins its own agent string, so the simplification is safe and
+documented here.
 
 Matching is prefix-based on the url path (the robots.txt core rule);
 empty ``Disallow:`` lines mean allow-everything and are dropped. The
-rules table is hosts x rules — vocabulary-sized — so the filter join
-broadcasts at any real corpus scale.
+rules table is hosts x rules — vocabulary-sized — so the group fold's
+windows (partitioned by host over robots.txt lines) and the filter join
+stay trivially cheap at any corpus scale, and the join side broadcasts.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.urls import url_host, url_path
 
 
 def robots_disallow_rules(
-    robots: DataFrame, host_col: str = "host", robots_col: str = "robots_txt"
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    agent: str = "*",
 ) -> DataFrame:
-    """(host, prefix) for every non-empty Disallow directive. Lines split
-    on ``\\r?\\n``: robots.txt fetched over HTTP is almost always CRLF,
-    and Spark's ``trim`` strips spaces only — splitting on bare ``\\n``
-    would leave a trailing ``\\r`` on every prefix and silently defeat
-    every rule (pinned by the CRLF test)."""
-    line = F.explode(F.split(F.col(robots_col), "\r?\n")).alias("line")
-    lines = robots.select(F.col(host_col).alias("host"), line)
-    lt = F.trim("line")
-    # strip the 9-char 'Disallow:' head, not split-on-colon — paths may
-    # legally contain ':' and must survive intact
-    prefix = F.trim(F.substring(lt, 10, 1 << 20))
-    return (
-        lines.where(F.lower(lt).startswith("disallow:"))
-        .select("host", prefix.alias("prefix"))
-        .where(F.col("prefix") != "")
-        .distinct()
+    """(host, prefix) for every non-empty Disallow directive in the
+    user-agent group(s) governing ``agent``: the groups naming it
+    exactly, else that host's ``*`` groups. Lines split on ``\\r?\\n``:
+    robots.txt fetched over HTTP is almost always CRLF, and Spark's
+    ``trim`` strips spaces only — splitting on bare ``\\n`` would leave
+    a trailing ``\\r`` on every prefix and silently defeat every rule
+    (pinned by the CRLF test)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\r?\n")).alias("pos", "line"),
     )
+    lt = F.trim("line")
+    w = Window.partitionBy("host").orderBy("pos")
+    marked = (
+        lines.select("host", "pos", lt.alias("lt"))
+        .withColumn("is_ua", F.lower("lt").startswith("user-agent:"))
+        .withColumn(
+            # stacked User-agent lines share one group: a UA line starts a
+            # group only when the previous line is not itself a UA line
+            "starts_group",
+            F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False)),
+        )
+        .withColumn("gid", F.sum(F.col("starts_group").cast("long")).over(w))
+    )
+    # strip the directive head by length, not split-on-colon — values may
+    # legally contain ':' and must survive intact
+    ua_val = F.lower(F.trim(F.substring(F.col("lt"), 12, 1 << 20)))
+    uas = marked.where("is_ua").select("host", "gid", ua_val.alias("ua"))
+    star = uas.where(F.col("ua") == "*").select("host", "gid").distinct()
+    if agent == "*":
+        applicable = star
+    else:
+        exact = (
+            uas.where(F.col("ua") == agent.lower())
+            .select("host", "gid")
+            .distinct()
+        )
+        # exact groups win per host; '*' groups apply only where none exist
+        applicable = exact.union(
+            star.join(exact.select("host").distinct(), "host", "left_anti")
+        ).distinct()
+
+    prefix = F.trim(F.substring(F.col("lt"), 10, 1 << 20))
+    dis = (
+        marked.where(F.lower("lt").startswith("disallow:"))
+        .select("host", "gid", prefix.alias("prefix"))
+        .where(F.col("prefix") != "")
+    )
+    # gid 0 = rules before any User-agent line: never joins (groups start
+    # at 1), which IS the RFC's "ignore ungrouped rules"
+    return dis.join(applicable, ["host", "gid"]).select("host", "prefix").distinct()
 
 
 def robots_filter(

@@ -101,6 +101,16 @@ LENGTH_BANDS = ((1, 20, "tiny"), (20, 100, "short"), (100, 2000, "normal"),
 
 SYMMETRY_TOL = 0.05
 
+# V7 group-conditioned bands (data_validator.py:364-380: the muscle-ratio
+# check whose acceptable range depends on the row's gender group): the
+# expected n_chars band depends on the document's LANG group — zh is
+# character-dense so long zh documents are suspect, en below 100 chars is
+# suspiciously thin — and everything else gets the wide default. The same
+# n_chars value can pass in one group and fail in another; that
+# group-dependence is the whole point of the check.
+LANG_CHAR_BANDS = {"zh": (60, 450), "en": (100, 600)}
+DEFAULT_CHAR_BAND = (1, 100000)
+
 
 def assess_documents(df: DataFrame) -> DataFrame:
     """Per-row assessment over documents — the deeper validator shapes:
@@ -115,6 +125,11 @@ def assess_documents(df: DataFrame) -> DataFrame:
       should agree within a relative tolerance): ``sym_ratio`` =
       |n_chars - length(text)| / greatest(both, 1) with ``chk_symmetry``
       at tolerance 0.05.
+    V7 group-conditioned band (data_validator.py:364-380, the
+      gender-specific muscle-ratio band): ``chk_lang_band`` gates n_chars
+      against the LANG group's expected band (LANG_CHAR_BANDS), so the
+      same length can pass as 'de' and fail as 'zh'; a failing group band
+      demotes an otherwise-excellent assessment to good.
     V9 assessment label (data_validator.py:474-521 rolls per-row scores
       into a graded label): excellent / good / fair / poor from the
       completeness fraction.
@@ -129,12 +144,23 @@ def assess_documents(df: DataFrame) -> DataFrame:
     diff = F.abs(n - ln)
     denom = F.greatest(n, ln, F.lit(1))
     sym_ratio = F.round(diff.cast("double") / denom.cast("double"), 4)
-    assessment = (
+    lang_band = F.lit("default")
+    chk_lang_band = n.between(*DEFAULT_CHAR_BAND)
+    for lang, (lo, hi) in LANG_CHAR_BANDS.items():
+        in_group = F.col("lang") == lang
+        lang_band = F.when(in_group, lang).otherwise(lang_band)
+        chk_lang_band = F.when(in_group, n.between(lo, hi)).otherwise(
+            chk_lang_band
+        )
+    base_assessment = (
         F.when(F.col("completeness") >= 1.0, "excellent")
         .when(F.col("completeness") >= 0.75, "good")
         .when(F.col("completeness") >= 0.5, "fair")
         .otherwise("poor")
     )
+    assessment = F.when(
+        ~chk_lang_band & (base_assessment == "excellent"), "good"
+    ).otherwise(base_assessment)
     return v.select(
         "doc_id",
         band.alias("length_band"),
@@ -142,6 +168,8 @@ def assess_documents(df: DataFrame) -> DataFrame:
         (est >= 1).alias("chk_min_estimate"),
         sym_ratio.alias("sym_ratio"),
         (sym_ratio <= SYMMETRY_TOL).alias("chk_symmetry"),
+        lang_band.alias("lang_band"),
+        chk_lang_band.alias("chk_lang_band"),
         "completeness",
         assessment.alias("assessment"),
     )

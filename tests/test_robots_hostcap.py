@@ -1,10 +1,10 @@
-"""Robots conservative parser/filter and per-group sampling caps."""
+"""Robots group-aware parser/filter and per-group sampling caps."""
 
 from ocr_spark.operators.robots import robots_disallow_rules, robots_filter
 from ocr_spark.operators.sampling import cap_per_group
 
 
-def test_robots_rules_parse_conservative(spark):
+def test_robots_rules_group_aware(spark):
     robots = spark.createDataFrame(
         [
             ("a.com",
@@ -15,9 +15,45 @@ def test_robots_rules_parse_conservative(spark):
         "host string, robots_txt string",
     )
     rules = {(r["host"], r["prefix"]) for r in robots_disallow_rules(robots).collect()}
-    # conservative: the badbot group's rule applies too; empty Disallow and
-    # non-rule lines don't; b.com contributes nothing
-    assert rules == {("a.com", "/admin"), ("a.com", "/secret")}
+    # group-aware: the badbot group's /secret does NOT apply to '*' (the
+    # round-2 conservative reading over-blocked here); empty Disallow and
+    # non-rule lines don't contribute; b.com contributes nothing
+    assert rules == {("a.com", "/admin")}
+    bad = {
+        (r["host"], r["prefix"])
+        for r in robots_disallow_rules(robots, agent="badbot").collect()
+    }
+    # badbot's exact group wins per host: a.com's '*' group is suppressed
+    assert bad == {("a.com", "/secret")}
+
+
+def test_robots_group_fold_edges(spark):
+    robots = spark.createDataFrame(
+        [
+            ("s.com",
+             # ungrouped rule (before any UA line): ignored per RFC 9309
+             "Disallow: /orphan\n"
+             # stacked UA lines share one group
+             "User-agent: alpha\nUser-agent: *\nDisallow: /shared\n\n"
+             "User-agent: beta\nDisallow: /beta-only"),
+        ],
+        "host string, robots_txt string",
+    )
+    star = {r["prefix"] for r in robots_disallow_rules(robots).collect()}
+    assert star == {"/shared"}
+    alpha = {
+        r["prefix"] for r in robots_disallow_rules(robots, agent="alpha").collect()
+    }
+    assert alpha == {"/shared"}
+    beta = {
+        r["prefix"] for r in robots_disallow_rules(robots, agent="beta").collect()
+    }
+    assert beta == {"/beta-only"}
+    # unknown agent falls back to the '*' group
+    other = {
+        r["prefix"] for r in robots_disallow_rules(robots, agent="nobody").collect()
+    }
+    assert other == {"/shared"}
 
 
 def test_robots_filter_prefix_semantics(spark):

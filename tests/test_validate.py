@@ -43,6 +43,31 @@ def test_assess_documents_bands_and_labels(spark):
     assert rows[0].chk_symmetry and rows[0].sym_ratio == 0.0
 
 
+def test_assess_documents_group_conditioned_band(spark):
+    """V7 analog (gender-specific muscle band, data_validator.py:364-380):
+    the SAME n_chars passes or fails depending on the row's lang group,
+    and a failing group band demotes excellent -> good."""
+    rows = [
+        # 470 chars: fails the zh band (60..450), passes default for de
+        (0, "z" * 470, "zh", "s", 470),
+        (1, "d" * 470, "de", "s", 470),
+        # 80 chars: fails the en band (100..600), passes zh and default
+        (2, "e" * 80, "en", "s", 80),
+        (3, "z" * 80, "zh", "s", 80),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.doc_id: r for r in assess_documents(df).collect()}
+    assert got[0].lang_band == "zh" and not got[0].chk_lang_band
+    assert got[1].lang_band == "default" and got[1].chk_lang_band
+    assert got[2].lang_band == "en" and not got[2].chk_lang_band
+    assert got[3].lang_band == "zh" and got[3].chk_lang_band
+    # demotion: docs 0 and 2 are otherwise all-green (completeness 1.0)
+    assert got[0].assessment == "good" and got[2].assessment == "good"
+    assert got[1].assessment == "excellent" and got[3].assessment == "excellent"
+
+
 def test_correlation_flags_zero_variance_is_flagged(spark):
     # constant-length texts make len constant -> zero variance -> NULL corr,
     # which must be FLAGGED, not crash (Spark's builtin corr raises under ANSI)
