@@ -184,7 +184,7 @@ def main() -> None:
     # ---- query suite over the shared testdata ------------------------------
     import __spark_entry__ as entrymod
 
-    queries = entrymod.queries()
+    queries = {**entrymod.queries(), **entrymod.extra_queries()}
     qtimes: dict[str, float] = {}
     for name in BENCH_QUERIES if DO_QUERIES else ():
         fn = queries[name]

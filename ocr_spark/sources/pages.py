@@ -48,7 +48,8 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(PAGES_SCHEMA).parquet(path)
 
 
-def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages_from_documents(spark: SparkSession, sf_dir: str,
+                         max_doc_id: int | None = None) -> DataFrame:
     """Wrap the driver-provided ``documents`` table into input_hint-shaped
     pages: html is a deterministic pure function of (doc_id, text, lang) —
     an article-template page whose main content is the document text, padded
@@ -57,6 +58,9 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     This anchors the extraction pipeline to the shared testdata so the
     flagship entry runs on /root/testdata/sf*/ as required."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if max_doc_id is not None:
+        # deterministic subset (limit() would depend on scan order)
+        docs = docs.where(docs["doc_id"] < max_doc_id)
 
     def to_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..core.synth import gen_page

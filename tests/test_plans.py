@@ -11,7 +11,7 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def _plan(spark, name: str) -> str:
-    df = entrymod.queries()[name](spark, SF_DIR)
+    df = {**entrymod.queries(), **entrymod.extra_queries()}[name](spark, SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
