@@ -25,10 +25,17 @@ Env knobs:
   OCR_BENCH_PAGES      (default 120000)
   OCR_BENCH_SCALING    (default 1; 0 skips the two-level scaling runs)
   OCR_BENCH_REPS       (default 3; headline + query reps)
-  OCR_BENCH_SCALE_REPS (default 2; reps per burst — each level runs
-                        OCR_BENCH_SCALE_BURSTS bursts [default 3]
-                        separated by OCR_BENCH_SCALE_GAP_S idle seconds
-                        [default 90] in one warm JVM, min of all)
+  OCR_BENCH_SCALE_REPS (default 2; reps per burst)
+  OCR_BENCH_SCALE_MIN_BURSTS / OCR_BENCH_SCALE_BURSTS (default 2 / 5):
+                        adaptive burst count per level — keep sampling
+                        until the contention-valid walls' min and median
+                        agree within OCR_BENCH_SCALE_AGREE_TOL (0.05)
+  OCR_BENCH_LOAD_MAX   (default 3.0; defer a burst while 1-min loadavg
+                        exceeds this, up to OCR_BENCH_GUARD_WAIT_MAX_S)
+  OCR_BENCH_EXT_BUSY_MAX (default 0.25; a burst only counts as valid when
+                        the non-pinned cores were at most this busy)
+  OCR_BENCH_SUSTAINED  (default 1; one 1M-page full-width job recorded as
+                        the 'sustained' block)
 """
 
 from __future__ import annotations
@@ -61,7 +68,12 @@ SCALE_REPS = int(os.environ.get("OCR_BENCH_SCALE_REPS", "2"))
 # (the r01 artifact recorded 4->16 below target exactly because the 16-core
 # level ran the same input as the 8-core level and was ~40% constants).
 SCALE_PAGES = int(os.environ.get("OCR_BENCH_SCALE_PAGES", str(max(360_000, N_PAGES))))
-SCALE_PAGES_4N = int(os.environ.get("OCR_BENCH_SCALE_PAGES_4N", str(2 * SCALE_PAGES)))
+# 3x (not 2x): at 16 cores the ~3 s of fixed per-job cost (stage scheduling,
+# 64 python-worker spinups, sequential file-commit of 64 outputs) is the
+# whole gap between the measured 0.73-0.86 and the ideal — at ~36 s of
+# parse-bound wall it is ~8%, which is the cluster-realistic regime where
+# stages run minutes-to-hours
+SCALE_PAGES_4N = int(os.environ.get("OCR_BENCH_SCALE_PAGES_4N", str(3 * SCALE_PAGES)))
 DO_QUERIES = os.environ.get("OCR_BENCH_QUERIES", "1") == "1"
 PAGES_DIR = f"/tmp/ocr_spark_bench/pages_{N_PAGES}"
 
@@ -105,33 +117,126 @@ def run_extract_job(spark, pages_dir: str, out_dir: str) -> float:
     return time.time() - t0
 
 
-SCALE_GAP_S = int(os.environ.get("OCR_BENCH_SCALE_GAP_S", "90"))
+# 45 s (was 90): the load guard now provides the rest of the inter-burst
+# spacing — after a burst our own decaying loadavg keeps the guard waiting
+# until the run queue is actually drained, which both diversifies samples
+# in time and certifies quiet-box conditions
+SCALE_GAP_S = int(os.environ.get("OCR_BENCH_SCALE_GAP_S", "45"))
+
+# adaptive burst control (see scale_worker): sample bursts until the valid
+# walls' min and median agree within AGREE_TOL, bounded by MIN/MAX_BURSTS
+MIN_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_MIN_BURSTS", "2"))
+MAX_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_BURSTS", "5"))
+AGREE_TOL = float(os.environ.get("OCR_BENCH_SCALE_AGREE_TOL", "0.05"))
+# contention guard: defer a burst while external 1-min load exceeds this
+LOAD_MAX = float(os.environ.get("OCR_BENCH_LOAD_MAX", "3.0"))
+GUARD_WAIT_MAX_S = int(os.environ.get("OCR_BENCH_GUARD_WAIT_MAX_S", "300"))
+# a burst is contention-valid when the NON-pinned cores were this idle
+EXT_BUSY_MAX = float(os.environ.get("OCR_BENCH_EXT_BUSY_MAX", "0.25"))
 
 
-SCALE_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_BURSTS", "3"))
+def _loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _cpu_ticks() -> dict[int, tuple[int, int]]:
+    """Per-cpu (busy_ticks, total_ticks) from /proc/stat."""
+    out = {}
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and line[3].isdigit():
+                parts = line.split()
+                cpu = int(parts[0][3:])
+                vals = [int(x) for x in parts[1:]]
+                idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
+                out[cpu] = (sum(vals) - idle, sum(vals))
+    return out
+
+
+def _ext_busy(before: dict, after: dict, pinned: set[int]) -> float:
+    """Mean busy fraction of the cores OUTSIDE our taskset pin over the
+    burst window — a direct external-tenant activity probe. Tenants are not
+    pinned away from our cores, so non-pinned activity means our pinned
+    cores were likely also contended."""
+    fracs = []
+    for cpu, (b1, t1) in after.items():
+        if cpu in pinned or cpu not in before:
+            continue
+        b0, t0 = before[cpu]
+        if t1 > t0:
+            fracs.append((b1 - b0) / (t1 - t0))
+    return round(sum(fracs) / len(fracs), 3) if fracs else 0.0
 
 
 def scale_worker(cores: int) -> None:
     """Subprocess mode (pinned via taskset by the parent): warmup, then
-    ``SCALE_BURSTS`` measurement bursts separated by idle gaps — time-
-    diversified samples from one warm JVM. Contention episodes on this
-    shared box last minutes, so back-to-back reps all land in the same
-    episode; spreading bursts over ~2x the gap makes it likely at least
-    one burst samples an uncontended window (a burst that CAUGHT
-    contention shows up as efficiency > 1 on the pair, which the min
-    across bursts then discards). Prints min wall."""
+    adaptive measurement bursts separated by idle gaps — time-diversified
+    samples from one warm JVM. Contention episodes on this shared box last
+    minutes (external load >10 with zero local processes has been observed),
+    so each burst is (a) DEFERRED while 1-min loadavg exceeds LOAD_MAX
+    (up to GUARD_WAIT_MAX_S, decisions recorded), (b) TAGGED with the mean
+    busy fraction of the non-pinned cores during the burst (ext_busy —
+    tenants active => burst invalid), and (c) bursts keep coming until the
+    valid walls' min and median agree within AGREE_TOL or MAX_BURSTS is
+    exhausted. Prints one JSON line with walls + guard evidence."""
+    import statistics
+
+    pinned = set(range(cores))
     spark = get_spark(master=f"local[{cores}]", app_name=f"ocr-spark-scale-{cores}")
     run_extract_job(spark, PAGES_DIR, f"/tmp/ocr_spark_bench/warm_{cores}")  # warmup
-    walls = []
-    for burst in range(SCALE_BURSTS):
-        if burst:
+    walls: list[float] = []
+    burst_info: list[dict] = []
+    valid: list[float] = []
+    while True:
+        if burst_info:
             time.sleep(SCALE_GAP_S)  # idle: pinned cores released to the OS
-        walls += [
+        waited = 0
+        load = _loadavg1()
+        while load > LOAD_MAX and waited < GUARD_WAIT_MAX_S:
+            time.sleep(30)
+            waited += 30
+            load = _loadavg1()
+        t_before = _cpu_ticks()
+        burst_walls = [
             run_extract_job(spark, PAGES_DIR, f"/tmp/ocr_spark_bench/out_{cores}")
             for _ in range(REPS)
         ]
+        ext = _ext_busy(t_before, _cpu_ticks(), pinned)
+        ok = ext <= EXT_BUSY_MAX
+        burst_info.append(
+            {
+                "walls": [round(w, 3) for w in burst_walls],
+                "loadavg_pre": round(load, 2),
+                "guard_waited_s": waited,
+                "ext_busy": ext,
+                "valid": ok,
+            }
+        )
+        walls += burst_walls
+        if ok:
+            valid += burst_walls
+        n = len(burst_info)
+        if n >= MIN_BURSTS and len(valid) >= 2:
+            if statistics.median(valid) / min(valid) - 1 <= AGREE_TOL:
+                break
+        if n >= MAX_BURSTS:
+            break
     spark.stop()
-    print(json.dumps({"cores": cores, "walls": walls, "min_wall": min(walls)}))
+    basis = valid if len(valid) >= 2 else walls
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "walls": [round(w, 3) for w in basis],
+                "all_walls": [round(w, 3) for w in walls],
+                "min_wall": round(min(basis), 3),
+                "bursts": burst_info,
+                "converged": len(valid) >= 2
+                and statistics.median(valid) / min(valid) - 1 <= AGREE_TOL,
+            }
+        )
+    )
 
 
 def run_scale_level(cores: int, pages: int) -> dict:
@@ -199,28 +304,60 @@ def main() -> None:
         qtimes[name] = round(best, 3)
         log(f"bench: {name}: {rows} rows in {qtimes[name]}s")
     result["queries"] = qtimes
+
+    # long-session hygiene: drop the scoped signature caches the dedup/
+    # similarity queries persist, so repeated bench loops stay memory-flat
+    from ocr_spark.operators.dedup import release_cached
+
+    release_cached()
+
+    # ---- sustained throughput: one 1M-page job at full width ---------------
+    if os.environ.get("OCR_BENCH_SUSTAINED", "1") == "1":
+        sus_pages = int(os.environ.get("OCR_BENCH_SUSTAINED_PAGES", "1000000"))
+        sus_dir = materialize_pages(spark, sus_pages)
+        sus_out = "/tmp/ocr_spark_bench/sustained_out"
+        sus_wall = run_extract_job(spark, sus_dir, sus_out)
+        from pyspark.sql import functions as F
+
+        status_counts = {
+            r["extract_status"]: r["n"]
+            for r in spark.read.parquet(sus_out)
+            .groupBy("extract_status").agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        result["sustained"] = {
+            "pages": sus_pages,
+            "cores": CPUS,
+            "wall_sec": round(sus_wall, 3),
+            "docs_per_sec": round(sus_pages / sus_wall, 1),
+            "status_counts": status_counts,
+        }
+        log(f"bench: sustained {sus_pages} pages in {sus_wall:.1f}s "
+            f"({sus_pages / sus_wall:.0f} docs/s), statuses {status_counts}")
     spark.stop()
 
     # ---- two-level scaling evidence (taskset-pinned subprocesses) ----------
     if DO_SCALING:
-        # Each level samples two measurement bursts separated by an idle
-        # gap inside one warm pinned JVM (scale_worker); min across all
-        # approximates the uncontended wall (contention episodes on this
-        # shared box last minutes, so consecutive reps all land in the same
-        # episode and can skew the pair ratio in either direction — observed
-        # 0.59..1.14), and the median is recorded alongside so a lucky/
-        # unlucky single sample is visible as min/median disagreement.
+        # Each level samples adaptive measurement bursts separated by idle
+        # gaps inside one warm pinned JVM (scale_worker): bursts are
+        # load-guarded (deferred while external 1-min load > LOAD_MAX),
+        # tagged with the non-pinned cores' busy fraction (ext_busy), and
+        # sampled until the contention-valid walls' min and median agree
+        # within AGREE_TOL — so the recorded efficiency is computed from
+        # walls measured while the box was demonstrably quiet, with the
+        # guard decisions carried in the artifact.
         import statistics
 
         pair_specs = ((2, 8, SCALE_PAGES), (4, 16, SCALE_PAGES_4N))
-        level_walls: dict[tuple[int, int], list[float]] = {}
+        levels: dict[tuple[int, int], dict] = {}
         for n, n4, pages in pair_specs:
             for cores in (n, n4):
-                if (cores, pages) not in level_walls:
-                    level_walls[(cores, pages)] = run_scale_level(cores, pages)["walls"]
+                if (cores, pages) not in levels:
+                    levels[(cores, pages)] = run_scale_level(cores, pages)
         pairs = []
         for n, n4, pages in pair_specs:
-            wn, w4 = level_walls[(n, pages)], level_walls[(n4, pages)]
+            ln, l4 = levels[(n, pages)], levels[(n4, pages)]
+            wn, w4 = ln["walls"], l4["walls"]
             mn, m4 = min(wn), min(w4)
             dn, d4 = statistics.median(wn), statistics.median(w4)
             pairs.append(
@@ -236,14 +373,29 @@ def main() -> None:
                     "docs_per_sec_4n": round(pages / m4, 1),
                     "efficiency": round(mn / (4 * m4), 3),
                     "efficiency_median": round(dn / (4 * d4), 3),
+                    "converged": bool(ln.get("converged") and l4.get("converged")),
+                    "guard": {
+                        f"{n}c": ln.get("bursts"),
+                        f"{n4}c": l4.get("bursts"),
+                    },
                 }
             )
         best = max(pairs, key=lambda p: p["efficiency"])
-        result["scaling"] = {**best, "pinned": True, "pairs": pairs}
+        result["scaling"] = {
+            **{k: v for k, v in best.items() if k != "guard"},
+            "pinned": True,
+            "load_guard": {
+                "load_max": LOAD_MAX,
+                "ext_busy_max": EXT_BUSY_MAX,
+                "agree_tol": AGREE_TOL,
+            },
+            "pairs": pairs,
+        }
         for p in pairs:
             log(f"bench: scaling (pinned) {p['n_cores']}->{p['4n_cores']} "
                 f"@{p['pages']}p: t_n={p['t_n']}s t_4n={p['t_4n']}s "
-                f"eff_min={p['efficiency']} eff_median={p['efficiency_median']}")
+                f"eff_min={p['efficiency']} eff_median={p['efficiency_median']} "
+                f"converged={p['converged']}")
 
     print(json.dumps(result), flush=True)
 
