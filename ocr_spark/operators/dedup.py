@@ -132,8 +132,10 @@ def _base_hash(col):
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                       perms: int = MINHASH_PERMS) -> DataFrame:
-    """(id, shingles, sig: array<long>[perms]) — min over per-perm hashes.
+                       perms: int = MINHASH_PERMS, extra: tuple = ()) -> DataFrame:
+    """(id, [extra...], shingles, sig: array<long>[perms]) — min over
+    per-perm hashes. ``extra`` columns (e.g. a fingerprint) ride along in
+    the same single map pass.
 
     One md5 per shingle; the perm family is linear arithmetic over that base
     hash. Entirely expression-level: computing a signature is a map stage
@@ -141,7 +143,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """
     ab = MINHASH_AB if perms == MINHASH_PERMS else _mh_constants(perms)
     base = df.select(
-        F.col(id_col), _shingles(text_col).alias("shingles")
+        F.col(id_col), *extra, _shingles(text_col).alias("shingles")
     ).withColumn("bh", F.transform(F.col("shingles"), _base_hash))
 
     def perm(a: int, b: int):
@@ -152,7 +154,42 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     sig = F.array(
         *[F.array_min(F.transform(F.col("bh"), perm(a, b))) for a, b in ab]
     ).alias("sig")
-    return base.select(id_col, "shingles", sig)
+    keep = [c for c in base.columns if c != "bh"]
+    return base.select(*keep, sig)
+
+
+def band_buckets(sigs: DataFrame, id_col: str = "doc_id",
+                 perms: int = MINHASH_PERMS, bands: int = LSH_BANDS) -> DataFrame:
+    """(id, band, bucket) rows from a signature table (``sig`` array<long>).
+
+    Bucket key = xxhash64 over the band's signature slice: ONE long per
+    row through the candidate join (array-valued keys would force Spark
+    into sort-based aggregation/SMJ — measured 5x slower). The OUTPUT is
+    bucket-agnostic (pairs are verified with exact jaccard), and the
+    engine's signatures equal the oracle's md5-family signatures, so the
+    oracle's raw-slice buckets induce the same partitioning — a 2^-64
+    hash collision could only merge two buckets, never split one.
+
+    Works on freshly-computed signatures AND on a signature table read back
+    from storage — the incremental-ingest path derives committed buckets
+    from persisted ``sig`` arrays without touching committed text."""
+    rows_per_band = perms // bands
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
 
 
 def minhash_lsh_pairs(
@@ -177,34 +214,11 @@ def minhash_lsh_pairs(
       would otherwise quadratic-bomb one partition). Deterministic cap, and
       near-dup recall for dropped buckets is recovered by their OTHER bands.
     """
-    rows_per_band = perms // bands
     sigs = _persist_scoped(
         "minhash_sigs", minhash_signatures(df, text_col, id_col, perms)
     )
 
-    # bucket key = xxhash64 over the band's signature slice: ONE long per
-    # row through the candidate join (array-valued keys would force Spark
-    # into sort-based aggregation/SMJ — measured 5x slower). The OUTPUT is
-    # bucket-agnostic (pairs are verified with exact jaccard), and the
-    # engine's signatures equal the oracle's md5-family signatures, so the
-    # oracle's raw-slice buckets induce the same partitioning — a 2^-64
-    # hash collision could only merge two buckets, never split one.
-    banded = sigs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = band_buckets(sigs, id_col=id_col, perms=perms, bands=bands)
 
     small_buckets = (
         banded.groupBy("band", "bucket")

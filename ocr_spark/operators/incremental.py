@@ -5,16 +5,25 @@ checked against everything already committed — exactly (is this byte
 content already in the corpus?) and near (is it a trivial variant of a
 committed page?). The reference's analog is its resume key-set check
 (already-processed basenames skipped, one_key_process.py:820-826)
-generalized from identity to similarity.
+generalized from identity to similarity — and, like the reference, the
+committed side is LOADED, not recomputed: :func:`committed_state`
+materializes everything the gate needs (fingerprint, distinct shingles,
+minhash signature) in one map pass at commit time, and
+:func:`incremental_status_against_state` checks later batches against that
+table with zero reads of committed text. At 100 TB the state table is the
+difference between O(batch) and O(corpus) work per ingest.
 
 Shape: the exact check is a broadcast-friendly LEFT SEMI against the
 committed fingerprint set (at 100 TB that side is a fingerprint-only
-projection — Bloom-filter sized). The near check reuses the minhash LSH
-machinery over the union, then keeps only CROSS pairs (new x committed):
-intra-batch duplicates are deliberately NOT grounds for dropping here —
-they are the batch's own clustering problem (``dedup_clusters``), and an
-ingest gate that silently collapsed them would hide data-quality signal.
-Every new document comes back with a status, never filtered silently.
+projection — Bloom-filter sized). The near check band-joins the new
+batch's (band, bucket) rows against bucket keys derived from the STORED
+committed signatures (xxhash64 over sig slices — no md5 over text), with
+the same union-wide bucket cap as ``minhash_lsh_pairs``, then verifies
+candidates with exact jaccard over stored distinct shingles. Intra-batch
+duplicates are deliberately NOT grounds for dropping here — they are the
+batch's own clustering problem (``dedup_clusters``), and an ingest gate
+that silently collapsed them would hide data-quality signal. Every new
+document comes back with a status, never filtered silently.
 """
 
 from __future__ import annotations
@@ -23,48 +32,114 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_md5
-from .dedup import minhash_lsh_pairs
+from .dedup import LSH_BANDS, MINHASH_PERMS, band_buckets, minhash_signatures
 
 
-def incremental_status(
+def committed_state(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    perms: int = MINHASH_PERMS,
+) -> DataFrame:
+    """The per-document dedup state to persist at ingest-commit time:
+    (id, fp, sh: array<string> distinct shingles, sig: array<long>).
+    One map pass over the batch being committed — fingerprint, shingles,
+    and minhash signature all derive from a single canonicalization.
+    Write this to the corpus's state table (iceberg-lite) alongside the
+    data commit; later batches dedup against it without re-reading text.
+
+    Storage note for 100 TB: ``fp``+``sig`` are fixed-width (~300 B/doc);
+    ``sh`` is text-scale but columnar-compresses well and is only joined
+    for the deduplicated candidate set. If storing shingles is unacceptable,
+    drop ``sh`` and verify with signature agreement instead (estimated
+    jaccard) — the banding/capping machinery is unchanged."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, perms,
+        extra=(fingerprint_md5(text_col).alias("fp"),),
+    )
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        "fp",
+        F.array_distinct("shingles").alias("sh"),
+        "sig",
+    )
+
+
+def incremental_status_against_state(
     new_df: DataFrame,
-    committed_df: DataFrame,
+    state_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    max_bucket: int = 256,
 ) -> DataFrame:
-    """(id_col, status) for every row of ``new_df``: 'exact_seen' (its
-    canonical fingerprint exists in ``committed_df``), else 'near_seen'
-    (minhash-LSH near-duplicate of a committed document at ``threshold``),
-    else 'new'. Ids must be disjoint across the two inputs (they are
-    different ingestion generations by construction)."""
-    new_ids = new_df.select(F.col(id_col).alias("id"))
+    """(id_col, status) for every row of ``new_df`` checked against a
+    persisted :func:`committed_state` table: 'exact_seen' (fingerprint
+    exists in the state), else 'near_seen' (minhash-LSH near-duplicate of
+    a committed document at ``threshold``), else 'new'. Ids must be
+    disjoint across generations (they are different ingestion batches).
 
-    committed_fps = committed_df.select(
-        fingerprint_md5(text_col).alias("fp")
-    ).distinct()
+    Produces exactly the pairs ``minhash_lsh_pairs(new ∪ committed)``
+    would produce restricted to cross (new × committed) pairs — same
+    union-wide bucket cap, same exact-jaccard verification — but computes
+    the committed side entirely from stored state (plan contains no scan
+    of committed text), and skips intra-side pairing up front instead of
+    filtering it out afterwards."""
+    new_state = committed_state(new_df, text_col, id_col, perms)
+    new_ids = new_state.select("id")
+
     exact = (
-        new_df.select(F.col(id_col).alias("id"), fingerprint_md5(text_col).alias("fp"))
-        .join(committed_fps, "fp", "left_semi")
+        new_state.select("id", "fp")
+        .join(state_df.select("fp").distinct(), "fp", "left_semi")
         .select("id")
         .withColumn("e", F.lit(True))
     )
 
-    both = new_df.select(id_col, text_col).unionByName(
-        committed_df.select(id_col, text_col)
+    nb = band_buckets(new_state, id_col="id", perms=perms, bands=bands)
+    sb = band_buckets(state_df, id_col="id", perms=perms, bands=bands)
+    # bucket cap over the UNION (identical semantics to the from-scratch
+    # pass over new ∪ committed): a boilerplate bucket is oversized no
+    # matter which generation its members arrived in
+    small = (
+        nb.unionByName(sb)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band", "bucket")
     )
-    pairs = minhash_lsh_pairs(both, threshold=threshold, text_col=text_col, id_col=id_col)
-    old_ids = committed_df.select(F.col(id_col).alias("id"))
-    # cross pairs only: one end new, one end committed
-    a_new = pairs.join(new_ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
-    near_a = a_new.join(
-        old_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi"
-    ).select(F.col("id_a").alias("id"))
-    b_new = pairs.join(new_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi")
-    near_b = b_new.join(
-        old_ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi"
-    ).select(F.col("id_b").alias("id"))
-    near = near_a.union(near_b).distinct().withColumn("n", F.lit(True))
+    nb = nb.join(small, ["band", "bucket"], "left_semi")
+    sb = sb.join(small, ["band", "bucket"], "left_semi")
+    cand = (
+        nb.alias("l")
+        .join(
+            sb.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket")),
+        )
+        .select(F.col("l.id").alias("id_new"), F.col("r.id").alias("id_old"))
+        .distinct()
+    )
+    a = new_state.select(F.col("id").alias("id_new"), F.col("sh").alias("sh_a"))
+    b = state_df.select(F.col("id").alias("id_old"), F.col("sh").alias("sh_b"))
+    near = (
+        cand.join(a, "id_new")
+        .join(b, "id_old")
+        .where(
+            # rounded exactly like minhash_lsh_pairs' verification so the
+            # state path keeps the same pair set (and the same SQL twin)
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("id_new").alias("id"))
+        .distinct()
+        .withColumn("n", F.lit(True))
+    )
 
     return (
         new_ids.join(exact, "id", "left")
@@ -76,4 +151,23 @@ def incremental_status(
             .otherwise("new")
             .alias("status"),
         )
+    )
+
+
+def incremental_status(
+    new_df: DataFrame,
+    committed_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Convenience wrapper when no persisted state exists yet: derive the
+    committed state in-session, then run the state-based gate. Production
+    ingest persists :func:`committed_state` once per commit instead."""
+    return incremental_status_against_state(
+        new_df,
+        committed_state(committed_df, text_col, id_col),
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
     )

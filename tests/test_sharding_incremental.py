@@ -66,6 +66,41 @@ def test_incremental_statuses(spark):
                    102: "new", 103: "exact_seen"}
 
 
+def test_persisted_state_path_never_rereads_committed_text(spark, tmp_path):
+    """The production ingest contract: batch 2 dedups against the PERSISTED
+    committed_state table — the committed corpus's text is neither scanned
+    (plan check) nor even present in the state schema."""
+    from ocr_spark.operators.incremental import (
+        committed_state,
+        incremental_status_against_state,
+    )
+
+    committed = spark.createDataFrame(
+        [(0, BASE), (1, BASE + " committed variant two entirely")],
+        "doc_id long, text string",
+    )
+    committed_dir = str(tmp_path / "committed_docs")
+    state_dir = str(tmp_path / "dedup_state")
+    committed.write.parquet(committed_dir)
+    # commit time: derive state from the batch being committed (one pass)
+    committed_state(spark.read.parquet(committed_dir)).write.parquet(state_dir)
+
+    new = spark.createDataFrame(
+        [(100, BASE), (101, BASE + " tail"),
+         (102, "completely different content about query planners and "
+               "shuffle services with no shared vocabulary whatsoever")],
+        "doc_id long, text string",
+    )
+    state = spark.read.parquet(state_dir)
+    assert "text" not in state.columns
+    out = incremental_status_against_state(new, state)
+    files = out.inputFiles()
+    assert any(state_dir in f for f in files)           # state IS scanned
+    assert not any(committed_dir in f for f in files)   # committed text is NOT
+    got = {r["doc_id"]: r["status"] for r in out.collect()}
+    assert got == {100: "exact_seen", 101: "near_seen", 102: "new"}
+
+
 def test_intra_batch_duplicates_stay_new(spark):
     """Two copies of the same NEW document are not 'seen' — intra-batch
     dup handling belongs to dedup_clusters, not the ingest gate."""
