@@ -39,7 +39,6 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def _json_safe(v):
@@ -82,57 +81,83 @@ class IcebergLiteTable:
             for d in snap.get("data_dirs", [])
         ]
 
+    @staticmethod
+    def _footer_stats(data_dir: str,
+                      stats_cols: tuple[str, ...]) -> dict[str, list]:
+        """Per-column [min, max] for a freshly-written data dir, read from
+        the parquet FOOTERS (pyarrow metadata) — no Spark job, no second
+        scan of the data pages. This is how real Iceberg collects entry
+        stats; at ingest scale the old ``spark.read.parquet(...).agg(...)``
+        pass doubled the write path's read volume.
+
+        Parquet string/binary stats may be footer-truncated (parquet-mr
+        truncates long values, keeping min a valid lower bound and max a
+        valid upper bound), so the recorded range is conservative — exactly
+        what ``select_entries`` range pruning requires.
+        """
+        import pyarrow.parquet as pq
+
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for root, _, files in os.walk(data_dir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, fn)).metadata
+                idx = {
+                    md.schema.column(i).path: i
+                    for i in range(md.num_columns)
+                }
+                for c in stats_cols:
+                    i = idx.get(c)
+                    if i is None:
+                        continue
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(i).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        if c not in mins or st.min < mins[c]:
+                            mins[c] = st.min
+                        if c not in maxs or st.max > maxs[c]:
+                            maxs[c] = st.max
+        return {
+            c: [_json_safe(mins[c]), _json_safe(maxs[c])]
+            for c in stats_cols
+            if c in mins and c in maxs
+        }
+
     def _collect_entries(self, spark: SparkSession, out_dir: str,
                          partition_by: str | None,
                          stats_cols: tuple[str, ...]) -> list[dict]:
         """Metadata for a freshly-written data dir: one entry per partition
         subdir (Hive layout) or one for the whole dir, with min/max stats
-        per requested column. Stats come from a scan of the NEW files only —
-        the metadata-collection pass real Iceberg reads from parquet footers.
+        per requested column, read from parquet footers (``_footer_stats``).
         """
         if partition_by:
             subdirs = sorted(
                 d for d in os.listdir(out_dir)
                 if os.path.isdir(os.path.join(out_dir, d)) and "=" in d
             )
-            entries = [
+            return [
                 {
                     "dir": os.path.join(out_dir, d),
                     "base": out_dir,
                     "partition": {d.split("=", 1)[0]: d.split("=", 1)[1]},
-                    "stats": {},
+                    "stats": (
+                        self._footer_stats(os.path.join(out_dir, d), stats_cols)
+                        if stats_cols else {}
+                    ),
                 }
                 for d in subdirs
             ]
-            if stats_cols:
-                written = spark.read.option("basePath", out_dir).parquet(out_dir)
-                aggs = []
-                for c in stats_cols:
-                    aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-                by_part = {
-                    str(r[partition_by]): r
-                    for r in written.groupBy(partition_by).agg(*aggs).collect()
-                }
-                for e in entries:
-                    r = by_part.get(e["partition"][partition_by])
-                    if r is not None:
-                        e["stats"] = {
-                            c: [_json_safe(r[f"min_{c}"]), _json_safe(r[f"max_{c}"])]
-                            for c in stats_cols
-                        }
-            return entries
-        entry = {"dir": out_dir, "base": out_dir, "partition": {}, "stats": {}}
-        if stats_cols:
-            written = spark.read.parquet(out_dir)
-            aggs = []
-            for c in stats_cols:
-                aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
-            r = written.agg(*aggs).collect()[0]
-            entry["stats"] = {
-                c: [_json_safe(r[f"min_{c}"]), _json_safe(r[f"max_{c}"])]
-                for c in stats_cols
-            }
-        return [entry]
+        return [{
+            "dir": out_dir,
+            "base": out_dir,
+            "partition": {},
+            "stats": (
+                self._footer_stats(out_dir, stats_cols) if stats_cols else {}
+            ),
+        }]
 
     def _commit(self, entries: list[dict], snapshot_id: str,
                 properties: dict | None) -> str:
