@@ -647,6 +647,99 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document structural repetition: duplicate-line
+    fraction (count and char variants), duplicate-paragraph fraction, and
+    top word-bigram character coverage, with the 'repetitive' gate.
+
+    The shared documents table is single-line word soup, so the query
+    first reshapes each doc into a DETERMINISTIC multi-line form both
+    engines build identically (the planted-fixture pattern the embedding
+    queries use): non-overlapping token pairs become lines, every 5 lines
+    a paragraph, and docs with doc_id % 7 == 0 get their first ten tokens (one full
+    5-line paragraph period) self-appended three times — the nav-menu/footer boilerplate mode the
+    operator exists to catch, so duplicate-line, duplicate-paragraph and
+    threshold-crossing rows are all non-vacuously exercised. Exact DuckDB
+    twin, deliberately written relationally (unnest + groupBy) against
+    the operator's zero-shuffle sorted-run fold."""
+    from ocr_spark.operators.quality import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    "[ \t\n]+", " ",
+                )
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    boost = F.slice(toks, 1, 10)
+    toks_b = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(toks, boost, boost, boost)
+    ).otherwise(toks)
+    n = F.size(toks_b)
+    pair_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1, F.lit(2))).otherwise(
+        F.array().cast("array<int>")
+    )
+    lines = F.transform(
+        pair_idx,
+        lambda i: F.concat(
+            F.element_at(toks_b, i), F.lit(" "), F.element_at(toks_b, i + 1)
+        ),
+    )
+    nl = F.size(lines)
+    paras = F.when(
+        nl >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.ceil(nl / F.lit(5.0)).cast("int")),
+            lambda p: F.array_join(F.slice(lines, (p - 1) * 5 + 1, 5), "\n"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wrapped = d.select("doc_id", F.array_join(paras, "\n\n").alias("text"))
+    return repetition_stats(wrapped)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: per-doc email/IPv4/phone counts plus the md5
+    fingerprint of the REDACTED text, proving the rewrite byte-matches
+    the oracle, not just the tallies. The corpus text carries no PII, so
+    the query first plants deterministic contacts both engines construct
+    identically (emails on even doc_ids + a second on %6, IPv4 on %3,
+    E.164 phone on %5; ~1/5 of docs stay clean and must come back with
+    zero counts). Exact DuckDB twin."""
+    from ocr_spark.operators.pii import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    seeded = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(i % 2 == 0, F.concat(F.lit(" reach user"), s, F.lit("@example.com")))
+        .otherwise(F.lit("")),
+        F.when(i % 6 == 0, F.concat(F.lit(" cc admin"), s, F.lit("@mail.example.org")))
+        .otherwise(F.lit("")),
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit(" from 10."), (i % 256).cast("string"),
+                F.lit(".0."), (i % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit(" call +1415555"),
+                F.lpad((i % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii_redact(d.select("doc_id", seeded.alias("text")))
+
+
 def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host downsampling cap (over-represented-host control): at most
     15 docs per canonical host survive, chosen by the deterministic
@@ -872,8 +965,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by knn/ivf_topk; union_branches by flagship+pdf_extract; rollup_events
     by grouping_sets; moving_avg by top_events_per_user's frame column;
     epoch_parse by events_hourly/warc_roundtrip timestamp arithmetic;
-    semi_join by dedup_increment's fp semi-join). All stay oracle-checked
-    by tests/test_oracle_parity.py at sf0.01."""
+    semi_join by dedup_increment's fp semi-join; agg_pricing's multi-agg
+    shape by grouping_sets/group_quantiles; events_hourly's time buckets
+    by sessionize/top_events_per_user — their window slots went to the
+    webtext-native repetition_stats and pii_redact). All stay
+    oracle-checked by tests/test_oracle_parity.py at sf0.01."""
     return {
         k: _with_engine_conf(v)
         for k, v in _QUERIES.items()
@@ -883,7 +979,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _EXTRA_KEYS = frozenset(
     "simhash fingerprint token_jaccard cosine_topk union_branches "
-    "rollup_events moving_avg epoch_parse semi_join".split()
+    "rollup_events moving_avg epoch_parse semi_join "
+    "agg_pricing events_hourly".split()
 )
 
 _QUERIES = {
@@ -945,6 +1042,8 @@ _QUERIES = {
         "host_stats": q_host_stats,
         "quality_filter": q_quality_filter,
         "lm_score": q_lm_score,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
         "stream_extract": q_stream_extract,
     }
 
@@ -1342,6 +1441,177 @@ def _quality_filter_oracle() -> str:
     """
 
 
+def _repetition_stats_oracle() -> str:
+    """DuckDB twin of q_repetition_stats: the same deterministic reshaping
+    (token pairs -> lines, 5 lines -> paragraph, %7 boilerplate boost),
+    then the RELATIONAL formulation of the repetition measurements —
+    unnest + groupBy per unit, row_number argmax for the top bigram —
+    against the operator's per-row sorted-run fold."""
+    from ocr_spark.operators.quality import (
+        MAX_DUP_LINE_CHAR_FRAC,
+        MAX_DUP_LINE_FRAC,
+        MAX_DUP_PARA_FRAC,
+        MAX_TOP_BIGRAM_FRAC,
+    )
+
+    canon_rs = "trim(regexp_replace(lower(rs_doc.text), '[ \t\n]+', ' ', 'g'))"
+    return f"""
+        WITH rs_base AS (
+            SELECT doc_id,
+                   [t for t in string_split({_CANON}, ' ') if t <> ''] AS toks
+            FROM documents
+        ), rs_boost AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN toks || toks[1:10] || toks[1:10] || toks[1:10]
+                        ELSE toks END AS t
+            FROM rs_base
+        ), rs_lines AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) >= 2 THEN
+                       list_transform(generate_series(1, len(t) - 1, 2),
+                                      i -> t[i] || ' ' || t[i + 1])
+                   ELSE [] END AS lns
+            FROM rs_boost
+        ), rs_doc AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(
+                           generate_series(1, cast(ceil(len(lns) / 5.0) AS INT)),
+                           p -> array_to_string(
+                               lns[(p - 1) * 5 + 1:(p - 1) * 5 + 5], chr(10))),
+                       chr(10) || chr(10)) AS text
+            FROM rs_lines
+        ), rs_units AS (
+            SELECT doc_id,
+                   [u for u in list_transform(
+                        string_split(text, chr(10)),
+                        x -> trim(regexp_replace(x, '[ \t\n]+', ' ', 'g')))
+                    if u <> ''] AS lns,
+                   [u for u in list_transform(
+                        string_split_regex(text, '\n{{2,}}'),
+                        x -> trim(regexp_replace(x, '[ \t\n]+', ' ', 'g')))
+                    if u <> ''] AS prs,
+                   {canon_rs} AS canon
+            FROM rs_doc
+        ), rs_lc AS (
+            SELECT doc_id, ln, count(*) AS c, length(ln) AS l
+            FROM (SELECT doc_id, unnest(lns) AS ln FROM rs_units)
+            GROUP BY doc_id, ln
+        ), rs_lstat AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+                   round((sum(c) - count(*)) * 1.0 / greatest(sum(c), 1), 4)
+                       AS dup_line_frac,
+                   round(sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) * 1.0
+                         / greatest(sum(c * l), 1), 4) AS dup_line_char_frac
+            FROM rs_lc GROUP BY doc_id
+        ), rs_pc AS (
+            SELECT doc_id, pr, count(*) AS c
+            FROM (SELECT doc_id, unnest(prs) AS pr FROM rs_units)
+            GROUP BY doc_id, pr
+        ), rs_pstat AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras,
+                   round((sum(c) - count(*)) * 1.0 / greatest(sum(c), 1), 4)
+                       AS dup_para_frac
+            FROM rs_pc GROUP BY doc_id
+        ), rs_bg AS (
+            SELECT doc_id, t2[i] || ' ' || t2[i + 1] AS bg
+            FROM (
+                SELECT doc_id, t2,
+                       unnest(generate_series(1, len(t2) - 1)) AS i
+                FROM (
+                    SELECT doc_id,
+                           [t for t in string_split(canon, ' ') if t <> ''] AS t2
+                    FROM rs_units
+                ) WHERE len(t2) >= 2
+            )
+        ), rs_bgc AS (
+            SELECT doc_id, bg, count(*) AS c FROM rs_bg GROUP BY doc_id, bg
+        ), rs_top AS (
+            SELECT doc_id, c, bg FROM (
+                SELECT doc_id, c, bg,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, bg ASC) AS rn
+                FROM rs_bgc) WHERE rn = 1
+        ), rs_j AS (
+            SELECT u.doc_id,
+                   coalesce(ls.n_lines, 0) AS n_lines,
+                   coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+                   coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+                   coalesce(ps.n_paras, 0) AS n_paras,
+                   coalesce(ps.dup_para_frac, 0.0) AS dup_para_frac,
+                   round(coalesce(CASE WHEN tp.c >= 2
+                                       THEN tp.c * length(tp.bg) END, 0) * 1.0
+                         / greatest(length(u.canon), 1), 4) AS top_bigram_frac
+            FROM rs_units u
+            LEFT JOIN rs_lstat ls ON u.doc_id = ls.doc_id
+            LEFT JOIN rs_pstat ps ON u.doc_id = ps.doc_id
+            LEFT JOIN rs_top tp ON u.doc_id = tp.doc_id
+        )
+        SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+               n_paras, dup_para_frac, top_bigram_frac,
+               (dup_line_frac > {MAX_DUP_LINE_FRAC}
+                OR dup_line_char_frac > {MAX_DUP_LINE_CHAR_FRAC}
+                OR dup_para_frac > {MAX_DUP_PARA_FRAC}
+                OR top_bigram_frac > {MAX_TOP_BIGRAM_FRAC}) AS repetitive
+        FROM rs_j
+    """
+
+
+def _pii_redact_oracle() -> str:
+    """DuckDB twin of q_pii_redact: the same planted contacts, RE2
+    replays of the Java-regex patterns (the shared subset has identical
+    semantics), and the md5 prefix of the redacted text."""
+    from ocr_spark.operators.pii import (
+        EMAIL_RE,
+        EMAIL_TOKEN,
+        IPV4_RE,
+        IPV4_TOKEN,
+        PHONE_RE,
+        PHONE_TOKEN,
+    )
+
+    return f"""
+        WITH pii_seed AS (
+            SELECT doc_id,
+                   coalesce(text, '')
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN ' reach user' || doc_id || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 6 = 0
+                           THEN ' cc admin' || doc_id || '@mail.example.org'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' from 10.' || (doc_id % 256) || '.0.'
+                                || (doc_id % 100)
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' call +1415555'
+                                || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                           ELSE '' END AS s
+            FROM documents
+        ), pii_m AS (
+            SELECT doc_id, s,
+                   len(regexp_extract_all(s, '{EMAIL_RE}')) AS n_emails,
+                   len(regexp_extract_all(s, '{IPV4_RE}')) AS n_ipv4,
+                   len(regexp_extract_all(s, '{PHONE_RE}')) AS n_phones,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(s, '{EMAIL_RE}', '{EMAIL_TOKEN}', 'g'),
+                           '{IPV4_RE}', '{IPV4_TOKEN}', 'g'),
+                       '{PHONE_RE}', '{PHONE_TOKEN}', 'g') AS red
+            FROM pii_seed
+        )
+        SELECT doc_id,
+               CAST(n_emails AS BIGINT) AS n_emails,
+               CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+               CAST(n_phones AS BIGINT) AS n_phones,
+               CAST(n_emails + n_ipv4 + n_phones AS BIGINT) AS n_pii,
+               substr(md5(red), 1, 16) AS red_fp
+        FROM pii_m
+    """
+
+
 def _lm_score_oracle() -> str:
     """DuckDB twin of q_lm_score: same canonical tokens, the same
     corpus-level unigram/bigram counts and vocabulary size, the same
@@ -1643,6 +1913,8 @@ def _oracle_sql_all() -> dict[str, str]:
         """,
         "quality_filter": _quality_filter_oracle(),
         "lm_score": _lm_score_oracle(),
+        "repetition_stats": _repetition_stats_oracle(),
+        "pii_redact": _pii_redact_oracle(),
         "warc_roundtrip": """
             SELECT 'warc://docs.example.com/' || doc_id AS url, text,
                    strftime(TIMESTAMP '2026-02-03 04:05:06'

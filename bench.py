@@ -30,10 +30,14 @@ Env knobs:
                         adaptive burst count per level — keep sampling
                         until the contention-valid walls' min and median
                         agree within OCR_BENCH_SCALE_AGREE_TOL (0.05)
-  OCR_BENCH_LOAD_MAX   (default 3.0; defer a burst while 1-min loadavg
-                        exceeds this, up to OCR_BENCH_GUARD_WAIT_MAX_S)
   OCR_BENCH_EXT_BUSY_MAX (default 0.25; a burst only counts as valid when
-                        the non-pinned cores were at most this busy)
+                        the non-pinned cores were at most this busy; the
+                        same signal gates burst START via a 3s live probe,
+                        up to OCR_BENCH_GUARD_WAIT_MAX_S)
+  OCR_BENCH_STEAL_MAX  (default 0.05; a burst only counts as valid when
+                        hypervisor steal on the PINNED cores stayed under
+                        this fraction — other-VM tenants are invisible to
+                        any in-VM process probe but show up as steal ticks)
   OCR_BENCH_SUSTAINED  (default 1; one 1M-page full-width job recorded as
                         the 'sustained' block)
 """
@@ -117,22 +121,24 @@ def run_extract_job(spark, pages_dir: str, out_dir: str) -> float:
     return time.time() - t0
 
 
-# 45 s (was 90): the load guard now provides the rest of the inter-burst
-# spacing — after a burst our own decaying loadavg keeps the guard waiting
-# until the run queue is actually drained, which both diversifies samples
-# in time and certifies quiet-box conditions
-SCALE_GAP_S = int(os.environ.get("OCR_BENCH_SCALE_GAP_S", "45"))
+# 30 s (was 45): with the probe-based guard the gap only needs to
+# time-diversify samples, not wait out our own loadavg decay
+SCALE_GAP_S = int(os.environ.get("OCR_BENCH_SCALE_GAP_S", "30"))
 
 # adaptive burst control (see scale_worker): sample bursts until the valid
 # walls' min and median agree within AGREE_TOL, bounded by MIN/MAX_BURSTS
 MIN_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_MIN_BURSTS", "2"))
 MAX_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_BURSTS", "5"))
 AGREE_TOL = float(os.environ.get("OCR_BENCH_SCALE_AGREE_TOL", "0.05"))
-# contention guard: defer a burst while external 1-min load exceeds this
-LOAD_MAX = float(os.environ.get("OCR_BENCH_LOAD_MAX", "3.0"))
+# contention guard: the pre-burst wait loop uses the direct _probe_quiet
+# signals (the r2 1-min-loadavg guard conflated our own decaying bursts
+# with tenants and wasted up to 5 min/burst waiting out self-load);
+# GUARD_WAIT_MAX_S bounds pre-burst deferral
 GUARD_WAIT_MAX_S = int(os.environ.get("OCR_BENCH_GUARD_WAIT_MAX_S", "300"))
 # a burst is contention-valid when the NON-pinned cores were this idle
 EXT_BUSY_MAX = float(os.environ.get("OCR_BENCH_EXT_BUSY_MAX", "0.25"))
+# ... and hypervisor steal on the PINNED cores stayed under this fraction
+STEAL_MAX = float(os.environ.get("OCR_BENCH_STEAL_MAX", "0.05"))
 
 
 def _loadavg1() -> float:
@@ -140,8 +146,8 @@ def _loadavg1() -> float:
         return float(f.read().split()[0])
 
 
-def _cpu_ticks() -> dict[int, tuple[int, int]]:
-    """Per-cpu (busy_ticks, total_ticks) from /proc/stat."""
+def _cpu_ticks() -> dict[int, tuple[int, int, int]]:
+    """Per-cpu (busy_ticks, total_ticks, steal_ticks) from /proc/stat."""
     out = {}
     with open("/proc/stat") as f:
         for line in f:
@@ -150,23 +156,51 @@ def _cpu_ticks() -> dict[int, tuple[int, int]]:
                 cpu = int(parts[0][3:])
                 vals = [int(x) for x in parts[1:]]
                 idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle+iowait
-                out[cpu] = (sum(vals) - idle, sum(vals))
+                steal = vals[7] if len(vals) > 7 else 0
+                out[cpu] = (sum(vals) - idle, sum(vals), steal)
     return out
 
 
 def _ext_busy(before: dict, after: dict, pinned: set[int]) -> float:
     """Mean busy fraction of the cores OUTSIDE our taskset pin over the
-    burst window — a direct external-tenant activity probe. Tenants are not
+    burst window — the in-VM tenant activity probe. Tenants are not
     pinned away from our cores, so non-pinned activity means our pinned
     cores were likely also contended."""
     fracs = []
-    for cpu, (b1, t1) in after.items():
+    for cpu, (b1, t1, _) in after.items():
         if cpu in pinned or cpu not in before:
             continue
-        b0, t0 = before[cpu]
+        b0, t0, _ = before[cpu]
         if t1 > t0:
             fracs.append((b1 - b0) / (t1 - t0))
     return round(sum(fracs) / len(fracs), 3) if fracs else 0.0
+
+
+def _pin_steal(before: dict, after: dict, pinned: set[int]) -> float:
+    """Mean STEAL fraction of the PINNED cores over the burst window.
+    This box is a shared VM: the r3 validation run recorded 16-core bursts
+    swinging 23.7s -> 65.5s with ext_busy ~= 0 — the contention came from
+    OTHER VMs via hypervisor steal, which no in-VM process probe can see.
+    /proc/stat's steal ticks are exactly that signal, per core."""
+    fracs = []
+    for cpu, (_, t1, s1) in after.items():
+        if cpu not in pinned or cpu not in before:
+            continue
+        _, t0, s0 = before[cpu]
+        if t1 > t0:
+            fracs.append((s1 - s0) / (t1 - t0))
+    return round(sum(fracs) / len(fracs), 3) if fracs else 0.0
+
+
+def _probe_quiet(pinned: set[int], seconds: float = 3.0) -> tuple[float, float]:
+    """(ext_busy, pin_steal) over a short live window — the pre-burst
+    quiet-box check. Unlike 1-min loadavg, this cannot be polluted by the
+    bench's OWN just-finished burst (its pinned cores are idle between
+    bursts), so the guard no longer waits out its own load decay."""
+    t0 = _cpu_ticks()
+    time.sleep(seconds)
+    t1 = _cpu_ticks()
+    return _ext_busy(t0, t1, pinned), _pin_steal(t0, t1, pinned)
 
 
 def scale_worker(cores: int) -> None:
@@ -174,12 +208,14 @@ def scale_worker(cores: int) -> None:
     adaptive measurement bursts separated by idle gaps — time-diversified
     samples from one warm JVM. Contention episodes on this shared box last
     minutes (external load >10 with zero local processes has been observed),
-    so each burst is (a) DEFERRED while 1-min loadavg exceeds LOAD_MAX
-    (up to GUARD_WAIT_MAX_S, decisions recorded), (b) TAGGED with the mean
-    busy fraction of the non-pinned cores during the burst (ext_busy —
-    tenants active => burst invalid), and (c) bursts keep coming until the
-    valid walls' min and median agree within AGREE_TOL or MAX_BURSTS is
-    exhausted. Prints one JSON line with walls + guard evidence."""
+    so each burst is (a) DEFERRED while a 3s live probe shows non-pinned
+    cores busy (in-VM tenants) or pinned-core steal (other-VM tenants)
+    above threshold (up to GUARD_WAIT_MAX_S, decisions recorded),
+    (b) TAGGED with the burst-window ext_busy AND pin_steal fractions
+    (either above threshold => burst invalid), and (c) bursts keep coming
+    until the valid walls' min and median agree within AGREE_TOL or
+    MAX_BURSTS is exhausted. Prints one JSON line with walls + guard
+    evidence."""
     import statistics
 
     pinned = set(range(cores))
@@ -192,24 +228,29 @@ def scale_worker(cores: int) -> None:
         if burst_info:
             time.sleep(SCALE_GAP_S)  # idle: pinned cores released to the OS
         waited = 0
-        load = _loadavg1()
-        while load > LOAD_MAX and waited < GUARD_WAIT_MAX_S:
-            time.sleep(30)
-            waited += 30
-            load = _loadavg1()
+        p_ext, p_steal = _probe_quiet(pinned)
+        while (p_ext > EXT_BUSY_MAX or p_steal > STEAL_MAX) \
+                and waited < GUARD_WAIT_MAX_S:
+            time.sleep(15)
+            waited += 15
+            p_ext, p_steal = _probe_quiet(pinned)
         t_before = _cpu_ticks()
         burst_walls = [
             run_extract_job(spark, PAGES_DIR, f"/tmp/ocr_spark_bench/out_{cores}")
             for _ in range(REPS)
         ]
-        ext = _ext_busy(t_before, _cpu_ticks(), pinned)
-        ok = ext <= EXT_BUSY_MAX
+        t_after = _cpu_ticks()
+        ext = _ext_busy(t_before, t_after, pinned)
+        steal = _pin_steal(t_before, t_after, pinned)
+        ok = ext <= EXT_BUSY_MAX and steal <= STEAL_MAX
         burst_info.append(
             {
                 "walls": [round(w, 3) for w in burst_walls],
-                "loadavg_pre": round(load, 2),
+                "loadavg_pre": round(_loadavg1(), 2),
+                "probe": [p_ext, p_steal],
                 "guard_waited_s": waited,
                 "ext_busy": ext,
+                "pin_steal": steal,
                 "valid": ok,
             }
         )
@@ -316,7 +357,16 @@ def main() -> None:
         sus_pages = int(os.environ.get("OCR_BENCH_SUSTAINED_PAGES", "1000000"))
         sus_dir = materialize_pages(spark, sus_pages)
         sus_out = "/tmp/ocr_spark_bench/sustained_out"
-        sus_wall = run_extract_job(spark, sus_dir, sus_out)
+        # min-of-N with steal tagging: a single rep can eat a whole
+        # hypervisor-steal episode (56.9s vs 24s observed for the same job)
+        sus_reps = int(os.environ.get("OCR_BENCH_SUSTAINED_REPS", "2"))
+        sus_walls = []
+        sus_steals = []
+        for _ in range(sus_reps):
+            t0 = _cpu_ticks()
+            sus_walls.append(run_extract_job(spark, sus_dir, sus_out))
+            sus_steals.append(_pin_steal(t0, _cpu_ticks(), set(range(CPUS))))
+        sus_wall = min(sus_walls)
         from pyspark.sql import functions as F
 
         status_counts = {
@@ -329,6 +379,8 @@ def main() -> None:
             "pages": sus_pages,
             "cores": CPUS,
             "wall_sec": round(sus_wall, 3),
+            "walls": [round(w, 3) for w in sus_walls],
+            "steal_fracs": sus_steals,
             "docs_per_sec": round(sus_pages / sus_wall, 1),
             "status_counts": status_counts,
         }
@@ -340,12 +392,13 @@ def main() -> None:
     if DO_SCALING:
         # Each level samples adaptive measurement bursts separated by idle
         # gaps inside one warm pinned JVM (scale_worker): bursts are
-        # load-guarded (deferred while external 1-min load > LOAD_MAX),
-        # tagged with the non-pinned cores' busy fraction (ext_busy), and
-        # sampled until the contention-valid walls' min and median agree
-        # within AGREE_TOL — so the recorded efficiency is computed from
-        # walls measured while the box was demonstrably quiet, with the
-        # guard decisions carried in the artifact.
+        # probe-guarded (deferred while non-pinned cores are busy or
+        # pinned cores show hypervisor steal), tagged with the
+        # burst-window ext_busy + pin_steal fractions, and sampled until
+        # the contention-valid walls' min and median agree within
+        # AGREE_TOL — so the recorded efficiency is computed from walls
+        # measured while the box was demonstrably quiet (inside AND
+        # outside the VM), with the guard decisions in the artifact.
         import statistics
 
         pair_specs = ((2, 8, SCALE_PAGES), (4, 16, SCALE_PAGES_4N))
@@ -385,8 +438,8 @@ def main() -> None:
             **{k: v for k, v in best.items() if k != "guard"},
             "pinned": True,
             "load_guard": {
-                "load_max": LOAD_MAX,
                 "ext_busy_max": EXT_BUSY_MAX,
+                "steal_max": STEAL_MAX,
                 "agree_tol": AGREE_TOL,
             },
             "pairs": pairs,

@@ -153,6 +153,180 @@ def quality_filter(
     )
 
 
+# Gopher repetition thresholds (Rae et al. 2021, table A1 tradition).
+MAX_DUP_LINE_FRAC = 0.30
+MAX_DUP_LINE_CHAR_FRAC = 0.20
+MAX_DUP_PARA_FRAC = 0.30
+MAX_TOP_BIGRAM_FRAC = 0.18
+
+
+def _canon_units(col, sep_pattern: str):
+    """Split on ``sep_pattern``, canonicalize each unit (lowercase, inner
+    whitespace collapsed, trimmed), drop empties. Unit identity for the
+    duplicate measurements."""
+    return F.filter(
+        F.transform(
+            F.split(F.lower(col), sep_pattern),
+            lambda x: F.trim(F.regexp_replace(x, "[ \t\n]+", " ")),
+        ),
+        lambda x: x != "",
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = MAX_DUP_LINE_FRAC,
+    max_dup_line_char_frac: float = MAX_DUP_LINE_CHAR_FRAC,
+    max_dup_para_frac: float = MAX_DUP_PARA_FRAC,
+    max_top_bigram_frac: float = MAX_TOP_BIGRAM_FRAC,
+) -> DataFrame:
+    """Within-document repetition signals in the Gopher tradition:
+    (id, n_lines, dup_line_frac, dup_line_char_frac, n_paras,
+    dup_para_frac, top_bigram_frac, repetitive). ``quality_filter`` grades
+    token-level repetition; this operator grades STRUCTURAL repetition —
+    the boilerplate mode where whole lines/paragraphs repeat (nav menus,
+    footers, listing pages) that token ratios miss.
+
+    - dup_line_frac: fraction of lines whose content also appears on
+      another line of the same doc (count-based: 1 - distinct/total).
+    - dup_line_char_frac: fraction of line characters inside lines that
+      occur >= 2 times (all occurrences counted, Gopher's char variant).
+    - dup_para_frac: count-based duplicate fraction over paragraphs
+      (blank-line separated).
+    - top_bigram_frac: characters covered by the most frequent word
+      2-gram / canonical text length, zero unless that bigram repeats
+      (a once-seen bigram is not repetition); ties break to the
+      lexicographically smallest bigram so the value is deterministic.
+    - repetitive: any threshold exceeded.
+
+    Plan shape: PER-ROW higher-order functions only — zero exchanges,
+    stateless, streaming-safe (same discipline as ``quality_filter``).
+    Duplicate char counting and the top-bigram argmax fold over the
+    SORTED unit array in one pass (runs of equal adjacent values), so
+    per-row cost is O(units log units), never O(units^2). The DuckDB twin
+    deliberately uses the relational unnest/groupBy formulation — parity
+    proves the fold agrees with the relational semantics. NULL text
+    coalesces to '' (every row survives with zero counts).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = _canon_units(text, "\n")
+    paras = _canon_units(text, "\n{2,}")
+    canon = normalized_for_fingerprint(text)
+    toks = _tokens(text)
+    n_t = F.size(toks)
+
+    def dup_chars(sorted_units):
+        """Chars inside units occurring >= 2 times, over a sorted array:
+        track the current run; flush run*len(unit) when it ends (and at
+        finish). Initial prev='' never collides — empties were dropped."""
+        return F.aggregate(
+            sorted_units,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("dup"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1)
+                .otherwise(F.lit(1).cast("long")).alias("run"),
+                (
+                    acc.dup
+                    + F.when(
+                        (x != acc.prev) & (acc.run >= 2),
+                        acc.run * F.length(acc.prev),
+                    ).otherwise(F.lit(0))
+                ).cast("long").alias("dup"),
+            ),
+            lambda acc: acc.dup + F.when(
+                acc.run >= 2, acc.run * F.length(acc.prev)
+            ).otherwise(F.lit(0)),
+        )
+
+    bigrams = F.zip_with(
+        F.slice(toks, F.lit(1), F.greatest(n_t - 1, F.lit(0))),
+        F.slice(toks, F.lit(2), F.greatest(n_t - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    # argmax over sorted bigrams: strict '>' keeps the FIRST maximal run
+    # in sorted order == lexicographically smallest on count ties.
+    top_bg = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+            F.lit("").alias("best_bg"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1)
+                .otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+            F.when(
+                F.when(x == acc.prev, acc.run + 1)
+                .otherwise(F.lit(1).cast("long")) > acc.best,
+                x,
+            ).otherwise(acc.best_bg).alias("best_bg"),
+        ),
+    )
+
+    measured = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_lines_d"),
+        dup_chars(F.array_sort(lines)).alias("dup_chars"),
+        F.aggregate(
+            lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("line_chars"),
+        F.size(paras).cast("long").alias("n_paras"),
+        F.size(F.array_distinct(paras)).cast("long").alias("n_paras_d"),
+        top_bg.getField("best").alias("top_c"),
+        top_bg.getField("best_bg").alias("top_bg"),
+        F.length(canon).cast("long").alias("canon_len"),
+    ).select(
+        id_col,
+        "n_lines",
+        F.round(
+            (F.col("n_lines") - F.col("n_lines_d"))
+            / F.greatest("n_lines", F.lit(1)),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.col("dup_chars") / F.greatest("line_chars", F.lit(1)), 4
+        ).alias("dup_line_char_frac"),
+        "n_paras",
+        F.round(
+            (F.col("n_paras") - F.col("n_paras_d"))
+            / F.greatest("n_paras", F.lit(1)),
+            4,
+        ).alias("dup_para_frac"),
+        # a bigram seen once is not repetition — coverage counts only
+        # repeated bigrams (otherwise every tiny unique doc trips the gate)
+        F.round(
+            F.when(
+                F.col("top_c") >= 2,
+                F.col("top_c") * F.length("top_bg"),
+            ).otherwise(F.lit(0))
+            / F.greatest("canon_len", F.lit(1)),
+            4,
+        ).alias("top_bigram_frac"),
+    )
+    return measured.withColumn(
+        "repetitive",
+        (F.col("dup_line_frac") > max_dup_line_frac)
+        | (F.col("dup_line_char_frac") > max_dup_line_char_frac)
+        | (F.col("dup_para_frac") > max_dup_para_frac)
+        | (F.col("top_bigram_frac") > max_top_bigram_frac),
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",

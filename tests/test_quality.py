@@ -107,3 +107,98 @@ def test_compression_ratio_deterministic(spark):
     a = sorted(compression_ratio(df).collect())
     b = sorted(compression_ratio(df.repartition(7)).collect())
     assert a == b
+
+
+def test_repetition_stats_crafted_values(spark):
+    from ocr_spark.operators.quality import repetition_stats
+
+    # doc 0: 4 lines, 'nav menu' twice -> dup_line_frac 2/4 = 0.5;
+    #   dup chars = 2*len('nav menu')=16 of 8+8+9+11=36 line chars;
+    #   paragraphs: two, both distinct.
+    # doc 1: no duplicates at all.
+    # doc 2: NULL text -> all-zero row, never dropped.
+    # doc 3: 'x y x y x y x y' -> top bigram 'x y' count 4 (overlapping
+    #   adjacent pairs: 7 bigrams, 'x y' wins 4 vs 'y x' 3), len 3,
+    #   canon len 15 -> 12/15 = 0.8.
+    rows = [
+        (0, "nav menu\nreal text\nnav  menu\nother line\n\nreal text two"),
+        (1, "alpha\nbeta\n\ngamma"),
+        (2, None),
+        (3, "x y x y x y x y"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    # doc 0: 5 lines total (blank separator dropped), 'nav menu' twice
+    # after whitespace canonicalization ('nav  menu' == 'nav menu')
+    assert out[0]["n_lines"] == 5
+    assert out[0]["dup_line_frac"] == pytest.approx(1 / 5, abs=1e-4)
+    d0_chars = 8 + 9 + 8 + 10 + 13  # canonicalized line lengths
+    assert out[0]["dup_line_char_frac"] == pytest.approx(16 / d0_chars, abs=1e-4)
+    assert out[0]["n_paras"] == 2 and out[0]["dup_para_frac"] == 0.0
+
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[1]["n_paras"] == 2
+    assert not out[1]["repetitive"]
+
+    assert out[2]["n_lines"] == 0 and out[2]["n_paras"] == 0
+    assert out[2]["dup_line_frac"] == 0.0 and not out[2]["repetitive"]
+
+    assert out[3]["top_bigram_frac"] == pytest.approx(4 * 3 / 15, abs=1e-4)
+    assert out[3]["repetitive"]  # 0.8 > 0.18
+
+
+def test_repetition_stats_paragraph_dups_and_tie_break(spark):
+    from ocr_spark.operators.quality import repetition_stats
+
+    # Identical paragraphs (footer boilerplate) and a bigram count tie:
+    # 'b c' and 'a b' both appear twice in 'a b c a b c'; the smaller
+    # bigram string 'a b' must win deterministically.
+    rows = [
+        (0, "footer one\nfooter two\n\nbody text\n\nfooter one\nfooter two"),
+        (1, "a b c a b c"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["n_paras"] == 3
+    assert out[0]["dup_para_frac"] == pytest.approx(1 / 3, abs=1e-4)
+    assert out[0]["repetitive"]  # 0.3333 > 0.30
+    # tie break: 'a b' (count 2, len 3) over 'b c' (count 2)
+    assert out[1]["top_bigram_frac"] == pytest.approx(2 * 3 / 11, abs=1e-4)
+
+
+def test_pii_redact_counts_and_rewrite(spark):
+    import hashlib
+
+    from ocr_spark.operators.pii import pii_redact
+
+    rows = [
+        (0, "mail a@b.com and c.d+x@e.org, server 10.0.0.1, call +123456789"),
+        (1, "no pii here"),
+        (2, None),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in pii_redact(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["n_emails"] == 2
+    assert out[0]["n_ipv4"] == 1
+    assert out[0]["n_phones"] == 1
+    assert out[0]["n_pii"] == 4
+    expect = "mail <EMAIL> and <EMAIL>, server <IP>, call <PHONE>"
+    assert out[0]["red_fp"] == hashlib.md5(expect.encode()).hexdigest()[:16]
+
+    assert out[1]["n_pii"] == 0
+    assert out[1]["red_fp"] == hashlib.md5(b"no pii here").hexdigest()[:16]
+    # NULL text coalesces to '' and the row survives
+    assert out[2]["n_pii"] == 0
+    assert out[2]["red_fp"] == hashlib.md5(b"").hexdigest()[:16]
