@@ -613,6 +613,129 @@ def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _linky_pages(df: DataFrame) -> DataFrame:
+    """Deterministic linky-HTML synth per doc_id, expression-only so the
+    DuckDB twin rebuilds the identical bytes: every resolution branch the
+    link extractor implements (absolute, protocol-relative, root-relative,
+    path-relative, fragment-only, mailto) appears, keyed by doc_id % 6,
+    plus one always-external absolute link."""
+    d = F.col("doc_id")
+    w = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), "[a-z]{3,}", 0
+            ),
+            F.lit(""),
+        ),
+        F.lit("page"),
+    )
+    s = lambda c: c.cast("string")  # noqa: E731
+    href0 = (
+        F.when(d % 6 == 0, F.concat(F.lit("http://h"), s((d * 3) % 23),
+                                    F.lit(".example.org/t/"), s(d)))
+        .when(d % 6 == 1, F.concat(F.lit("//h"), s((d + 1) % 23),
+                                   F.lit(".example.org/pr")))
+        .when(d % 6 == 2, F.concat(F.lit("/"), w, F.lit("/"), s(d)))
+        .when(d % 6 == 3, F.concat(w, F.lit(".html")))
+        .when(d % 6 == 4, F.lit("#top"))
+        .otherwise(F.lit("mailto:ops@example.org"))
+    )
+    href1 = F.concat(F.lit("https://h"), s(d % 11),
+                     F.lit(".example.net/a/"), s(d % 5))
+    url = F.concat(F.lit("https://h"), s(d % 23),
+                   F.lit(".example.org/p/"), s(d % 7), F.lit("/page.html"))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), s(d),
+        F.lit("</title></head><body><p>intro</p><a href=\""), href0,
+        F.lit("\">"), w, F.lit(" one</a> <a href=\""), href1,
+        F.lit("\">two</a></body></html>"),
+    )
+    return df.select("doc_id", url.alias("url"), html.alias("html_text"))
+
+
+def q_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph extraction (the second product of the extraction tier):
+    harvest hrefs from deterministic linky pages, resolve each against its
+    page URL per RFC 3986 crawl cases, drop non-edges (fragments, mailto),
+    emit (doc_id, url, pos, href, resolved, dst_host, internal). Pure
+    expressions — zero shuffle, streaming-safe."""
+    from ocr_spark.operators.links import outlinks
+
+    return outlinks(_linky_pages(_t(spark, sf_dir, "documents")))
+
+
+def q_host_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph degree profile over external resolved edges: out/in
+    link and distinct-peer counts per host, full-outer merged (one hash
+    agg on (src,dst), two on host)."""
+    from ocr_spark.operators.links import host_degree, outlinks
+
+    return host_degree(outlinks(_linky_pages(_t(spark, sf_dir, "documents"))))
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (8 rounds, d=0.85) over the host graph — the
+    classic crawl-quality prior. Iterative joins with a reused src_host
+    partitioning, per-round contrib caching, and localCheckpoint lineage
+    truncation; dangling mass carried as a broadcast 1-row frame so no
+    per-round driver action runs (one eager materialization at the end,
+    after which every intermediate cache is released)."""
+    from ocr_spark.operators.links import host_graph, outlinks, pagerank_hosts
+
+    edges = outlinks(_linky_pages(_t(spark, sf_dir, "documents")))
+    ranks = pagerank_hosts(host_graph(edges), iterations=8, damping=0.85)
+    return ranks.select("host", F.round("rank", 6).alias("rank"))
+
+
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text term profile per target host — what OTHER sites call a
+    host (the classic retrieval/quality signal). Whole-tag href+anchor
+    pairing, external edges only, top-3 terms per host with deterministic
+    tie-break. One (host, term) hash agg + one bounded per-host window."""
+    from ocr_spark.operators.links import anchor_terms, outlinks_with_text
+
+    return anchor_terms(
+        outlinks_with_text(_linky_pages(_t(spark, sf_dir, "documents"))),
+        top_k=3,
+    )
+
+
+def _canon_pages(df: DataFrame) -> DataFrame:
+    """Deterministic canonical-declaration synth per doc_id: unique page
+    URLs, with doc_id%4 selecting no-declaration / absolute-to-decade-
+    leader / root-relative-self / root-relative-to-leader — exercising
+    every resolution branch canonical_groups uses, plus >1-sized groups
+    (each decade's b=1 members join their leader's group)."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    t = d - (d % 10)
+    url = F.concat(F.lit("https://h"), s(d % 13),
+                   F.lit(".example.org/c/"), s(d), F.lit(".html"))
+    href = (
+        F.when(d % 4 == 1, F.concat(F.lit("https://h"), s(t % 13),
+                                    F.lit(".example.org/c/"), s(t),
+                                    F.lit(".html")))
+        .when(d % 4 == 2, F.concat(F.lit("/c/"), s(d), F.lit(".html")))
+        .when(d % 4 == 3, F.concat(F.lit("/c/"), s(t), F.lit(".html")))
+    )
+    link_tag = F.when(
+        href.isNotNull(),
+        F.concat(F.lit('<link rel="canonical" href="'), href, F.lit('"/>')),
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<html><head>"), link_tag,
+                    F.lit("</head><body><p>c</p></body></html>"))
+    return df.select("doc_id", url.alias("url"), html.alias("html_text"))
+
+
+def q_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical grouping — crawl-side dedup with zero content
+    comparison: resolve each page's declared canonical against its own
+    URL, group by target, keeper = self-declaring page else min id."""
+    from ocr_spark.operators.links import canonical_groups
+
+    return canonical_groups(_canon_pages(_t(spark, sf_dir, "documents")))
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-lite ingest edge: documents -> deterministic segment bytes ->
     record splitter -> pages; emits the decoded payload so the oracle can
@@ -968,8 +1091,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semi_join by dedup_increment's fp semi-join; agg_pricing's multi-agg
     shape by grouping_sets/group_quantiles; events_hourly's time buckets
     by sessionize/top_events_per_user — their window slots went to the
-    webtext-native repetition_stats and pii_redact). All stay
-    oracle-checked by tests/test_oracle_parity.py at sf0.01."""
+    webtext-native repetition_stats and pii_redact; set_ops' union/
+    intersect/except shapes by resume_antijoin and clean_corpus's staged
+    unions, and image_resize's Arrow mapInPandas plumbing by
+    frame_sample + media_meta — their slots went to the link-graph
+    outlinks and host_degree; pagerank_hosts is iterative and lives here
+    with its unrolled-CTE twin). All stay oracle-checked by
+    tests/test_oracle_parity.py at sf0.01."""
     return {
         k: _with_engine_conf(v)
         for k, v in _QUERIES.items()
@@ -980,7 +1108,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _EXTRA_KEYS = frozenset(
     "simhash fingerprint token_jaccard cosine_topk union_branches "
     "rollup_events moving_avg epoch_parse semi_join "
-    "agg_pricing events_hourly".split()
+    "agg_pricing events_hourly set_ops image_resize pagerank_hosts "
+    "anchor_terms canonical_groups".split()
 )
 
 _QUERIES = {
@@ -1044,6 +1173,11 @@ _QUERIES = {
         "lm_score": q_lm_score,
         "repetition_stats": q_repetition_stats,
         "pii_redact": q_pii_redact,
+        "outlinks": q_outlinks,
+        "host_degree": q_host_degree,
+        "pagerank_hosts": q_pagerank_hosts,
+        "anchor_terms": q_anchor_terms,
+        "canonical_groups": q_canonical_groups,
         "stream_extract": q_stream_extract,
     }
 
@@ -1388,6 +1522,292 @@ def _host_stats_oracle() -> str:
                count(*) AS n_docs,
                round(avg(n_chars), 2) AS avg_chars
         FROM u GROUP BY 1
+    """
+
+
+_SQL_LINKY_W = ("coalesce(nullif(regexp_extract(lower(coalesce(text, '')), "
+                "'[a-z]{3,}'), ''), 'page')")
+
+# same bytes as _linky_pages, rebuilt in SQL
+_SQL_LINKY = f"""
+    SELECT doc_id,
+           'https://h' || (doc_id % 23) || '.example.org/p/' || (doc_id % 7)
+               || '/page.html' AS url,
+           '<html><head><title>Doc ' || doc_id
+               || '</title></head><body><p>intro</p><a href="'
+               || CASE doc_id % 6
+                    WHEN 0 THEN 'http://h' || ((doc_id * 3) % 23)
+                                || '.example.org/t/' || doc_id
+                    WHEN 1 THEN '//h' || ((doc_id + 1) % 23)
+                                || '.example.org/pr'
+                    WHEN 2 THEN '/' || w || '/' || doc_id
+                    WHEN 3 THEN w || '.html'
+                    WHEN 4 THEN '#top'
+                    ELSE 'mailto:ops@example.org'
+                  END
+               || '">' || w || ' one</a> <a href="https://h' || (doc_id % 11)
+               || '.example.net/a/' || (doc_id % 5)
+               || '">two</a></body></html>' AS html_text
+    FROM (SELECT doc_id, {_SQL_LINKY_W} AS w FROM documents)
+"""
+
+
+def _sql_link_edges() -> str:
+    """Shared edge-derivation CTE chain (DuckDB): linky pages -> href
+    regexp harvest -> per-position explode -> RFC 3986 resolution CASE ->
+    fragment strip + non-edge filter + dst-host/internal columns. Twins
+    operators/links.outlinks via the templates in functions/links.py."""
+    from ocr_spark.functions import links as L
+    from ocr_spark.functions import urls as U
+
+    resolve = L.SQL_RESOLVE_HREF.format(h="href", u="url")
+    return f"""
+        lk_pages AS ({_SQL_LINKY}),
+        lk_hx AS (
+            SELECT doc_id, url, {L.SQL_HREFS.format(c="html_text")} AS hrefs
+            FROM lk_pages
+        ),
+        lk_pe AS (
+            SELECT doc_id, url, hrefs,
+                   unnest(generate_series(1, len(hrefs))) AS i
+            FROM lk_hx
+        ),
+        lk_res AS (
+            SELECT doc_id, url, CAST(i - 1 AS INT) AS pos, hrefs[i] AS href,
+                   {resolve} AS resolved0
+            FROM lk_pe
+        ),
+        lk_edges AS (
+            SELECT doc_id, url, pos, href,
+                   {L.SQL_STRIP_FRAGMENT.format(h="resolved0")} AS resolved
+            FROM lk_res WHERE resolved0 IS NOT NULL
+        ),
+        lk_full AS (
+            SELECT doc_id, url, pos, href, resolved,
+                   {U.SQL_URL_HOST.format(c="resolved")} AS dst_host,
+                   {U.SQL_URL_HOST.format(c="resolved")}
+                       = {U.SQL_URL_HOST.format(c="url")} AS internal
+            FROM lk_edges
+        )
+    """
+
+
+def _outlinks_oracle() -> str:
+    return f"""
+        WITH {_sql_link_edges()}
+        SELECT doc_id, url, pos, href, resolved, dst_host, internal
+        FROM lk_full
+    """
+
+
+def _host_degree_oracle() -> str:
+    from ocr_spark.functions import urls as U
+
+    return f"""
+        WITH {_sql_link_edges()},
+        hg AS (
+            SELECT {U.SQL_URL_HOST.format(c="url")} AS src_host, dst_host,
+                   count(*) AS n_links
+            FROM lk_full WHERE NOT internal
+            GROUP BY 1, 2
+        ),
+        outs AS (
+            SELECT src_host AS host, sum(n_links) AS out_links,
+                   count(*) AS out_hosts
+            FROM hg GROUP BY 1
+        ),
+        ins AS (
+            SELECT dst_host AS host, sum(n_links) AS in_links,
+                   count(*) AS in_hosts
+            FROM hg GROUP BY 1
+        )
+        SELECT coalesce(o.host, i.host) AS host,
+               coalesce(out_links, 0) AS out_links,
+               coalesce(out_hosts, 0) AS out_hosts,
+               coalesce(in_links, 0) AS in_links,
+               coalesce(in_hosts, 0) AS in_hosts
+        FROM outs o FULL OUTER JOIN ins i ON o.host = i.host
+    """
+
+
+def _pagerank_oracle(iterations: int = 8, damping: float = 0.85) -> str:
+    """DuckDB twin of q_pagerank_hosts: the power iteration UNROLLED as
+    ``iterations`` CTE triples (contrib -> flowed -> ranks). Float sum
+    order differs between engines at the last ulp; both sides round to
+    6 dp (and the parity harness to 4 dp), far above ulp drift, far
+    below rank gaps.
+
+    Every iteration CTE is AS MATERIALIZED: each r_k is referenced by
+    c_{k+1}, and c_k twice (directly and via f_k) — with default
+    inlining the expansion doubles per round and the 8-round plan never
+    finishes; materialization makes the chain linear, mirroring what
+    the Spark side's localCheckpoint does for lineage."""
+    from ocr_spark.functions import urls as U
+
+    prev = "r0"
+    iters = []
+    for k in range(1, iterations + 1):
+        iters.append(f"""
+        c{k} AS MATERIALIZED (
+            SELECT t.dst_host AS host, sum(t.w * r.rank) AS contrib
+            FROM lk_trans t JOIN {prev} r ON t.src_host = r.host
+            GROUP BY 1
+        ),
+        f{k} AS MATERIALIZED (
+            SELECT coalesce(sum(contrib), 0.0) AS flowed FROM c{k}
+        ),
+        r{k} AS MATERIALIZED (
+            SELECT h.host,
+                   (1.0 - {damping}) / nh.n
+                   + {damping} * (coalesce(c.contrib, 0.0)
+                                  + (1.0 - f.flowed) / nh.n) AS rank
+            FROM lk_hosts h
+            CROSS JOIN lk_nh nh CROSS JOIN f{k} f
+            LEFT JOIN c{k} c ON h.host = c.host
+        )""")
+        prev = f"r{k}"
+    return f"""
+        WITH {_sql_link_edges()},
+        hg AS MATERIALIZED (
+            SELECT {U.SQL_URL_HOST.format(c="url")} AS src_host, dst_host,
+                   count(*) AS n_links
+            FROM lk_full WHERE NOT internal
+            GROUP BY 1, 2
+        ),
+        lk_outw AS (
+            SELECT src_host, sum(n_links) AS out_w FROM hg GROUP BY 1
+        ),
+        lk_trans AS MATERIALIZED (
+            SELECT h.src_host, h.dst_host, h.n_links * 1.0 / o.out_w AS w
+            FROM hg h JOIN lk_outw o ON h.src_host = o.src_host
+        ),
+        lk_hosts AS MATERIALIZED (
+            SELECT DISTINCT host FROM (
+                SELECT src_host AS host FROM hg
+                UNION ALL SELECT dst_host FROM hg
+            )
+        ),
+        lk_nh AS MATERIALIZED (SELECT count(*) AS n FROM lk_hosts),
+        r0 AS (SELECT host, 1.0 / nh.n AS rank FROM lk_hosts CROSS JOIN lk_nh nh),
+        {",".join(iters)}
+        SELECT host, round(rank, 6) AS rank FROM {prev}
+    """
+
+
+def _anchor_terms_oracle() -> str:
+    """DuckDB twin of q_anchor_terms: whole-anchor-tag harvest, per-tag
+    href/anchor extraction (the mis-pair-proof pairing), the same RFC 3986
+    resolution CASE, external edges only, (dst_host, term) counts, top-3
+    per host with (n_links desc, term) tie-break."""
+    from ocr_spark.functions import links as L
+    from ocr_spark.functions import urls as U
+
+    resolve = L.SQL_RESOLVE_HREF.format(h="href", u="url")
+    return f"""
+        WITH lk_pages AS ({_SQL_LINKY}),
+        at_tags AS (
+            SELECT doc_id, url,
+                   unnest({L.SQL_ANCHOR_TAGS.format(c="html_text")}) AS tag
+            FROM lk_pages
+        ),
+        at_pairs AS (
+            SELECT doc_id, url,
+                   {L.SQL_TAG_HREF.format(t="tag")} AS href,
+                   {L.SQL_TAG_ANCHOR.format(t="tag")} AS anchor
+            FROM at_tags
+        ),
+        at_res AS (
+            SELECT url, anchor,
+                   {L.SQL_STRIP_FRAGMENT.format(h=resolve)} AS resolved
+            FROM at_pairs
+        ),
+        at_ext AS (
+            SELECT {U.SQL_URL_HOST.format(c="resolved")} AS dst_host, anchor
+            FROM at_res
+            WHERE resolved IS NOT NULL
+              AND {U.SQL_URL_HOST.format(c="resolved")}
+                  <> {U.SQL_URL_HOST.format(c="url")}
+        ),
+        at_toks AS (
+            SELECT dst_host,
+                   unnest(list_filter(
+                       regexp_split_to_array(lower(anchor), '[^a-z0-9]+'),
+                       t -> t <> '')) AS term
+            FROM at_ext
+        ),
+        at_counts AS (
+            SELECT dst_host, term, count(*) AS n_links
+            FROM at_toks GROUP BY 1, 2
+        )
+        SELECT dst_host, term, n_links, rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY dst_host ORDER BY n_links DESC, term
+            ) AS rank
+            FROM at_counts
+        ) WHERE rank <= 3
+    """
+
+
+# same bytes as _canon_pages, rebuilt in SQL ('t' = decade leader id)
+_SQL_CANON_PAGES = """
+    SELECT doc_id,
+           'https://h' || (doc_id % 13) || '.example.org/c/' || doc_id
+               || '.html' AS url,
+           '<html><head>'
+               || CASE WHEN doc_id % 4 = 0 THEN ''
+                  ELSE '<link rel="canonical" href="'
+                       || CASE doc_id % 4
+                            WHEN 1 THEN 'https://h'
+                                || ((doc_id - (doc_id % 10)) % 13)
+                                || '.example.org/c/'
+                                || (doc_id - (doc_id % 10)) || '.html'
+                            WHEN 2 THEN '/c/' || doc_id || '.html'
+                            ELSE '/c/' || (doc_id - (doc_id % 10)) || '.html'
+                          END
+                       || '"/>'
+                  END
+               || '</head><body><p>c</p></body></html>' AS html_text
+    FROM documents
+"""
+
+
+def _canonical_groups_oracle() -> str:
+    """DuckDB twin of q_canonical_groups: extract the declared canonical,
+    resolve it against the page URL (same CASE as the link resolver),
+    coalesce to self, then one grouped window for size + keeper
+    (is_self desc, doc_id — identical to the Spark struct-min)."""
+    from ocr_spark.functions import links as L
+
+    canon = (
+        "nullif(regexp_extract(html_text, "
+        "'<link\\s[^>]*rel=\"canonical\"[^>]*href=\"([^\"]*)\"', 1), '')"
+    )
+    resolve = L.SQL_RESOLVE_HREF.format(h=canon, u="url")
+    return f"""
+        WITH cp AS ({_SQL_CANON_PAGES}),
+        pc AS (
+            SELECT doc_id, url,
+                   coalesce({L.SQL_STRIP_FRAGMENT.format(h=resolve)}, url)
+                       AS canonical_url
+            FROM cp
+        ),
+        pcs AS (
+            SELECT doc_id, url, canonical_url,
+                   canonical_url = url AS is_self
+            FROM pc
+        )
+        SELECT doc_id, url, canonical_url, is_self, group_size,
+               rn = 1 AS is_keeper
+        FROM (
+            SELECT *,
+                   count(*) OVER (PARTITION BY canonical_url) AS group_size,
+                   row_number() OVER (
+                       PARTITION BY canonical_url
+                       ORDER BY is_self DESC, doc_id
+                   ) AS rn
+            FROM pcs
+        )
     """
 
 
@@ -1923,6 +2343,11 @@ def _oracle_sql_all() -> dict[str, str]:
         """,
         "url_parts": _url_parts_oracle(),
         "host_stats": _host_stats_oracle(),
+        "outlinks": _outlinks_oracle(),
+        "host_degree": _host_degree_oracle(),
+        "pagerank_hosts": _pagerank_oracle(),
+        "anchor_terms": _anchor_terms_oracle(),
+        "canonical_groups": _canonical_groups_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),
         "simhash": _simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
