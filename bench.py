@@ -12,12 +12,15 @@ local[4] (N) and local[16] (4N) on the same parquet input; efficiency =
 T_N / (4 * T_4N). Pair chosen so the 4N level still has physical cores —
 the cluster analog where executors aren't oversubscribed; see BENCH.md.
 
-Noise discipline: this sandbox shares physical cores with other tenants
-(load average >10 with zero local processes), so every measured job runs
-``OCR_BENCH_REPS`` times and reports the MIN wall (closest to uncontended),
-and the scaling runs are pinned with ``taskset`` so "N cores" means N
-physical cores for the whole process tree (JVM + Python workers), not just
-N task slots.
+Noise discipline: this sandbox shares physical cores with other tenants —
+both in-VM (load average >10 with zero local processes) and other-VM
+(hypervisor steal episodes that degraded an unguarded headline run 10x).
+EVERY measured phase is therefore steal-guarded: each rep starts only
+after a quiet-box probe, is tagged with the steal fraction of its own
+window, and re-runs (bounded) until at least one rep was steal-clean;
+reported walls are the min over clean reps. The scaling runs are
+additionally pinned with ``taskset`` so "N cores" means N physical cores
+for the whole process tree (JVM + Python workers), not just N task slots.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
@@ -90,7 +93,8 @@ BENCH_QUERIES = (
     "tfidf_terms stratified_sample contamination "
     "quality_filter lm_score url_parts host_stats warc_roundtrip "
     "dedup_clusters clean_corpus line_dedup shard_assignment dedup_increment "
-    "host_cap robots_filter"
+    "host_cap robots_filter outlinks host_degree pagerank_hosts anchor_terms "
+    "canonical_groups"
 ).split()
 
 
@@ -203,6 +207,54 @@ def _probe_quiet(pinned: set[int], seconds: float = 3.0) -> tuple[float, float]:
     return _ext_busy(t0, t1, pinned), _pin_steal(t0, t1, pinned)
 
 
+HEAD_WAIT_MAX_S = int(os.environ.get("OCR_BENCH_HEAD_WAIT_MAX_S", "120"))
+
+
+def _wait_quiet(wait_max: int = HEAD_WAIT_MAX_S, probe_s: float = 1.5) -> int:
+    """Defer while a whole-box probe shows tenant activity: between our
+    own jobs the box should be near-idle, so ANY sustained busy fraction
+    (in-VM tenants) or steal (other-VM tenants) above threshold means a
+    measurement started now would be contended. Returns seconds waited."""
+    waited = 0
+    ext, st = _probe_quiet(set(), probe_s)
+    while (ext > EXT_BUSY_MAX or st > STEAL_MAX) and waited < wait_max:
+        time.sleep(10)
+        waited += 10
+        ext, st = _probe_quiet(set(), probe_s)
+    return waited
+
+
+def run_reps_clean(job, reps: int, extra: int | None = None):
+    """min-of-reps with steal accounting for the UNPINNED phases
+    (headline, query suite, sustained) — the r3 lesson: a hypervisor-
+    steal episode degraded the unguarded headline 10x while the guarded
+    scaling phase would have deferred. Each rep starts after a quiet-box
+    probe and is tagged with the steal fraction of its own window; if no
+    rep ran steal-clean, keep sampling (up to ``extra`` more). Returns
+    (walls, steals, n_clean); callers min() over clean walls when any
+    exist (min_clean)."""
+    extra = reps if extra is None else extra
+    all_cores = set(range(CPUS))
+    walls: list[float] = []
+    steals: list[float] = []
+    clean = 0
+    for i in range(reps + extra):
+        if i >= reps and clean > 0:
+            break
+        _wait_quiet()
+        t0 = _cpu_ticks()
+        walls.append(job())
+        steals.append(_pin_steal(t0, _cpu_ticks(), all_cores))
+        if steals[-1] <= STEAL_MAX:
+            clean += 1
+    return walls, steals, clean
+
+
+def min_clean(walls: list[float], steals: list[float]) -> float:
+    basis = [w for w, s in zip(walls, steals) if s <= STEAL_MAX] or walls
+    return min(basis)
+
+
 def scale_worker(cores: int) -> None:
     """Subprocess mode (pinned via taskset by the parent): warmup, then
     adaptive measurement bursts separated by idle gaps — time-diversified
@@ -312,16 +364,19 @@ def main() -> None:
     # warmup: spin up python workers + JIT before any measurement
     run_extract_job(spark, PAGES_DIR, "/tmp/ocr_spark_bench/warmup_out")
 
-    walls = [
-        run_extract_job(spark, PAGES_DIR, "/tmp/ocr_spark_bench/out") for _ in range(REPS)
-    ]
-    wall = min(walls)
+    walls, steals, n_clean = run_reps_clean(
+        lambda: run_extract_job(spark, PAGES_DIR, "/tmp/ocr_spark_bench/out"),
+        REPS,
+    )
+    wall = min_clean(walls, steals)
     result["value"] = round(wall, 3)
     result["extract"] = {
         "pages": N_PAGES,
         "cores": CPUS,
         "wall_sec": round(wall, 3),
         "walls": [round(w, 3) for w in walls],
+        "steal_fracs": steals,
+        "clean_reps": n_clean,
         "docs_per_sec": round(N_PAGES / wall, 1),
     }
     log(f"bench: extract {N_PAGES} pages in {wall:.1f}s "
@@ -332,19 +387,25 @@ def main() -> None:
 
     queries = {**entrymod.queries(), **entrymod.extra_queries()}
     qtimes: dict[str, float] = {}
+    q_dirty: list[str] = []
     for name in BENCH_QUERIES if DO_QUERIES else ():
         fn = queries[name]
-        best = None
-        rows = 0
-        for _ in range(REPS):
+        rows_box = [0]
+
+        def one_rep():
             t0 = time.time()
-            df = fn(spark, SF_DIR)
-            rows = df.count()
-            w = time.time() - t0
-            best = w if best is None or w < best else best
-        qtimes[name] = round(best, 3)
-        log(f"bench: {name}: {rows} rows in {qtimes[name]}s")
+            rows_box[0] = fn(spark, SF_DIR).count()
+            return time.time() - t0
+
+        walls, steals, n_clean = run_reps_clean(one_rep, REPS, extra=2)
+        qtimes[name] = round(min_clean(walls, steals), 3)
+        if n_clean == 0:
+            q_dirty.append(name)
+        log(f"bench: {name}: {rows_box[0]} rows in {qtimes[name]}s"
+            + ("" if n_clean else " (no steal-clean rep)"))
     result["queries"] = qtimes
+    if q_dirty:
+        result["queries_no_clean_rep"] = q_dirty
 
     # long-session hygiene: drop the scoped signature caches the dedup/
     # similarity queries persist, so repeated bench loops stay memory-flat
@@ -357,16 +418,14 @@ def main() -> None:
         sus_pages = int(os.environ.get("OCR_BENCH_SUSTAINED_PAGES", "1000000"))
         sus_dir = materialize_pages(spark, sus_pages)
         sus_out = "/tmp/ocr_spark_bench/sustained_out"
-        # min-of-N with steal tagging: a single rep can eat a whole
-        # hypervisor-steal episode (56.9s vs 24s observed for the same job)
+        # min-of-N with quiet-start + steal tagging: a single rep can eat a
+        # whole hypervisor-steal episode (56.9s vs 24s observed for the
+        # same job); reps retry until one runs steal-clean
         sus_reps = int(os.environ.get("OCR_BENCH_SUSTAINED_REPS", "2"))
-        sus_walls = []
-        sus_steals = []
-        for _ in range(sus_reps):
-            t0 = _cpu_ticks()
-            sus_walls.append(run_extract_job(spark, sus_dir, sus_out))
-            sus_steals.append(_pin_steal(t0, _cpu_ticks(), set(range(CPUS))))
-        sus_wall = min(sus_walls)
+        sus_walls, sus_steals, _ = run_reps_clean(
+            lambda: run_extract_job(spark, sus_dir, sus_out), sus_reps
+        )
+        sus_wall = min_clean(sus_walls, sus_steals)
         from pyspark.sql import functions as F
 
         status_counts = {
