@@ -82,7 +82,19 @@ SCALE_PAGES = int(os.environ.get("OCR_BENCH_SCALE_PAGES", str(max(360_000, N_PAG
 # stages run minutes-to-hours
 SCALE_PAGES_4N = int(os.environ.get("OCR_BENCH_SCALE_PAGES_4N", str(3 * SCALE_PAGES)))
 DO_QUERIES = os.environ.get("OCR_BENCH_QUERIES", "1") == "1"
-PAGES_DIR = f"/tmp/ocr_spark_bench/pages_{N_PAGES}"
+PAGES_DIR = os.environ.get(
+    "OCR_BENCH_PAGES_DIR", f"/tmp/ocr_spark_bench/pages_{N_PAGES}"
+)
+# The SCALING phase runs on tmpfs (input copy, parquet sink, AND
+# spark.local.dir for shuffle spill): this box has ONE shared virtio disk
+# whose bandwidth does not grow from the 2-core to the 16-core level —
+# unlike a real cluster, where every added executor brings its own local
+# disks and sink (HDFS/S3) bandwidth scales with the fleet. Measured on
+# /tmp, other-VM disk traffic stalled pinned runs 30-50% with ZERO
+# cpu-steal and zero external busy (the r3 artifact's non-converged
+# bursts), drowning the compute-scaling signal the criterion targets.
+# The headline and sustained phases keep the real disk sink.
+SHM_DIR = os.environ.get("OCR_BENCH_SHM_DIR", "/dev/shm/ocr_spark_bench")
 
 BENCH_QUERIES = (
     "flagship_extract pdf_extract exact_dedup token_stats lang_id fingerprint "
@@ -132,8 +144,13 @@ SCALE_GAP_S = int(os.environ.get("OCR_BENCH_SCALE_GAP_S", "30"))
 # adaptive burst control (see scale_worker): sample bursts until the valid
 # walls' min and median agree within AGREE_TOL, bounded by MIN/MAX_BURSTS
 MIN_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_MIN_BURSTS", "2"))
-MAX_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_BURSTS", "5"))
+MAX_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_BURSTS", "8"))
 AGREE_TOL = float(os.environ.get("OCR_BENCH_SCALE_AGREE_TOL", "0.05"))
+# a burst is climate-valid only if its memory-stream calibration ran
+# within this factor of the session's best calibration — the detector
+# for contention that steal/busy probes CANNOT see (other-VM memory-
+# bandwidth pressure: observed 30% wall degradation with zero steal)
+CALIB_TOL = float(os.environ.get("OCR_BENCH_CALIB_TOL", "1.07"))
 # contention guard: the pre-burst wait loop uses the direct _probe_quiet
 # signals (the r2 1-min-loadavg guard conflated our own decaying bursts
 # with tenants and wasted up to 5 min/burst waiting out self-load);
@@ -194,6 +211,26 @@ def _pin_steal(before: dict, after: dict, pinned: set[int]) -> float:
         if t1 > t0:
             fracs.append((s1 - s0) / (t1 - t0))
     return round(sum(fracs) / len(fracs), 3) if fracs else 0.0
+
+
+def _calibrate(reps: int = 3) -> float:
+    """Single-core memory-stream benchmark (256 MB touched per rep):
+    min-of-reps seconds. Slower-than-best calibration = the memory
+    subsystem is contended RIGHT NOW by something no in-VM CPU counter
+    can attribute (other-VM bandwidth pressure) — the r3 failure mode:
+    pinned extraction walls degraded 30% with zero steal and zero
+    external busy. Used to tag each burst's climate."""
+    import numpy as np
+
+    a = np.ones(32_000_000)
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        a *= 1.0000001
+        float(a.sum())
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
 
 
 def _probe_quiet(pinned: set[int], seconds: float = 3.0) -> tuple[float, float]:
@@ -271,10 +308,30 @@ def scale_worker(cores: int) -> None:
     import statistics
 
     pinned = set(range(cores))
-    spark = get_spark(master=f"local[{cores}]", app_name=f"ocr-spark-scale-{cores}")
-    run_extract_job(spark, PAGES_DIR, f"/tmp/ocr_spark_bench/warm_{cores}")  # warmup
+    os.makedirs(SHM_DIR, exist_ok=True)
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app_name=f"ocr-spark-scale-{cores}",
+        # shuffle spill on tmpfs: the shared virtio disk does not scale
+        # with the pinned core count (see SHM_DIR note above)
+        extra_conf={"spark.local.dir": f"{SHM_DIR}/local_{cores}"},
+    )
+    run_extract_job(spark, PAGES_DIR, f"{SHM_DIR}/warm_{cores}")  # warmup
     walls: list[float] = []
     burst_info: list[dict] = []
+
+    def _valid_walls() -> list[float]:
+        # climate validity is RELATIVE to the best calibration seen, so
+        # it is recomputed as the session discovers quieter windows
+        best_cal = min(b["calib"] for b in burst_info)
+        for b in burst_info:
+            b["valid"] = (
+                b["ext_busy"] <= EXT_BUSY_MAX
+                and b["pin_steal"] <= STEAL_MAX
+                and b["calib"] <= best_cal * CALIB_TOL
+            )
+        return [w for b in burst_info if b["valid"] for w in b["walls"]]
+
     valid: list[float] = []
     while True:
         if burst_info:
@@ -286,29 +343,26 @@ def scale_worker(cores: int) -> None:
             time.sleep(15)
             waited += 15
             p_ext, p_steal = _probe_quiet(pinned)
+        cal = _calibrate()
         t_before = _cpu_ticks()
         burst_walls = [
-            run_extract_job(spark, PAGES_DIR, f"/tmp/ocr_spark_bench/out_{cores}")
+            run_extract_job(spark, PAGES_DIR, f"{SHM_DIR}/out_{cores}")
             for _ in range(REPS)
         ]
         t_after = _cpu_ticks()
-        ext = _ext_busy(t_before, t_after, pinned)
-        steal = _pin_steal(t_before, t_after, pinned)
-        ok = ext <= EXT_BUSY_MAX and steal <= STEAL_MAX
         burst_info.append(
             {
                 "walls": [round(w, 3) for w in burst_walls],
                 "loadavg_pre": round(_loadavg1(), 2),
                 "probe": [p_ext, p_steal],
                 "guard_waited_s": waited,
-                "ext_busy": ext,
-                "pin_steal": steal,
-                "valid": ok,
+                "ext_busy": _ext_busy(t_before, t_after, pinned),
+                "pin_steal": _pin_steal(t_before, t_after, pinned),
+                "calib": cal,
             }
         )
         walls += burst_walls
-        if ok:
-            valid += burst_walls
+        valid = _valid_walls()
         n = len(burst_info)
         if n >= MIN_BURSTS and len(valid) >= 2:
             if statistics.median(valid) / min(valid) - 1 <= AGREE_TOL:
@@ -342,6 +396,7 @@ def run_scale_level(cores: int, pages: int) -> dict:
         # (pre-materialized) scaling table for THIS pair
         env={**os.environ, "OCR_BENCH_SCALING": "0",
              "OCR_BENCH_PAGES": str(pages),
+             "OCR_BENCH_PAGES_DIR": f"{SHM_DIR}/pages_{pages}",
              "OCR_BENCH_REPS": str(SCALE_REPS)},
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -357,9 +412,17 @@ def main() -> None:
     spark = get_spark(master=f"local[{CPUS}]", app_name="ocr-spark-bench")
     materialize_pages(spark, N_PAGES)
     if DO_SCALING:
-        # on all cores, before pinning
-        for pages in {SCALE_PAGES, SCALE_PAGES_4N} - {N_PAGES}:
-            materialize_pages(spark, pages)
+        # on all cores, before pinning; each scaling table is then copied
+        # to tmpfs so the pinned levels read/write/spill with no shared-
+        # disk dependence (see SHM_DIR note)
+        import shutil
+
+        for pages in {SCALE_PAGES, SCALE_PAGES_4N}:
+            src = materialize_pages(spark, pages)
+            dst = f"{SHM_DIR}/pages_{pages}"
+            if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+                os.makedirs(SHM_DIR, exist_ok=True)
+                shutil.copytree(src, dst, dirs_exist_ok=True)
 
     # warmup: spin up python workers + JIT before any measurement
     run_extract_job(spark, PAGES_DIR, "/tmp/ocr_spark_bench/warmup_out")
