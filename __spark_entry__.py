@@ -1063,6 +1063,116 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streamed
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span profile (ExactSubstr-style span dedup at 8-word-gram
+    granularity): per-doc duplicated-word counts from merged dup-gram
+    intervals — every document gets a row. Exact DuckDB twin (portable
+    60-bit md5 gram hashes, identical gaps-and-islands windows)."""
+    from ocr_spark.operators.spans import dup_span_stats
+
+    return dup_span_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH self-audit: recall/precision of the banded MinHash candidate
+    generator (production bands + bucket caps) against EXACT shingle-
+    jaccard ground truth from a shingle-hash inverted-index join. One row.
+
+    The corpus's only natural near-dups sit at jaccard ~0.95 where LSH is
+    trivially perfect, so the query first plants a deterministic
+    mid-similarity ladder both engines construct identically: for
+    doc_id < 40, a variant at +500000 with every p-th token mutated
+    (p = 4 + (doc_id % 8) * 6 — jaccards spread across the 8-band/4-row
+    capture knee). Measured at sf0.01: recall 0.935, precision 1.0 — the
+    audit actually prices the band construction. Exact DuckDB twin."""
+    from ocr_spark.operators.dedup import lsh_recall_audit
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[ \t\n]+", " ")
+    )
+    toks = F.split(norm, " ")
+    vid = F.col("doc_id") + 500000
+    p = F.lit(4) + (F.col("doc_id") % 8) * 6
+    mutated = F.transform(
+        toks,
+        lambda t, i: F.when(
+            i % p == 0,
+            F.concat(F.lit("mutx"), vid.cast("string"), F.lit("x"), i.cast("string")),
+        ).otherwise(t),
+    )
+    # two selects: in a single select list Spark 4's lateral-column-alias
+    # resolution would bind the ``doc_id`` inside ``mutated``/``vid`` to the
+    # just-aliased OUTPUT column (doc_id + 500000), double-shifting the ids
+    # baked into the mutated tokens
+    variants = (
+        d.where("doc_id < 40")
+        .select("doc_id", F.array_join(mutated, " ").alias("text"))
+        .select(vid.alias("doc_id"), "text")
+    )
+    return lsh_recall_audit(d.unionByName(variants), threshold=0.5)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: (term, df, cf, sorted posting string)
+    for terms with min_df <= df <= 90% of the corpus — tf compression
+    before posting assembly, relative df ceiling drops stopword monsters
+    at any scale. Exact DuckDB twin."""
+    from ocr_spark.operators.index import inverted_index
+
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), min_df=2, max_df_frac=0.9
+    )
+
+
+def q_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-lite MERGE INTO (copy-on-write upsert at file granularity):
+    documents land partitioned by lang with doc_id stats, then one merge
+    batch updates doc_id % 10 == 3 (text 'rev2: ...') and inserts new ids
+    (+100000 for doc_id % 25 == 0). Returns the final table state — the
+    anti-join + union semantics have an exact DuckDB twin; manifest-level
+    pruning (untouched files carried verbatim) is pinned by
+    tests/test_resume.py."""
+    import os
+
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    import hashlib
+    import shutil
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/ocr_spark_merge_q/{key}-{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d = _t(spark, sf_dir, "documents").select(*cols)
+    table = IcebergLiteTable(root)
+    table.overwrite(d, partition_by="lang", stats_cols=("doc_id",))
+    upd_text = F.concat(F.lit("rev2: "), F.coalesce(F.col("text"), F.lit("")))
+    updates = d.where("doc_id % 10 = 3").select(
+        "doc_id",
+        upd_text.alias("text"),
+        "lang",
+        F.lit("merge").alias("source"),
+        F.length(upd_text).cast("long").alias("n_chars"),
+    )
+    new_text = F.concat(F.lit("new doc "), (F.col("doc_id") + 100000).cast("string"))
+    inserts = d.where("doc_id % 25 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        new_text.alias("text"),
+        "lang",
+        F.lit("merge").alias("source"),
+        F.length(new_text).cast("long").alias("n_chars"),
+    )
+    table.merge_into(
+        spark,
+        updates.unionByName(inserts),
+        key_cols=("doc_id",),
+        partition_by="lang",
+        stats_cols=("doc_id",),
+    )
+    return table.read(spark).select(*cols)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _with_engine_conf(q_flagship_extract)(spark, SF0001)
@@ -1096,8 +1206,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unions, and image_resize's Arrow mapInPandas plumbing by
     frame_sample + media_meta — their slots went to the link-graph
     outlinks and host_degree; pagerank_hosts is iterative and lives here
-    with its unrolled-CTE twin). All stay oracle-checked by
-    tests/test_oracle_parity.py at sf0.01."""
+    with its unrolled-CTE twin. Round 3 demotions whose slots went to
+    dup_spans / lsh_recall / inverted_index / merge_table: url_parts'
+    canonicalization functions are exercised in-window by host_stats,
+    host_cap, and robots_filter; media_meta's Arrow multimodal plumbing
+    by frame_sample; error_top_fields' validator machinery by
+    validate_docs and its top-N shape by top_customers/knn; outer_join's
+    join family by asof_join + resume_antijoin). All stay oracle-checked
+    by tests/test_oracle_parity.py at sf0.01."""
     return {
         k: _with_engine_conf(v)
         for k, v in _QUERIES.items()
@@ -1109,7 +1225,8 @@ _EXTRA_KEYS = frozenset(
     "simhash fingerprint token_jaccard cosine_topk union_branches "
     "rollup_events moving_avg epoch_parse semi_join "
     "agg_pricing events_hourly set_ops image_resize pagerank_hosts "
-    "anchor_terms canonical_groups".split()
+    "anchor_terms canonical_groups "
+    "url_parts media_meta error_top_fields outer_join".split()
 )
 
 _QUERIES = {
@@ -1178,6 +1295,10 @@ _QUERIES = {
         "pagerank_hosts": q_pagerank_hosts,
         "anchor_terms": q_anchor_terms,
         "canonical_groups": q_canonical_groups,
+        "dup_spans": q_dup_spans,
+        "lsh_recall": q_lsh_recall,
+        "inverted_index": q_inverted_index,
+        "merge_table": q_merge_table,
         "stream_extract": q_stream_extract,
     }
 
@@ -1270,12 +1391,31 @@ def _embedding_neardup_oracle() -> str:
     """
 
 
+_MH_JAC = ("round(len(list_intersect(a.sh, b.sh)) * 1.0 / "
+           "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)")
+
+
 def _minhash_oracle(src: str = "documents") -> str:
     """DuckDB twin of minhash_lsh_pairs: same shingles, same md5-based
     universal-hash signatures (constants inlined from operators.dedup),
     same band slicing, bucket caps, and exact-jaccard verification.
     ``src``: any relation exposing (doc_id, text) — the composed
     clean-corpus oracle feeds it the post-exact-dedup CTE."""
+    jac = _MH_JAC
+    return f"""
+        WITH {_minhash_cte_body(src)}
+        SELECT id_a, id_b, {jac} AS jaccard
+        FROM cand JOIN dsh a ON id_a = a.id JOIN dsh b ON id_b = b.id
+        WHERE {jac} >= 0.5
+    """
+
+
+def _minhash_cte_body(src: str = "documents") -> str:
+    """Shared CTE chain (no WITH keyword, no final SELECT) computing the
+    minhash LSH pipeline's intermediates from a (doc_id, text) relation:
+    shin(gles), bhx (base hashes), sig(natures), banded, small (capped
+    buckets), cand(idate pairs), dsh (distinct shingle sets). Used by the
+    minhash_pairs oracle and the lsh_recall audit twin."""
     from ocr_spark.operators.dedup import (
         LSH_BANDS,
         MINHASH_AB,
@@ -1288,10 +1428,7 @@ def _minhash_oracle(src: str = "documents") -> str:
         f"list_min([({a} * (h % {_MH_P}) + {b}) % {_MH_P} for h in bhs])"
         for a, b in MINHASH_AB
     )
-    jac = ("round(len(list_intersect(a.sh, b.sh)) * 1.0 / "
-           "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)")
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
             SELECT doc_id AS id, string_split({_CANON}, ' ') AS toks FROM {src}
         ), shin AS (
             SELECT id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -1322,10 +1459,98 @@ def _minhash_oracle(src: str = "documents") -> str:
               ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
         ), dsh AS (
             SELECT id, list_distinct(shingles) AS sh FROM shin
+        )"""
+
+
+def _lsh_recall_oracle(src: str = "documents", threshold: float = 0.5) -> str:
+    """DuckDB twin of dedup.lsh_recall_audit: the shared minhash CTE chain
+    supplies the production candidate pairs (cand); exact ground truth
+    comes from the shingle-hash inverted-index join over the same base
+    hashes (bhx), jaccard-verified at ``threshold``."""
+    jac = _MH_JAC
+    return f"""
+        WITH {_minhash_cte_body(src)},
+        shh AS (
+            SELECT id, unnest(list_distinct(bhs)) AS h FROM bhx
+        ), tc AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM shh l JOIN shh r ON l.h = r.h AND l.id < r.id
+        ), truth AS (
+            SELECT id_a, id_b
+            FROM tc JOIN dsh a ON id_a = a.id JOIN dsh b ON id_b = b.id
+            WHERE {jac} >= {threshold}
+        ), m AS (
+            SELECT t.id_a IS NOT NULL AS in_t, c.id_a IS NOT NULL AS in_c
+            FROM truth t FULL OUTER JOIN cand c
+              ON t.id_a = c.id_a AND t.id_b = c.id_b
+        ), agg AS (
+            SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+                   CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+                   CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+            FROM m
         )
-        SELECT id_a, id_b, {jac} AS jaccard
-        FROM cand JOIN dsh a ON id_a = a.id JOIN dsh b ON id_b = b.id
-        WHERE {jac} >= 0.5
+        SELECT n_truth, n_cand, n_hit,
+               round(CASE WHEN n_truth = 0 THEN 1.0
+                          ELSE n_hit * 1.0 / n_truth END, 4) AS recall,
+               round(CASE WHEN n_cand = 0 THEN 1.0
+                          ELSE n_hit * 1.0 / n_cand END, 4) AS precision
+        FROM agg
+    """
+
+
+def _dup_spans_oracle(src: str = "documents", w: int = 8) -> str:
+    """DuckDB twin of spans.dup_span_stats: same normalized tokenization
+    (NULL coalesced), same 60-bit md5 gram hashes, same touch-or-overlap
+    (gap <= w) interval merge via gaps-and-islands windows."""
+    canon_nn = ("trim(regexp_replace(lower(coalesce(text, '')), "
+                "'[ \t\n]+', ' ', 'g'))")
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, {canon_nn} AS t FROM {src}
+        ), words AS (
+            SELECT doc_id, string_split(t, ' ') AS w FROM docs WHERE t <> ''
+        ), grams AS (
+            SELECT doc_id, pos,
+                   ('0x' || substr(md5(array_to_string(
+                        w[pos + 1 : pos + {w}], ' ')), 1, 15))::BIGINT AS gh
+            FROM words, unnest(range(0, len(w) - {w - 1})) AS u(pos)
+            WHERE len(w) >= {w}
+        ), dup AS (
+            SELECT gh FROM grams GROUP BY gh
+            HAVING count(DISTINCT doc_id) >= 2
+        ), hits AS (
+            SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)
+        ), flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos - lag(pos) OVER w > {w}
+                        THEN 1 ELSE 0 END AS new_seg
+            FROM hits
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ), segs AS (
+            SELECT doc_id, pos,
+                   sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+            FROM flagged
+        ), spans AS (
+            SELECT doc_id, seg, min(pos) AS s, max(pos) + {w - 1} AS e
+            FROM segs GROUP BY doc_id, seg
+        ), per_doc AS (
+            SELECT doc_id, count(*) AS n_dup_spans,
+                   CAST(sum(e - s + 1) AS BIGINT) AS dup_words
+            FROM spans GROUP BY doc_id
+        ), nw AS (
+            SELECT doc_id,
+                   CASE WHEN t = '' THEN 0
+                        ELSE len(string_split(t, ' ')) END AS n_words
+            FROM docs
+        )
+        SELECT n.doc_id, CAST(n.n_words AS BIGINT) AS n_words,
+               coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+               coalesce(p.dup_words, 0) AS dup_words,
+               round(CASE WHEN n.n_words = 0 THEN 0.0
+                          ELSE coalesce(p.dup_words, 0) * 1.0 / n.n_words
+                     END, 4) AS dup_frac
+        FROM nw n LEFT JOIN per_doc p USING (doc_id)
     """
 
 
@@ -2312,6 +2537,50 @@ def extra_oracle_sql() -> dict[str, str]:
 def _oracle_sql_all() -> dict[str, str]:
     d = {
         "minhash_pairs": _minhash_oracle(),
+        "dup_spans": _dup_spans_oracle(),
+        "lsh_recall": _lsh_recall_oracle(f"""(
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 500000 AS doc_id,
+                   array_to_string(
+                       [CASE WHEN (i - 1) % (4 + (doc_id % 8) * 6) = 0
+                             THEN 'mutx' || (doc_id + 500000) || 'x' || (i - 1)
+                             ELSE w[i] END
+                        for i in generate_series(1, len(w))], ' ') AS text
+            FROM (SELECT doc_id, string_split({_CANON}, ' ') AS w
+                  FROM documents WHERE doc_id < 40) v)"""),
+        "inverted_index": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '{{tok}}')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+            )
+            SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+            FROM tf GROUP BY term
+            HAVING count(*) >= 2
+               AND count(*) <= CAST(floor(0.9 * (SELECT count(*)
+                                                 FROM documents)) AS BIGINT)
+        """.replace("{tok}", _TOKEN_SQL),
+        "merge_table": """
+            WITH src AS (
+                SELECT doc_id, 'rev2: ' || coalesce(text, '') AS text, lang,
+                       'merge' AS source,
+                       length('rev2: ' || coalesce(text, '')) AS n_chars
+                FROM documents WHERE doc_id % 10 = 3
+                UNION ALL
+                SELECT doc_id + 100000, 'new doc ' || (doc_id + 100000), lang,
+                       'merge', length('new doc ' || (doc_id + 100000))
+                FROM documents WHERE doc_id % 25 = 0
+            )
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM src)
+            UNION ALL
+            SELECT doc_id, text, lang, source, n_chars FROM src
+        """,
         "dedup_clusters": _dedup_clusters_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
         "corpus_report": _corpus_report_oracle(),

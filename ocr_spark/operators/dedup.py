@@ -260,6 +260,113 @@ def minhash_lsh_pairs(
     return verified
 
 
+def lsh_recall_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """One-row self-audit of the banded-LSH candidate generator against
+    EXACT shingle-jaccard ground truth: (n_truth, n_cand, n_hit, recall,
+    precision). recall = truth pairs the band join surfaced; precision =
+    candidate pairs that really are >= threshold.
+
+    Ground truth is exact, not sampled: every pair with jaccard > 0
+    shares >= 1 shingle, so the shingle-hash inverted-index join
+    enumerates ALL such pairs, then exact set jaccard filters to
+    >= threshold. That join is O(sum df^2) over shingle document
+    frequencies — quadratic on boilerplate shingles BY DESIGN (it is the
+    brute-force baseline the LSH exists to avoid); at corpus scale this
+    audit runs on a stratified sample, not the full table. The candidate
+    side reuses the production path verbatim (same signatures, bands,
+    and max_bucket cap as ``minhash_lsh_pairs``), so the reported recall
+    prices the cap's true cost instead of an idealized uncapped join.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, perms)
+
+    # exact ground truth: inverted index on shingle hashes -> pair gen
+    shh = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.transform("shingles", _base_hash))
+        ).alias("shh"),
+    )
+    tc = (
+        shh.alias("l")
+        .join(
+            shh.alias("r"),
+            (F.col("l.shh") == F.col("r.shh")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    dsh = sigs.select(F.col(id_col).alias("id"), F.array_distinct("shingles").alias("sh"))
+    jac = F.round(
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        / F.size(F.array_union("a.sh", "b.sh")).cast("double"),
+        4,
+    )
+    truth = (
+        tc.join(dsh.alias("a"), F.col("id_a") == F.col("a.id"))
+        .join(dsh.alias("b"), F.col("id_b") == F.col("b.id"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+    # production candidate set: same bands + bucket cap as the real path
+    banded = band_buckets(sigs, id_col=id_col, perms=perms, bands=bands)
+    small = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+        .select("band", "bucket")
+    )
+    kept = banded.join(small, ["band", "bucket"], "left_semi")
+    cand = (
+        kept.alias("l")
+        .join(
+            kept.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    t = truth.select("id_a", "id_b", F.lit(1).alias("in_truth"))
+    c = cand.select("id_a", "id_b", F.lit(1).alias("in_cand"))
+    both = t.join(c, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.sum(F.coalesce("in_truth", F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce("in_cand", F.lit(0))).cast("long").alias("n_cand"),
+        F.sum(
+            F.when(F.col("in_truth").isNotNull() & F.col("in_cand").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_hit"),
+    ).select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.round(
+            F.when(F.col("n_truth") == 0, F.lit(1.0)).otherwise(
+                F.col("n_hit").cast("double") / F.col("n_truth").cast("double")
+            ),
+            4,
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_cand") == 0, F.lit(1.0)).otherwise(
+                F.col("n_hit").cast("double") / F.col("n_cand").cast("double")
+            ),
+            4,
+        ).alias("precision"),
+    )
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,179 @@
+"""Duplicated-span detection: exact cross-document substring duplication
+at word n-gram granularity (the "Deduplicating Training Data" span-dedup
+family — Lee et al. 2021's ExactSubstr, re-expressed for Spark).
+
+A true distributed suffix array is not a DataFrame-shaped computation; the
+standard scalable equivalent is gram-level exact matching: any duplicated
+substring of >= w words contains a duplicated w-gram, so marking every
+word covered by a w-gram that occurs in >= min_df documents finds exactly
+the union of all cross-document duplicated spans of length >= w (plus a
+< w-word fringe at span edges — the usual gram-granularity approximation,
+disclosed).
+
+Shuffle discipline (SURVEY §2.6 family; reference analog is the exact
+key-dedup of one_key_process.py:820-826 generalized to sub-document
+granularity):
+
+1. grams:   JVM-only projection — tokenize once, ``transform`` over an
+            index ``sequence`` builds (pos, 60-bit md5 gram hash) structs,
+            one ``explode``. No Python, no shuffle.
+2. dup set: groupBy gram hash (ONE shuffle, partial agg; carries only the
+            8-byte hash), keep df >= min_df. This drops the overwhelming
+            majority of grams (unique text) before anything else runs.
+3. hits:    semi-join grams against the dup set on the hash — AQE turns
+            this into a broadcast join whenever the dup set is small
+            (boilerplate is rare relative to corpus size); skew on a
+            viral gram is bounded because only (id, pos) rides along.
+4. spans:   gaps-and-islands per document (window partitioned by doc id —
+            parallelism = number of documents): two gram intervals
+            [pos, pos+w-1] merge when they overlap or touch
+            (pos - prev_pos <= w), so per-span word counts never
+            double-count and the per-doc duplicated-word total is exact.
+
+All hashes are the portable 60-bit md5 prefix (signed-64 safe in Spark
+and ANSI SQL), so the whole pipeline has an exact DuckDB twin.
+
+At 100 TB: step 2's shuffle carries ~1 long per corpus word — the same
+order as the minhash shingle pass; step 4's state is per-document and
+tiny. A hash collision (2^-60 per pair) can only mark a non-duplicated
+gram as duplicated, identically in engine and oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_for_fingerprint
+
+SPAN_W = 8  # words per gram == minimum detectable duplicated-span length
+
+
+def _gram_hash60(g) -> F.Column:
+    """First 60 bits of md5 as a long (same idiom as line_dedup's line
+    hash, dedup.py:596): 15 hex chars keep conv() inside signed 64-bit in
+    both engines."""
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+
+def dup_gram_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = SPAN_W,
+    min_df: int = 2,
+) -> DataFrame:
+    """(id, pos) of every w-gram occurring in >= min_df distinct docs.
+
+    pos is the 0-based word offset of the gram's first word in the
+    normalized tokenization (lowercase, whitespace collapsed — NULL text
+    coalesced to '' so no document is silently dropped)."""
+    norm = normalized_for_fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.split(norm, " ")
+    base = (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .where(F.size("toks") >= w)
+    )
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - w),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    _gram_hash60(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i + 1, w))
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("id").alias("gdf"))
+        .where(F.col("gdf") >= min_df)
+        .select("gh")
+    )
+    return grams.join(dup, "gh", "left_semi").select("id", "pos")
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = SPAN_W,
+    min_df: int = 2,
+) -> DataFrame:
+    """Maximal duplicated word spans per document:
+    (id, start_pos, end_pos, span_words, n_dup_grams), word offsets
+    0-based inclusive. Gram intervals [pos, pos+w-1] are merged when they
+    overlap or touch (gap <= w), so spans are disjoint per document."""
+    hits = dup_gram_positions(df, text_col, id_col, w, min_df)
+    win = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(win)
+    flagged = hits.select(
+        "id",
+        "pos",
+        F.when(prev.isNull() | (F.col("pos") - prev > w), 1)
+        .otherwise(0)
+        .alias("new_seg"),
+    )
+    seg = F.sum("new_seg").over(
+        Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.select("id", "pos", seg.alias("seg"))
+        .groupBy("id", "seg")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + w - 1).alias("end_pos"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select(
+            "id",
+            "start_pos",
+            "end_pos",
+            (F.col("end_pos") - F.col("start_pos") + 1).alias("span_words"),
+            "n_dup_grams",
+        )
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = SPAN_W,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-content profile — EVERY input document gets
+    a row (the family's never-drop contract): (doc_id, n_words,
+    n_dup_spans, dup_words, dup_frac). dup_words is exact (merged
+    intervals, no double counting)."""
+    spans = dup_spans(df, text_col, id_col, w, min_df)
+    per_doc = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_words").alias("dup_words"),
+    )
+    norm = normalized_for_fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+    n_words = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " "))
+    ).cast("long")
+    base = df.select(F.col(id_col).alias("id"), n_words.alias("n_words"))
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+            F.round(
+                F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("dup_words", F.lit(0)).cast("double")
+                    / F.col("n_words").cast("double")
+                ),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

@@ -39,6 +39,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _json_safe(v):
@@ -359,6 +360,117 @@ class IcebergLiteTable:
             partition_by=partition_by,
             stats_cols=stats_cols,
         )
+
+    def merge_into(self, spark: SparkSession, source: DataFrame,
+                   key_cols: tuple[str, ...] | list[str],
+                   schema: str | None = None,
+                   when_matched: str = "update",
+                   partition_by: str | None = None,
+                   stats_cols: tuple[str, ...] = (),
+                   properties: dict | None = None) -> str:
+        """Iceberg-style MERGE INTO with copy-on-write at FILE granularity:
+        ``when_matched='update'`` upserts (matched target rows replaced by
+        the source row, unmatched source rows inserted);
+        ``when_matched='delete'`` deletes matched rows (nothing inserted).
+        ``source`` must be unique on ``key_cols`` (MERGE's standard
+        precondition) and, for 'update', carry the target's columns.
+
+        The scale property (Iceberg's copy-on-write MERGE): only data
+        files whose recorded metadata MIGHT contain a matching key are
+        rewritten. Affected entries are chosen by manifest pruning —
+        min/max stats on the first key column (when recorded via
+        ``stats_cols``) against the source's key range, plus partition
+        values against the source's distinct partition values — and every
+        other entry is carried into the new snapshot VERBATIM, untouched
+        and unread. At 10^12 rows an upsert batch touching one crawl
+        segment rewrites that segment's files only; the pruning is
+        conservative (entries without stats are treated as affected).
+
+        The rewrite itself is one anti-join (target-survivors) plus, for
+        'update', a unionByName with the source — AQE broadcasts the
+        source keys when the batch is small, which is the common
+        ingest-fixup shape. Commit is the same atomic manifest rename as
+        append/overwrite; concurrent readers and time travel see either
+        the old or the new snapshot, never a mix.
+        """
+        if when_matched not in ("update", "delete"):
+            raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+        key_cols = list(key_cols)
+        if not self.exists():
+            if when_matched == "delete":
+                raise ValueError("merge_into(delete) on a table with no snapshot")
+            return self.append(source, properties=properties,
+                               partition_by=partition_by, stats_cols=stats_cols)
+
+        # -- manifest pruning: which entries MIGHT hold a matching key? ----
+        k0 = key_cols[0]
+        ranges = None
+        if k0 in source.columns:
+            lo_hi = source.agg(F.min(k0), F.max(k0)).first()
+            if lo_hi[0] is not None:
+                ranges = {k0: (lo_hi[0], lo_hi[1])}
+        candidates = self.select_entries(ranges=ranges)
+        part_col = next(iter(candidates[0]["partition"]), None) if candidates else None
+        if part_col and part_col in source.columns:
+            vals = {
+                str(r[0])
+                for r in source.select(part_col).distinct().collect()
+            }
+            candidates = [
+                e for e in candidates
+                if e["partition"].get(part_col) is None
+                or str(e["partition"][part_col]) in vals
+            ]
+        affected_dirs = {e["dir"] for e in candidates}
+        untouched = [e for e in self.entries() if e["dir"] not in affected_dirs]
+
+        # -- rewrite only the affected files -------------------------------
+        snapshot_id = uuid.uuid4().hex[:16]
+        out_dir = os.path.join(self._data_dir, snapshot_id)
+        src_keys = source.select(*key_cols).dropDuplicates(key_cols)
+        if candidates:
+            by_base: dict[str, list[str]] = {}
+            for e in candidates:
+                by_base.setdefault(e.get("base", e["dir"]), []).append(e["dir"])
+            parts = []
+            for base, dirs in sorted(by_base.items()):
+                reader = spark.read.option("basePath", base)
+                if schema:
+                    reader = reader.schema(schema)
+                parts.append(reader.parquet(*sorted(dirs)))
+            target = parts[0]
+            for p in parts[1:]:
+                target = target.unionByName(p, allowMissingColumns=True)
+            survivors = target.join(src_keys, key_cols, "left_anti")
+        else:
+            survivors = None
+        if when_matched == "update":
+            src_rows = (
+                source.select(*survivors.columns) if survivors is not None else source
+            )
+            result = (
+                survivors.unionByName(src_rows) if survivors is not None else src_rows
+            )
+        else:
+            result = survivors
+        new_entries: list[dict] = []
+        if result is not None:
+            writer = result.write.mode("errorifexists")
+            if partition_by:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(out_dir)
+            new_entries = self._collect_entries(
+                spark, out_dir, partition_by, tuple(stats_cols)
+            )
+        props = {
+            "operation": "merge",
+            "when_matched": when_matched,
+            "key_cols": key_cols,
+            "entries_rewritten": len(candidates),
+            "entries_untouched": len(untouched),
+            **(properties or {}),
+        }
+        return self._commit(untouched + new_entries, snapshot_id, props)
 
     # -- maintenance (Iceberg's expire_snapshots / remove_orphan_files) -------
     def expire_snapshots(self, keep_last: int = 1) -> dict:

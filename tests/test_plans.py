@@ -139,3 +139,22 @@ def test_shard_assignment_single_exchange_window(spark):
     assert tree.count("Exchange") == 1
     assert "Window" in tree
     assert "Exchange SinglePartition" not in tree
+
+
+def test_dup_spans_no_python_and_partial_agg(spark):
+    """Span dedup must stay JVM-side end to end; the gram-df aggregation
+    must partial-aggregate before its exchange (the only wide stages are
+    the df groupBy, the dup-gram join, and the per-doc window)."""
+    plan = _plan(spark, "dup_spans")
+    assert "Python" not in plan
+    assert "partial_count" in plan or "partial_finalmerge" in plan.lower()
+
+
+def test_inverted_index_tf_compression_before_postings(spark):
+    """The posting build must consume the (term, doc)-compressed tf relation
+    (two hash aggregates), never the raw token explode, and stay JVM-side."""
+    plan = _plan(spark, "inverted_index")
+    assert "Python" not in plan
+    tree = _tree(plan)
+    assert tree.count("HashAggregate") >= 4  # partial+final x (tf, postings)
+    assert "Generate" in tree                # the token explode feeds tf

@@ -382,3 +382,91 @@ def test_expire_after_compact_with_partitioned_entries(spark, tmp_path):
         assert os.path.isdir(e["dir"])
     # only one read via pruning still works post-expire
     assert t.read(spark, partition_eq={"lang": "en"}).count() == 30
+
+
+def test_merge_into_upserts_and_carries_untouched_entries_verbatim(spark, tmp_path):
+    """MERGE INTO is copy-on-write at FILE granularity: a batch whose key
+    range prunes to one appended segment rewrites only that segment — every
+    other entry appears in the new snapshot verbatim (same dir, untouched
+    mtime-free identity), and the final rows are anti-join + union."""
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "t"))
+    # two segments with DISJOINT doc_id ranges, stats recorded
+    t.append(_docs_df(spark, 0, 50), stats_cols=("doc_id",))
+    t.append(_docs_df(spark, 100, 150), stats_cols=("doc_id",))
+    dirs_before = {e["dir"] for e in t.entries()}
+    low_dirs = {e["dir"] for e in t.entries() if e["stats"]["doc_id"][1] < 100}
+    assert len(dirs_before) == 2 and len(low_dirs) == 1
+
+    # batch touches only the 100..149 segment: update 110, insert 200
+    src = spark.createDataFrame(
+        [(110, "updated 110", "en"), (200, "brand new", "de")],
+        "doc_id long, text string, lang string",
+    )
+    t.merge_into(spark, src, key_cols=("doc_id",), stats_cols=("doc_id",))
+
+    entries = t.entries()
+    # the low segment's entry is carried VERBATIM; the high one is gone
+    assert low_dirs <= {e["dir"] for e in entries}
+    assert not ({e["dir"] for e in entries if e["dir"] in dirs_before} - low_dirs)
+    snap = t.current_snapshot()
+    assert snap["properties"]["operation"] == "merge"
+    assert snap["properties"]["entries_untouched"] == 1
+    assert snap["properties"]["entries_rewritten"] == 1
+
+    rows = {r["doc_id"]: r["text"] for r in t.read(spark).collect()}
+    assert len(rows) == 101  # 50 + 50 + 1 insert
+    assert rows[110] == "updated 110"
+    assert rows[200] == "brand new"
+    assert rows[0] == "text 0" and rows[149] == "text 149"
+
+
+def test_merge_into_delete_mode_and_empty_table(spark, tmp_path):
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "t"))
+    # merge on a table with no snapshot = plain insert
+    t.merge_into(spark, _docs_df(spark, 0, 10), key_cols=("doc_id",),
+                 stats_cols=("doc_id",))
+    assert t.read(spark).count() == 10
+
+    # delete mode removes matched keys, inserts nothing
+    src = spark.createDataFrame([(3, "x", "en"), (99, "y", "de")],
+                                "doc_id long, text string, lang string")
+    t.merge_into(spark, src, key_cols=("doc_id",), when_matched="delete")
+    left = sorted(r["doc_id"] for r in t.read(spark).collect())
+    assert left == [0, 1, 2, 4, 5, 6, 7, 8, 9]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        IcebergLiteTable(str(tmp_path / "none")).merge_into(
+            spark, src, key_cols=("doc_id",), when_matched="delete")
+
+
+def test_merge_into_partition_pruning_with_time_travel(spark, tmp_path):
+    """Partitioned table: a merge batch confined to one lang rewrites only
+    that partition's entries; time travel to the pre-merge snapshot still
+    reads the original rows."""
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "t"))
+    t.append(_docs_df(spark, 0, 90), partition_by="lang",
+             stats_cols=("doc_id",))
+    pre_seq = t.current_snapshot()["sequence"]
+    other_dirs = {e["dir"] for e in t.entries()
+                  if e["partition"]["lang"] != "en"}
+
+    src = spark.createDataFrame([(0, "rev en 0", "en")],
+                                "doc_id long, text string, lang string")
+    t.merge_into(spark, src, key_cols=("doc_id",), partition_by="lang",
+                 stats_cols=("doc_id",))
+
+    assert other_dirs <= {e["dir"] for e in t.entries()}
+    assert t.current_snapshot()["properties"]["entries_untouched"] == 2
+    now = {r["doc_id"]: r["text"] for r in t.read(spark).collect()}
+    assert now[0] == "rev en 0" and len(now) == 90
+    old = {r["doc_id"]: r["text"]
+           for r in t.read_at(spark, pre_seq).collect()}
+    assert old[0] == "text 0"
