@@ -44,6 +44,47 @@ from pyspark.sql import functions as F
 
 CC_MAX_ITER = 24    # >= log2(n) alternations for any real component size
 
+# Edge-count threshold for the driver-local union-find fast path: below it
+# the whole (distinct, deduplicated) edge list is collected and solved in
+# one pass instead of O(log n) Spark rounds. 1M (u, v) longs is ~16 MB on
+# the driver — the same "small side fits in one process" judgment call a
+# broadcast join makes. The output is bit-identical to the distributed
+# path (min-reachable-id labels are unique), pinned by test_cc.
+CC_LOCAL_EDGE_THRESHOLD = 1_000_000
+
+
+def _local_components(work: DataFrame) -> DataFrame:
+    """Driver-side union-find (path-halving, union-by-min) over a collected
+    edge list; returns the same (id, component=min reachable id) frame the
+    star rounds produce. Only called when the edge count cleared the
+    threshold check — never materializes an unbounded graph."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    # one collect(), not toLocalIterator(): the iterator fetches partitions
+    # in separate sequential round trips (measured ~8 s for 256 edges over
+    # 64 partitions); the threshold already guarantees the list fits
+    for row in work.collect():
+        u, v = row["u"], row["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: the smaller root stays the representative,
+            # which IS the min-reachable-id labeling
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    rows = [(x, find(x)) for x in parent]
+    return work.sparkSession.createDataFrame(rows, "id long, component long")
+
 
 def _star(edges: DataFrame, large: bool) -> DataFrame:
     """One large- or small-star half-round over an undirected edge list
@@ -75,17 +116,30 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = CC_MAX_ITER,
+    local_threshold: int = CC_LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """(id, component) for every node appearing in ``edges``, where
     ``component`` is the minimum node id reachable from ``id``.
-    Alternates large-star / small-star until the edge set is stable:
-    per round ONE cheap aggregate over the checkpointed edges — (count,
-    order-independent xxhash64 checksum) — and only when that fingerprint
-    repeats, a single exact ``exceptAll`` set-equality verify before
-    breaking (so the expensive set-diff job runs once per call, not once
-    per round), then reads components off the final star edges. Warns if
-    ``max_iter`` alternations exhaust without the edge set stabilizing —
-    downstream labels could then be non-minimal with no other signal."""
+
+    Adaptive execution, the broadcast-join judgment call applied to graph
+    iteration: one count() on the deduplicated edge list decides between
+
+    - LOCAL (edges <= local_threshold): collect the edge list and solve
+      with union-find in a single pass. Near-dup pair graphs are tiny
+      relative to their corpora (pairs, not documents — bucket caps bound
+      them), so this is the common case even at large corpus sizes, and
+      it replaces O(log n) scheduled rounds with one job.
+    - DISTRIBUTED: alternate large-star / small-star until the edge set
+      is stable: per round ONE cheap aggregate over the checkpointed
+      edges — (count, order-independent xxhash64 checksum) — and only
+      when that fingerprint repeats, a single exact ``exceptAll``
+      set-equality verify before breaking, then read components off the
+      final star edges. Warns if ``max_iter`` alternations exhaust
+      without stabilizing.
+
+    Both paths produce the identical (min-reachable-id) labeling
+    (test_cc pins local == distributed on random graphs). Pass
+    ``local_threshold=0`` to force the distributed path."""
     work = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).cast("long").alias("u"),
@@ -94,6 +148,16 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    seed = None
+    if local_threshold:
+        # persist before counting so neither the local collect nor the
+        # first distributed round recomputes the (possibly expensive)
+        # upstream pair pipeline
+        seed = work = work.persist()
+        if work.count() <= local_threshold:
+            out = _local_components(work)
+            seed.unpersist()
+            return out
     prev, prev_fp = None, None
     converged = False
     for _ in range(max_iter):
@@ -106,6 +170,10 @@ def connected_components(
         work = _star(_star(work, large=True), large=False).localCheckpoint(
             eager=True
         )
+        if seed is not None:
+            # round 1 consumed the persisted seed; release it
+            seed.unpersist()
+            seed = None
         row = work.agg(
             F.count(F.lit(1)).alias("n"),
             # xor of per-edge hashes is order-independent and can't

@@ -24,8 +24,28 @@ def test_chain_component_converges_logarithmically(spark):
     propagation (O(n) rounds); large-star/small-star must collapse it
     within the CC_MAX_ITER=24 alternation budget."""
     path = [(i, i + 1) for i in range(63)]
-    got = _comp_map(connected_components(_edges(spark, path)))
+    got = _comp_map(
+        connected_components(_edges(spark, path), local_threshold=0)
+    )
     assert got == {i: 0 for i in range(64)}
+
+
+def test_local_and_distributed_paths_agree(spark):
+    """The adaptive local union-find fast path must produce the exact
+    labeling of the star rounds — random graphs with chains, rings,
+    singleton-adjacent edges, and duplicate/reversed pairs."""
+    import random
+
+    rng = random.Random(42)
+    nodes = list(range(0, 400, 3))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(300)
+    ] + [(i, i + 3) for i in range(0, 60, 3)]
+    local = _comp_map(connected_components(_edges(spark, pairs)))
+    dist = _comp_map(
+        connected_components(_edges(spark, pairs), local_threshold=0)
+    )
+    assert local == dist
 
 
 def test_edge_direction_and_duplicates_irrelevant(spark):
