@@ -249,6 +249,7 @@ def pagerank_hosts(
     iterations: int = 8,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    local_threshold: int = 500_000,
 ) -> DataFrame:
     """Damped PageRank over (src_host, dst_host, n_links) host edges.
     Returns (host, rank) summing to 1 across all hosts that appear on
@@ -271,8 +272,26 @@ def pagerank_hosts(
     its work per round). The final ranks are materialized ONCE with an
     eager localCheckpoint (hosts-sized — hosts, not pages) and every
     intermediate cache is released before returning, so nothing leaks
-    into long-lived sessions."""
+    into long-lived sessions.
+
+    Adaptive execution (the cc.py judgment call): host graphs are ~5
+    orders smaller than their page tables, so when the edge count clears
+    ``local_threshold`` the transition table is collected and iterated
+    driver-side in a fixed deterministic order — one job instead of
+    ``iterations`` x several scheduled stages; above it, the distributed
+    loop below runs. Pass ``local_threshold=0`` to force distributed."""
     edges = host_edges.select("src_host", "dst_host", "n_links")
+    edge_cache = []
+    if local_threshold:
+        # persist before counting so neither path recomputes the upstream
+        # link-extraction pipeline; the distributed path releases it with
+        # the other caches at the end
+        edges = edges.persist()
+        edge_cache.append(edges)
+        if edges.count() <= local_threshold:
+            out = _local_pagerank(edges, iterations, damping)
+            edges.unpersist()
+            return out
     out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_w"))
     # edge transition weights, partitioned once by src_host and cached:
     # every iteration's join reuses this exact partitioning
@@ -332,6 +351,38 @@ def pagerank_hosts(
     # cache — the returned frame is self-contained, nothing leaks into
     # long-lived sessions.
     result = ranks.localCheckpoint(eager=True)
-    for df in cached:
+    for df in cached + edge_cache:
         df.unpersist()
     return result
+
+
+def _local_pagerank(edges, iterations: int, damping: float):
+    """Driver-local power iteration over a collected host-level transition
+    table — only called when the edge count cleared ``local_threshold``.
+    Accumulation runs in a FIXED order (edges sorted by src, dst host), so
+    the result is deterministic; it matches the distributed path within
+    float accumulation-order noise (~1e-15 relative), far below the 6 dp
+    the query layer rounds to (test_links pins the agreement)."""
+    rows = sorted(
+        ((r["src_host"], r["dst_host"], r["n_links"]) for r in edges.collect())
+    )
+    out_w: dict[str, float] = {}
+    for s, _, w in rows:
+        out_w[s] = out_w.get(s, 0.0) + w
+    trans = [(s, d, w / out_w[s]) for s, d, w in rows]
+    hosts = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
+    n = len(hosts)
+    rank = {h: 1.0 / n for h in hosts}
+    for _ in range(iterations):
+        contrib = {h: 0.0 for h in hosts}
+        for s, d, w in trans:
+            contrib[d] += w * rank[s]
+        flowed = sum(contrib[h] for h in hosts)
+        rank = {
+            h: (1.0 - damping) / n
+            + damping * (contrib[h] + (1.0 - flowed) / n)
+            for h in hosts
+        }
+    return edges.sparkSession.createDataFrame(
+        [(h, rank[h]) for h in hosts], "host string, rank double"
+    )

@@ -160,6 +160,21 @@ def test_pagerank_is_distribution(spark, edge_fixture):
         assert again[h] == pytest.approx(v, abs=1e-12)
 
 
+def test_pagerank_local_and_distributed_paths_agree(spark, edge_fixture):
+    """The adaptive local power iteration must match the distributed loop
+    well within the 6 dp the query layer rounds to (the two differ only
+    in float accumulation order)."""
+    g = host_graph(edge_fixture)
+    local = {r["host"]: r["rank"]
+             for r in pagerank_hosts(g, iterations=6).collect()}
+    dist = {r["host"]: r["rank"]
+            for r in pagerank_hosts(g, iterations=6,
+                                    local_threshold=0).collect()}
+    assert set(local) == set(dist)
+    for h in local:
+        assert local[h] == pytest.approx(dist[h], rel=1e-9)
+
+
 def test_pagerank_releases_caches(spark, edge_fixture):
     """Every persist() the loop takes must be released before returning.
     What may remain: the eager final checkpoint plus the intermediate
@@ -168,7 +183,8 @@ def test_pagerank_releases_caches(spark, edge_fixture):
     not via unpersist()."""
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
     pagerank_hosts(
-        host_graph(edge_fixture), iterations=4, checkpoint_every=3
+        host_graph(edge_fixture), iterations=4, checkpoint_every=3,
+        local_threshold=0,  # the cache discipline under test is the loop's
     ).collect()
     after = len(spark.sparkContext._jsc.getPersistentRDDs())
     # 4 rounds / checkpoint_every=3 -> 1 intermediate + 1 final checkpoint;
