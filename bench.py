@@ -143,8 +143,14 @@ SCALE_GAP_S = int(os.environ.get("OCR_BENCH_SCALE_GAP_S", "30"))
 
 # adaptive burst control (see scale_worker): sample bursts until the valid
 # walls' min and median agree within AGREE_TOL, bounded by MIN/MAX_BURSTS
+# AND by a per-level wall-clock budget — on a badly contended box the
+# burst-until-agreement loop plus per-burst guard waits could otherwise
+# run ~1 h per level (8 bursts x (wait 300s + burst + gap)), which is a
+# driver-timeout risk; with the budget a noisy window degrades to "report
+# what converged so far", never to an unbounded stall
 MIN_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_MIN_BURSTS", "2"))
 MAX_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_BURSTS", "8"))
+LEVEL_BUDGET_S = int(os.environ.get("OCR_BENCH_SCALE_LEVEL_BUDGET_S", "1200"))
 AGREE_TOL = float(os.environ.get("OCR_BENCH_SCALE_AGREE_TOL", "0.05"))
 # a burst is climate-valid only if its memory-stream calibration ran
 # within this factor of the session's best calibration — the detector
@@ -333,7 +339,10 @@ def scale_worker(cores: int) -> None:
         return [w for b in burst_info if b["valid"] for w in b["walls"]]
 
     valid: list[float] = []
+    level_t0 = time.time()
     while True:
+        if burst_info and time.time() - level_t0 > LEVEL_BUDGET_S:
+            break  # budget exhausted: report what we have (see LEVEL_BUDGET_S)
         if burst_info:
             time.sleep(SCALE_GAP_S)  # idle: pinned cores released to the OS
         waited = 0
@@ -379,6 +388,8 @@ def scale_worker(cores: int) -> None:
                 "all_walls": [round(w, 3) for w in walls],
                 "min_wall": round(min(basis), 3),
                 "bursts": burst_info,
+                "level_elapsed_s": round(time.time() - level_t0, 1),
+                "level_budget_s": LEVEL_BUDGET_S,
                 "converged": len(valid) >= 2
                 and statistics.median(valid) / min(valid) - 1 <= AGREE_TOL,
             }
