@@ -1073,6 +1073,16 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr rewrite: duplicated spans excised everywhere except
+    the owning (minimum) document — one copy of every duplicated region
+    survives corpus-wide. Exact DuckDB twin down to the rewritten text
+    bytes."""
+    from ocr_spark.operators.spans import remove_dup_spans
+
+    return remove_dup_spans(_t(spark, sf_dir, "documents"))
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH self-audit: recall/precision of the banded MinHash candidate
     generator (production bands + bucket caps) against EXACT shingle-
@@ -1212,8 +1222,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     host_cap, and robots_filter; media_meta's Arrow multimodal plumbing
     by frame_sample; error_top_fields' validator machinery by
     validate_docs and its top-N shape by top_customers/knn; outer_join's
-    join family by asof_join + resume_antijoin). All stay oracle-checked
-    by tests/test_oracle_parity.py at sf0.01."""
+    join family by asof_join + resume_antijoin; top_events_per_user's
+    rank window by sessionize + moving_avg — its slot went to the
+    dup_span_removal rewrite). All stay oracle-checked by
+    tests/test_oracle_parity.py at sf0.01."""
     return {
         k: _with_engine_conf(v)
         for k, v in _QUERIES.items()
@@ -1226,7 +1238,8 @@ _EXTRA_KEYS = frozenset(
     "rollup_events moving_avg epoch_parse semi_join "
     "agg_pricing events_hourly set_ops image_resize pagerank_hosts "
     "anchor_terms canonical_groups "
-    "url_parts media_meta error_top_fields outer_join".split()
+    "url_parts media_meta error_top_fields outer_join "
+    "top_events_per_user".split()
 )
 
 _QUERIES = {
@@ -1296,6 +1309,7 @@ _QUERIES = {
         "anchor_terms": q_anchor_terms,
         "canonical_groups": q_canonical_groups,
         "dup_spans": q_dup_spans,
+        "dup_span_removal": q_dup_span_removal,
         "lsh_recall": q_lsh_recall,
         "inverted_index": q_inverted_index,
         "merge_table": q_merge_table,
@@ -1551,6 +1565,75 @@ def _dup_spans_oracle(src: str = "documents", w: int = 8) -> str:
                           ELSE coalesce(p.dup_words, 0) * 1.0 / n.n_words
                      END, 4) AS dup_frac
         FROM nw n LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def _dup_span_removal_oracle(src: str = "documents", w: int = 8) -> str:
+    """DuckDB twin of spans.remove_dup_spans: per-gram min-id owner, non-
+    owned hit islands, and an indexed list-comprehension rewrite that
+    matches the engine's filter/exists expression word for word."""
+    canon_nn = ("trim(regexp_replace(lower(coalesce(text, '')), "
+                "'[ \t\n]+', ' ', 'g'))")
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, {canon_nn} AS t FROM {src}
+        ), words AS (
+            SELECT doc_id, string_split(t, ' ') AS w FROM docs WHERE t <> ''
+        ), grams AS (
+            SELECT doc_id, pos,
+                   ('0x' || substr(md5(array_to_string(
+                        w[pos + 1 : pos + {w}], ' ')), 1, 15))::BIGINT AS gh
+            FROM words, unnest(range(0, len(w) - {w - 1})) AS u(pos)
+            WHERE len(w) >= {w}
+        ), own AS (
+            SELECT gh, min(doc_id) AS owner FROM grams GROUP BY gh
+            HAVING count(DISTINCT doc_id) >= 2
+        ), hits AS (
+            SELECT DISTINCT g.doc_id, g.pos
+            FROM grams g JOIN own o USING (gh)
+            WHERE g.doc_id <> o.owner
+        ), flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER win IS NULL
+                          OR pos - lag(pos) OVER win > {w}
+                        THEN 1 ELSE 0 END AS new_seg
+            FROM hits
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        ), segs AS (
+            SELECT doc_id, pos,
+                   sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+            FROM flagged
+        ), spans AS (
+            SELECT doc_id, seg, min(pos) AS s, max(pos) + {w - 1} AS e
+            FROM segs GROUP BY doc_id, seg
+        ), span_list AS (
+            SELECT doc_id, list([s, e] ORDER BY s) AS spans
+            FROM spans GROUP BY doc_id
+        ), base AS (
+            SELECT d.doc_id, d.t,
+                   CASE WHEN d.t = '' THEN [''] ELSE string_split(d.t, ' ')
+                   END AS w
+            FROM docs d
+        ), j AS (
+            SELECT b.doc_id, b.t, b.w,
+                   coalesce(sl.spans, CAST([] AS BIGINT[][])) AS spans
+            FROM base b LEFT JOIN span_list sl USING (doc_id)
+        ), kept AS (
+            SELECT doc_id, t, w,
+                   [w[i] for i in generate_series(1, len(w))
+                    if len(list_filter(spans,
+                           sp -> i - 1 >= sp[1] AND i - 1 <= sp[2])) = 0
+                   ] AS k
+            FROM j
+        )
+        SELECT doc_id,
+               -- DuckDB's array_to_string returns NULL for the empty list
+               -- (fully-excised doc); the engine's array_join returns ''
+               coalesce(array_to_string(k, ' '), '') AS clean_text,
+               CAST(CASE WHEN t = '' THEN 0 ELSE len(w) END AS BIGINT)
+                   AS n_words,
+               CAST(len(w) - len(k) AS BIGINT) AS n_removed
+        FROM kept
     """
 
 
@@ -2538,6 +2621,7 @@ def _oracle_sql_all() -> dict[str, str]:
     d = {
         "minhash_pairs": _minhash_oracle(),
         "dup_spans": _dup_spans_oracle(),
+        "dup_span_removal": _dup_span_removal_oracle(),
         "lsh_recall": _lsh_recall_oracle(f"""(
             SELECT doc_id, text FROM documents
             UNION ALL

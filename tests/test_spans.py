@@ -109,3 +109,55 @@ def test_plan_has_no_python_nodes(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas"):
         assert node not in plan, plan
+
+
+def test_removal_keeps_exactly_one_corpus_copy(spark):
+    from ocr_spark.operators.spans import remove_dup_spans
+
+    shared = words(2 * W, "dup")
+    d = _docs(spark, [
+        (1, words(5, "a") + " " + shared),
+        (2, words(5, "b") + " " + shared),
+        (3, shared + " " + words(5, "c")),
+    ])
+    out = {r["doc_id"]: r for r in remove_dup_spans(d).collect()}
+    # doc 1 is the min id containing every shared gram -> owns, keeps all
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"].endswith(shared)
+    # docs 2 and 3 lose the shared block, keep their unique words
+    assert out[2]["n_removed"] == 2 * W
+    assert out[2]["clean_text"] == words(5, "b")
+    assert out[3]["clean_text"] == words(5, "c")
+    # exactly one copy of the shared text survives corpus-wide
+    survivors = sum(shared in r["clean_text"] for r in out.values())
+    assert survivors == 1
+
+
+def test_removal_null_and_unique_docs_untouched(spark):
+    from ocr_spark.operators.spans import remove_dup_spans
+
+    d = _docs(spark, [
+        (1, None),
+        (2, words(3 * W, "u")),
+    ])
+    out = {r["doc_id"]: r for r in remove_dup_spans(d).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_removed"] == 0
+    assert out[1]["n_words"] == 0
+    assert out[2]["clean_text"] == words(3 * W, "u")
+    assert out[2]["n_removed"] == 0
+
+
+def test_removal_is_idempotent_on_its_own_output(spark):
+    from ocr_spark.operators.spans import remove_dup_spans
+
+    shared = words(2 * W, "s")
+    d = _docs(spark, [
+        (1, shared + " " + words(6, "x")),
+        (2, shared + " " + words(6, "y")),
+        (3, words(4, "z") + " " + shared),
+    ])
+    first = remove_dup_spans(d).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    second = {r["doc_id"]: r for r in remove_dup_spans(first).collect()}
+    assert all(r["n_removed"] == 0 for r in second.values())
