@@ -1094,10 +1094,19 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id < 40, a variant at +500000 with every p-th token mutated
     (p = 4 + (doc_id % 8) * 6 — jaccards spread across the 8-band/4-row
     capture knee). Measured at sf0.01: recall 0.935, precision 1.0 — the
-    audit actually prices the band construction. Exact DuckDB twin."""
+    audit actually prices the band construction. Exact DuckDB twin.
+
+    The exact ground truth is deliberately quadratic (the brute force the
+    LSH replaces), so the audit runs on a deterministic sample — the
+    production pattern at corpus scale. doc_id < 1000 covers all of
+    sf0.01 and a fixed 1000-doc slice at larger factors."""
     from ocr_spark.operators.dedup import lsh_recall_audit
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where("doc_id < 1000")
+        .select("doc_id", "text")
+    )
     norm = F.trim(
         F.regexp_replace(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[ \t\n]+", " ")
     )
@@ -2623,7 +2632,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "dup_spans": _dup_spans_oracle(),
         "dup_span_removal": _dup_span_removal_oracle(),
         "lsh_recall": _lsh_recall_oracle(f"""(
-            SELECT doc_id, text FROM documents
+            SELECT doc_id, text FROM documents WHERE doc_id < 1000
             UNION ALL
             SELECT doc_id + 500000 AS doc_id,
                    array_to_string(

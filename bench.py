@@ -106,7 +106,8 @@ BENCH_QUERIES = (
     "quality_filter lm_score url_parts host_stats warc_roundtrip "
     "dedup_clusters clean_corpus line_dedup shard_assignment dedup_increment "
     "host_cap robots_filter outlinks host_degree pagerank_hosts anchor_terms "
-    "canonical_groups"
+    "canonical_groups dup_spans dup_span_removal lsh_recall inverted_index "
+    "merge_table"
 ).split()
 
 
