@@ -470,3 +470,30 @@ def test_merge_into_partition_pruning_with_time_travel(spark, tmp_path):
     old = {r["doc_id"]: r["text"]
            for r in t.read_at(spark, pre_seq).collect()}
     assert old[0] == "text 0"
+
+
+def test_partition_evolution_across_snapshots(spark, tmp_path):
+    """Iceberg partition-evolution semantics: a table appended first
+    UNPARTITIONED and then partitioned-by-lang must read as the union,
+    and partition pruning must stay conservative — the unpartitioned
+    entry (no recorded lang) is always kept, the mismatched partitioned
+    entries are dropped."""
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "t"))
+    t.append(_docs_df(spark, 0, 30), stats_cols=("doc_id",))          # flat
+    t.append(_docs_df(spark, 30, 90), partition_by="lang",
+             stats_cols=("doc_id",))                                   # hive
+    assert t.read(spark).count() == 90
+
+    kept = t.select_entries(partition_eq={"lang": "en"})
+    # conservative: 1 unpartitioned entry (unknown lang) + exactly the
+    # en subdir of the partitioned snapshot
+    langs = [e["partition"].get("lang") for e in kept]
+    assert sorted(x for x in langs if x) == ["en"]
+    assert langs.count(None) == 1
+
+    got = t.read(spark, partition_eq={"lang": "en"})
+    # rows: all 30 flat rows (conservative) + the 20 partitioned en rows
+    assert got.count() == 30 + 20
+    assert got.where("lang = 'en'").count() == 10 + 20
