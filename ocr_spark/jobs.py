@@ -98,8 +98,12 @@ def cmd_compact(args: argparse.Namespace) -> int:
     if not t.exists():
         print("no committed snapshots", file=sys.stderr)
         return 1
-    sid = t.compact(spark, target_partitions=args.target_partitions)
-    print(f"compacted into snapshot {sid} ({args.target_partitions} files)")
+    if args.target_file_mb:
+        sid = t.compact(spark, target_file_mb=args.target_file_mb)
+    else:
+        sid = t.compact(spark, target_partitions=args.target_partitions)
+    files = t.current_snapshot()["properties"]["target_partitions"]
+    print(f"compacted into snapshot {sid} ({files} files)")
     return 0
 
 
@@ -150,6 +154,9 @@ def main(argv: list[str] | None = None) -> int:
     co.add_argument("--table-root", required=True)
     co.add_argument("--table", default="extracted")
     co.add_argument("--target-partitions", type=int, default=64)
+    co.add_argument("--target-file-mb", type=int, default=None,
+                    help="size files by bytes (Iceberg binpack sizing) "
+                         "instead of a fixed count")
     co.set_defaults(fn=cmd_compact)
 
     exp = sub.add_parser(

@@ -338,19 +338,43 @@ class IcebergLiteTable:
                 return df
         raise ValueError(f"no snapshot with sequence {sequence}")
 
-    def compact(self, spark: SparkSession, target_partitions: int,
+    def data_bytes(self) -> int:
+        """Total on-disk bytes of the current snapshot's data files —
+        directory metadata only, no Spark job, no footer parse."""
+        total = 0
+        for e in self.entries():
+            for root, _, files in os.walk(e["dir"]):
+                for fn in files:
+                    if not fn.startswith(("_", ".")):
+                        total += os.path.getsize(os.path.join(root, fn))
+        return total
+
+    def compact(self, spark: SparkSession, target_partitions: int | None = None,
                 schema: str | None = None,
                 partition_by: str | None = None,
-                stats_cols: tuple[str, ...] = ()) -> str | None:
-        """Rewrite the table's current contents into one fresh data dir with
-        ``target_partitions`` files (Iceberg's rewrite_data_files). At crawl
-        scale, chunked appends accumulate small files whose per-file open +
-        footer cost comes to dominate scans; compaction restores scan-sized
-        files. Pass ``partition_by``/``stats_cols`` to (re)build pruning
-        metadata for the compacted layout. Readers are never disturbed: the
-        rewrite is just another snapshot commit, and time-travel reads of
+                stats_cols: tuple[str, ...] = (),
+                target_file_mb: int | None = None) -> str | None:
+        """Rewrite the table's current contents into one fresh data dir
+        (Iceberg's rewrite_data_files). At crawl scale, chunked appends
+        accumulate small files whose per-file open + footer cost comes to
+        dominate scans; compaction restores scan-sized files.
+
+        Sizing: pass ``target_partitions`` for an explicit file count, or
+        ``target_file_mb`` to size by bytes the way real Iceberg does —
+        the file count is computed from the CURRENT snapshot's on-disk
+        bytes (directory metadata, no extra scan), so a table that grew
+        10x compacts into 10x more files, not 10x bigger ones. Pass
+        ``partition_by``/``stats_cols`` to (re)build pruning metadata for
+        the compacted layout. Readers are never disturbed: the rewrite is
+        just another snapshot commit, and time-travel reads of
         pre-compaction sequences still see the old dirs (nothing is
         deleted)."""
+        if target_partitions is None:
+            if target_file_mb is None:
+                raise ValueError("pass target_partitions or target_file_mb")
+            target_partitions = max(
+                1, -(-self.data_bytes() // (target_file_mb << 20))
+            )
         df = self.read(spark, schema)
         if df is None:
             return None

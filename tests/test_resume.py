@@ -497,3 +497,28 @@ def test_partition_evolution_across_snapshots(spark, tmp_path):
     # rows: all 30 flat rows (conservative) + the 20 partitioned en rows
     assert got.count() == 30 + 20
     assert got.where("lang = 'en'").count() == 10 + 20
+
+
+def test_compact_by_target_file_size(spark, tmp_path):
+    """Size-based compaction (Iceberg's binpack sizing): the file count
+    comes from the current snapshot's on-disk bytes over target_file_mb,
+    so it scales with the data instead of being a fixed constant."""
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "t"))
+    for lo in range(0, 90, 30):           # 3 small-file appends
+        t.append(_docs_df(spark, lo, lo + 30), stats_cols=("doc_id",))
+    total = t.data_bytes()
+    assert total > 0
+    before = sorted(r.doc_id for r in t.read(spark).collect())
+
+    # a target far above the table size -> exactly 1 output file dir
+    t.compact(spark, target_file_mb=1024, stats_cols=("doc_id",))
+    assert t.current_snapshot()["properties"]["target_partitions"] == 1
+    assert sorted(r.doc_id for r in t.read(spark).collect()) == before
+
+    # a tiny 1-byte-over target computes ceil(bytes / target) files
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.compact(spark)  # neither sizing argument
