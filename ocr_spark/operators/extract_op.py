@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..core.extract import extract_record
-from ..plans.partitioning import salted_repartition
+from ..plans.partitioning import ranged_repartition, salted_repartition
 from ..session import EXTRACTED_SCHEMA
 
 INPUT_COLS = ("url", "html", "text", "lang")
@@ -111,10 +111,13 @@ def extract_pages(
     Returns one row per input row with schema ``EXTRACTED_SCHEMA``.
 
     ``repartition``: True forces the salted host-hash shuffle (use for
-    host-clustered crawl input — the north_rule skew case); False trusts the
-    input partitioning; "auto" shuffles only when the input has fewer
-    partitions than the cluster can run in parallel (uniform, well-split
-    input skips a pointless shuffle of the full payload bytes).
+    host-clustered crawl input — the north_rule skew case); "range" uses
+    ``ranged_repartition`` instead (host-contiguous partitions: better sink
+    compression and shuffle-free per-host downstream at the cost of a
+    sampling pass); False trusts the input partitioning; "auto" shuffles
+    only when the input has fewer partitions than the cluster can run in
+    parallel (uniform, well-split input skips a pointless shuffle of the
+    full payload bytes).
     """
     pruned = df.select(*INPUT_COLS)  # column pruning BEFORE the Arrow boundary
     parallelism = df.sparkSession.sparkContext.defaultParallelism
@@ -132,6 +135,8 @@ def extract_pages(
         # DataFrame->RDD conversion, no job. Non-file sources (empty
         # inputFiles) or unreachable sizes shuffle — the safe default.
         repartition = _estimated_scan_partitions(df) < parallelism
-    if repartition:
+    if repartition == "range":
+        pruned = ranged_repartition(pruned, num_partitions)
+    elif repartition:
         pruned = salted_repartition(pruned, num_partitions, salt_buckets=salt_buckets)
     return pruned.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)

@@ -39,3 +39,35 @@ def salted_repartition(
     salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
     key = F.xxhash64(url_host(url_col), salt)
     return df.repartition(num_partitions, key)
+
+
+def ranged_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    url_col: str = "url",
+) -> DataFrame:
+    """Repartition-by-range on (host, url) — the north_star's alternative
+    pre-parse layout to the salted hash shuffle.
+
+    RangePartitioner samples the composite key, so range bounds can cut
+    INSIDE a hot host: the top crawl domain spreads over several adjacent
+    partitions (skew still bounded) while every partition holds contiguous
+    host runs. Choose this over ``salted_repartition`` when the stage's
+    OUTPUT layout matters more than maximal spread: host-sorted partitions
+    RLE-compress host-derived columns in the parquet sink, serve per-host
+    downstream ops (politeness caps, host metrics) without a second
+    shuffle, and give the metrics table a readable host range per
+    partition. The hash path remains the default for pure parse
+    throughput (no sampling pass, no sort).
+
+    Skew bound differs from the salted path: a single host larger than
+    ~rows/num_partitions still splits (url is the tie-breaker key), but
+    its chunks stay adjacent rather than scattering cluster-wide.
+
+    Caveat: RangePartitioner's reservoir sample is seeded per-RDD, so
+    partition MEMBERSHIP can differ between runs (results never do — no
+    row is dropped or duplicated). When replayable per-partition lineage
+    matters (the resume/metrics contract), use ``salted_repartition``,
+    whose hash key is a pure function of the row.
+    """
+    return df.repartitionByRange(num_partitions, url_host(url_col), F.col(url_col))

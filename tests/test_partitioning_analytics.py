@@ -4,7 +4,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.analytics import asof_prior_event, rollup_event_stats
-from ocr_spark.plans.partitioning import salted_repartition
+from ocr_spark.operators.extract_op import extract_pages
+from ocr_spark.plans.partitioning import ranged_repartition, salted_repartition
 from ocr_spark.sources.pages import synth_pages
 
 N_PARTS = 16
@@ -42,6 +43,42 @@ def test_salted_repartition_bounds_hot_host(spark):
 
     # overall balance: salted max-partition share strictly better
     assert _partition_counts(salted).max() < _partition_counts(by_host).max()
+
+
+def test_ranged_repartition_splits_hot_host_contiguously(spark):
+    """repartitionByRange(host, url): range bounds sampled on the COMPOSITE
+    key cut inside the top host (skew bounded), its chunks land on ADJACENT
+    partition ids (host-contiguous layout), and overall balance beats the
+    bare-host hash layout."""
+    pages = synth_pages(spark, 8000, num_partitions=8).select("url")
+    top_host = (
+        pages.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .groupBy("host").count().orderBy(F.desc("count")).first()
+    )
+    ranged = ranged_repartition(pages, N_PARTS)
+    hot_pids = sorted(
+        r["pid"]
+        for r in ranged.withColumn("pid", F.spark_partition_id())
+        .where(F.parse_url("url", F.lit("HOST")) == top_host["host"])
+        .select("pid").distinct().collect()
+    )
+    assert len(hot_pids) >= 2                       # hot host is split...
+    assert hot_pids == list(range(hot_pids[0], hot_pids[-1] + 1))  # ...adjacently
+
+    by_host = pages.repartition(N_PARTS, F.parse_url("url", F.lit("HOST")))
+    assert _partition_counts(ranged).max() < _partition_counts(by_host).max()
+
+    # rows are never duplicated or dropped by the sampling pass
+    assert ranged.count() == 8000
+
+
+def test_extract_range_strategy_matches_salted_bytes(spark):
+    """The pre-parse layout must not change extraction results: the range
+    strategy yields byte-identical (url, text) to the salted default."""
+    pages = synth_pages(spark, 600, num_partitions=4)
+    a = {(r.url, r.text) for r in extract_pages(pages, repartition=True).collect()}
+    b = {(r.url, r.text) for r in extract_pages(pages, repartition="range").collect()}
+    assert a == b and len(a) == 600
 
 
 def test_asof_prior_event_semantics(spark):
