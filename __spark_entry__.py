@@ -1192,6 +1192,34 @@ def q_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark).select(*cols)
 
 
+# per-lang token budgets for q_token_budget_mix: ~60% of each language's
+# sf0.01 token mass, zh deliberately absent (a mixture is also an allowlist)
+MIX_BUDGETS = {"en": 7000, "de": 2000, "fr": 2200, "es": 2400}
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture selection: per-language greedy take of the
+    highest-quality documents until each language's token budget fills
+    (one lang-hash shuffle + a running-sum window; zh is excluded to pin
+    the allowlist semantics)."""
+    from ocr_spark.operators.mixing import token_budget_select
+
+    return token_budget_select(_t(spark, sf_dir, "documents"), MIX_BUDGETS)
+
+
+def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality gate: per-host kept-fraction of the per-doc
+    quality filter, hosts below 0.85 with >=5 docs flagged blocked
+    (UT1/RefinedWeb-style domain blocklist derivation)."""
+    from ocr_spark.operators.mixing import domain_blocklist
+
+    d = _t(spark, sf_dir, "documents")
+    pages = _messy_urls(d).select("doc_id", "url").join(
+        d.select("doc_id", "text"), "doc_id"
+    )
+    return domain_blocklist(pages, min_docs=5, min_kept_frac=0.85)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _with_engine_conf(q_flagship_extract)(spark, SF0001)
@@ -1248,7 +1276,7 @@ _EXTRA_KEYS = frozenset(
     "agg_pricing events_hourly set_ops image_resize pagerank_hosts "
     "anchor_terms canonical_groups "
     "url_parts media_meta error_top_fields outer_join "
-    "top_events_per_user".split()
+    "top_events_per_user token_budget_mix host_quality".split()
 )
 
 _QUERIES = {
@@ -1323,6 +1351,8 @@ _QUERIES = {
         "inverted_index": q_inverted_index,
         "merge_table": q_merge_table,
         "stream_extract": q_stream_extract,
+        "token_budget_mix": q_token_budget_mix,
+        "host_quality": q_host_quality,
     }
 
 
@@ -2178,6 +2208,57 @@ def _quality_filter_oracle() -> str:
     """
 
 
+def _token_budget_mix_oracle() -> str:
+    """DuckDB twin of q_token_budget_mix: same token count, same quality
+    arithmetic, same (quality DESC, doc_id) running-sum window per lang,
+    budgets imported from the query so they cannot drift."""
+    budgets = ", ".join(f"('{k}', {v})" for k, v in sorted(MIX_BUDGETS.items()))
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang, len({_TOKENS}) AS n_tokens,
+                   {_QUALITY} AS quality
+            FROM documents
+        ), b(lang, budget) AS (VALUES {budgets}),
+        cum AS (
+            SELECT s.doc_id, s.lang, s.n_tokens, s.quality, b.budget,
+                   sum(s.n_tokens) OVER (
+                       PARTITION BY s.lang
+                       ORDER BY s.quality DESC, s.doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM scored s JOIN b ON s.lang = b.lang
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens,
+               (cum_tokens <= budget) AS selected
+        FROM cum
+    """
+
+
+def _host_quality_oracle() -> str:
+    """DuckDB twin of q_host_quality: the quality_filter twin's kept column
+    aggregated per canonical messy-url host, same support floor and
+    kept-fraction threshold."""
+    from ocr_spark.functions import urls as U
+
+    return f"""
+        WITH qf AS (SELECT doc_id, kept FROM ({_quality_filter_oracle()})),
+        hosts AS (
+            SELECT doc_id, {U.SQL_URL_HOST.format(c=_SQL_MESSY_URL)} AS host
+            FROM documents
+        ),
+        agg AS (
+            SELECT host, count(*) AS n_docs,
+                   round(avg(CASE WHEN kept THEN 1.0 ELSE 0.0 END), 4)
+                       AS kept_frac
+            FROM hosts JOIN qf USING (doc_id)
+            GROUP BY host
+        )
+        SELECT host, n_docs, kept_frac,
+               (n_docs >= 5 AND kept_frac < 0.85) AS blocked
+        FROM agg
+    """
+
+
 def _repetition_stats_oracle() -> str:
     """DuckDB twin of q_repetition_stats: the same deterministic reshaping
     (token pairs -> lines, 5 lines -> paragraph, %7 boilerplate boost),
@@ -2694,6 +2775,8 @@ def _oracle_sql_all() -> dict[str, str]:
             FROM k
         """,
         "quality_filter": _quality_filter_oracle(),
+        "token_budget_mix": _token_budget_mix_oracle(),
+        "host_quality": _host_quality_oracle(),
         "lm_score": _lm_score_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),

@@ -1,0 +1,141 @@
+"""Corpus mixing: token-budget selection and domain-level quality gates.
+
+Two selection passes every LLM training-data pipeline runs after per-doc
+filtering:
+
+- ``token_budget_select``: build a training mixture by taking the BEST
+  documents per language until each language's token budget is filled
+  (the data-mixture step: budgets encode the target language ratios, the
+  quality ordering makes the cut a quality threshold rather than a random
+  sample). Reference analog: the validator's quality scoring feeding the
+  report's keep/drop decision (data_validator.py:523-551), lifted from
+  per-document to corpus-budgeted.
+
+- ``domain_blocklist`` / ``apply_domain_blocklist``: aggregate the per-doc
+  quality gate to crawl domains and drop WHOLE hosts whose corpus is
+  mostly garbage (UT1/RefinedWeb-style domain filtering). A host serving
+  90% junk pages poisons even its passing pages (templated spam rotates
+  enough to slip per-doc rules); the domain gate is the cheap corpus-level
+  backstop.
+
+Scale: ``token_budget_select`` is ONE shuffle (hash by lang) + a sort-based
+running-sum window per language; languages are few, so the window's
+per-partition sort is the dominant cost and spills to disk for a
+100-TB-scale language. For mixtures where the exact greedy boundary does
+not matter, the documented cheap alternative is a quality-quantile
+threshold per language (approxQuantile + map-side filter, no sort);
+the windowed form is the oracle-exact semantics. ``domain_blocklist`` is
+a zero-shuffle per-row gate plus one host aggregation; the blocklist it
+returns is hosts-sized (tiny) and applies as a broadcast anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import quality_score, token_count
+from ..functions.urls import url_host
+from .quality import quality_filter
+
+
+def token_budget_select(
+    df: DataFrame,
+    budgets: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Greedy per-language mixture selection under token budgets.
+
+    Within each language, documents are ranked by ``quality_score``
+    descending (ties broken by id, so the cut is deterministic) and
+    selected while the running token total stays within the language's
+    budget. Languages absent from ``budgets`` are excluded entirely —
+    a mixture is also a language allowlist.
+
+    Returns (id, lang, n_tokens, quality, cum_tokens, selected): the full
+    ranked ledger, not just the winners, so the caller can audit how far
+    over budget the next candidate was and how the quality threshold
+    landed per language.
+    """
+    spark = df.sparkSession
+    b = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(budgets.items())],
+        f"{lang_col} string, budget long",
+    )
+    scored = df.select(
+        F.col(id_col),
+        F.col(lang_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        quality_score(text_col).alias("quality"),
+    ).join(F.broadcast(b), lang_col)
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.desc("quality"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return scored.select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        "quality",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        (F.sum("n_tokens").over(w) <= F.col("budget")).alias("selected"),
+    )
+
+
+def domain_blocklist(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+    min_kept_frac: float = 0.5,
+) -> DataFrame:
+    """Per-host quality profile + block decision.
+
+    A host is blocked when it has at least ``min_docs`` documents and
+    fewer than ``min_kept_frac`` of them pass the per-document
+    ``quality_filter``. The support floor keeps single-page hosts from
+    being condemned by one bad document (mirroring the per-group support
+    threshold of the V7 banded check).
+
+    Returns (host, n_docs, kept_frac, blocked) for every host.
+    """
+    kept = quality_filter(
+        df.select(F.col(id_col), F.col(text_col)), text_col=text_col,
+        id_col=id_col,
+    ).select(id_col, "kept")
+    hosts = df.select(F.col(id_col), url_host(url_col).alias("host"))
+    return (
+        hosts.join(kept, id_col)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("kept").cast("double")), 4).alias("kept_frac"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "kept_frac",
+            (
+                (F.col("n_docs") >= min_docs)
+                & (F.col("kept_frac") < min_kept_frac)
+            ).alias("blocked"),
+        )
+    )
+
+
+def apply_domain_blocklist(df: DataFrame, blocklist: DataFrame,
+                           url_col: str = "url") -> DataFrame:
+    """Drop every document whose host is blocked. The blocklist is
+    hosts-sized, so this plans as a broadcast left-anti join — the
+    100-TB side never shuffles."""
+    blocked = blocklist.where("blocked").select("host")
+    return df.join(
+        F.broadcast(blocked),
+        url_host(url_col) == F.col("host"),
+        "left_anti",
+    )

@@ -1,0 +1,118 @@
+"""Corpus mixing: token-budget mixture selection (greedy cut, allowlist,
+determinism) and domain-level quality gates (support floor, anti-join
+application, broadcast plan)."""
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.mixing import (
+    apply_domain_blocklist,
+    domain_blocklist,
+    token_budget_select,
+)
+
+
+def _doc(i, lang, words, word="tok"):
+    # distinct-enough words keep quality_score from degenerating
+    return (i, lang, " ".join(f"{word}{i}x{j}" for j in range(words)))
+
+
+def test_token_budget_greedy_cut(spark):
+    # en budget 25 tokens; docs of 10 tokens each -> exactly 2 selected,
+    # the 3rd crosses the budget, the 4th stays unselected too (greedy
+    # running-sum semantics, not knapsack).
+    rows = [_doc(i, "en", 10) for i in range(4)]
+    out = token_budget_select(
+        spark.createDataFrame(rows, "doc_id long, lang string, text string"),
+        {"en": 25},
+    ).collect()
+    sel = {r["doc_id"]: r for r in out}
+    assert len(out) == 4
+    assert sum(r["selected"] for r in out) == 2
+    # ledger is auditable: cum_tokens strictly increases along the ranking
+    ranked = sorted(out, key=lambda r: r["cum_tokens"])
+    assert [r["cum_tokens"] for r in ranked] == [10, 20, 30, 40]
+    assert all(sel[r["doc_id"]]["n_tokens"] == 10 for r in out)
+
+
+def test_token_budget_lang_allowlist(spark):
+    rows = [_doc(0, "en", 5), _doc(1, "zz", 5)]
+    out = token_budget_select(
+        spark.createDataFrame(rows, "doc_id long, lang string, text string"),
+        {"en": 100},
+    ).collect()
+    # zz has no budget -> excluded entirely, not just unselected
+    assert {r["lang"] for r in out} == {"en"}
+
+
+def test_token_budget_quality_ordering(spark):
+    # same token count, different quality: doc 1 sits in the good length
+    # band and carries stopwords (quality 1.0); doc 0 is short with none
+    # (quality 0.5). The budget fits one doc -> the better one wins even
+    # though doc 0 sorts first by id.
+    rows = [
+        (0, "en", " ".join(f"w{j}" for j in range(12))),
+        (1, "en", "the quick brown foxhound vaulted over the sleepy "
+                  "gardener and trotted away down the long gravel lane"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in token_budget_select(
+            spark.createDataFrame(rows, "doc_id long, lang string, text string"),
+            {"en": 17},  # fits doc 1 (17 tokens) alone; doc 0 would also fit
+        ).collect()
+    }
+    assert out[1]["selected"] and not out[0]["selected"]
+    assert out[1]["quality"] > out[0]["quality"]
+
+
+def _host_rows():
+    rows = []
+    # goodhost: 6 docs, all pass quality_filter (30 distinct words)
+    for i in range(6):
+        rows.append((i, f"https://goodhost.com/p{i}",
+                     " ".join(f"w{i}x{j}" for j in range(30))))
+    # badhost: 6 docs, 5 fail (too_short), 1 passes -> kept_frac ~0.17
+    for i in range(6, 11):
+        rows.append((i, f"https://badhost.com/p{i}", "tiny page"))
+    rows.append((11, "https://badhost.com/ok",
+                 " ".join(f"v{j}" for j in range(30))))
+    # smallhost: 2 docs, both fail — below the support floor, never blocked
+    rows.append((12, "https://smallhost.com/a", "x"))
+    rows.append((13, "https://smallhost.com/b", "y"))
+    return rows
+
+
+def test_domain_blocklist_support_floor(spark):
+    df = spark.createDataFrame(_host_rows(), "doc_id long, url string, text string")
+    bl = {r["host"]: r for r in domain_blocklist(df, min_docs=5,
+                                                 min_kept_frac=0.5).collect()}
+    assert not bl["goodhost.com"]["blocked"] and bl["goodhost.com"]["kept_frac"] == 1.0
+    assert bl["badhost.com"]["blocked"] and bl["badhost.com"]["n_docs"] == 6
+    # two failing docs but under min_docs -> spared
+    assert not bl["smallhost.com"]["blocked"] and bl["smallhost.com"]["kept_frac"] == 0.0
+
+
+def test_apply_domain_blocklist_anti_join(spark):
+    df = spark.createDataFrame(_host_rows(), "doc_id long, url string, text string")
+    bl = domain_blocklist(df, min_docs=5, min_kept_frac=0.5)
+    kept = apply_domain_blocklist(df, bl)
+    hosts = {r[0] for r in kept.select(
+        F.regexp_extract("url", r"://([^/]+)", 1)).distinct().collect()}
+    # the whole bad host vanishes, including its one passing page
+    assert hosts == {"goodhost.com", "smallhost.com"}
+    assert kept.count() == 8
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_token_budget_plan_single_lang_shuffle(spark):
+    # budgets broadcast; the only exchange is the lang hash partitioning
+    # feeding the window — no SinglePartition anywhere.
+    df = spark.createDataFrame(
+        [_doc(i, "en", 8) for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    out = token_budget_select(df, {"en": 50})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
