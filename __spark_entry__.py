@@ -1220,6 +1220,73 @@ def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist(pages, min_docs=5, min_kept_frac=0.85)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the planted near-dup
+    corpus: seeded-Lloyd k-means clustering, within-cluster pairwise
+    cosine, keep-first verdicts. The 8 planted scaled copies
+    (vec_id >= 1000000) must come back is_dup with dup_of = the original.
+    dup_of is coalesced to -1 for keepers so the twin compares ints."""
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _neardup_corpus(spark, sf_dir), threshold=0.95, n_centroids=16
+    )
+    return out.select(
+        "vec_id",
+        "cent_id",
+        "is_dup",
+        F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+    )
+
+
+# block count for q_bloom_gate's filter — part of the filter's identity,
+# shared with the oracle so the bit layout cannot drift
+BLOOM_GATE_NB = 1024
+
+
+def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-Bloom ingest gate: commit 2/3 of the corpus, re-ingest the
+    other third with half its pages rewritten to copies of committed
+    neighbours (a recrawl), and report per new page the bloom verdict
+    (maybe_seen — definite when False) and the exact gate verdict (seen).
+    The filter, probe, and confirm are pure JVM bit arithmetic; the
+    DuckDB twin replays every hash and mask bit-for-bit."""
+    from ocr_spark.functions.text import fingerprint_md5
+    from ocr_spark.operators.bloom import (
+        bloom_build,
+        bloom_gate_exact,
+        bloom_probe,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    committed = d.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", fingerprint_md5("text").alias("fp")
+    )
+    prev = d.select(F.col("doc_id").alias("p_id"), F.col("text").alias("p_text"))
+    newb = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .join(prev, F.col("p_id") == F.col("doc_id") + 1, "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 2 == 0) & F.col("p_text").isNotNull(),
+                F.col("p_text"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    newfp = newb.select("doc_id", fingerprint_md5("text").alias("fp"))
+    bloom = bloom_build(committed, "fp", n_blocks=BLOOM_GATE_NB)
+    probed = bloom_probe(newfp, bloom, "fp", n_blocks=BLOOM_GATE_NB).select(
+        "doc_id", "maybe_seen"
+    )
+    gated = bloom_gate_exact(
+        newfp, committed, bloom, "fp", "doc_id", BLOOM_GATE_NB
+    )
+    return probed.join(gated, "doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _with_engine_conf(q_flagship_extract)(spark, SF0001)
@@ -1276,7 +1343,8 @@ _EXTRA_KEYS = frozenset(
     "agg_pricing events_hourly set_ops image_resize pagerank_hosts "
     "anchor_terms canonical_groups "
     "url_parts media_meta error_top_fields outer_join "
-    "top_events_per_user token_budget_mix host_quality".split()
+    "top_events_per_user token_budget_mix host_quality bloom_gate "
+    "semantic_dedup".split()
 )
 
 _QUERIES = {
@@ -1353,6 +1421,8 @@ _QUERIES = {
         "stream_extract": q_stream_extract,
         "token_budget_mix": q_token_budget_mix,
         "host_quality": q_host_quality,
+        "bloom_gate": q_bloom_gate,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2234,6 +2304,125 @@ def _token_budget_mix_oracle() -> str:
     """
 
 
+def _bloom_sql_parts(key: str, n_blocks: int) -> tuple[str, str]:
+    """DuckDB replay of ocr_spark.operators.bloom's (block, mask) pair for
+    a key expression: same md5 base, same Carter-Wegman constants (imported
+    so they cannot drift), same mod-63 bit positions. Returns SQL text for
+    (block, mask)."""
+    from ocr_spark.operators.bloom import _BB_P, BLOOM_AB
+
+    base = f"(('0x' || substr(md5({key}), 1, 15))::BIGINT % {_BB_P})"
+    hs = [f"(({a} * {base} + {b}) % {_BB_P})" for a, b in BLOOM_AB]
+    block = f"({hs[0]} % {n_blocks})"
+    mask = " | ".join(f"(1::BIGINT << ({h} % 63))" for h in hs[1:])
+    return block, f"({mask})"
+
+
+def _bloom_gate_oracle() -> str:
+    """DuckDB twin of q_bloom_gate: replays the committed/new split, the
+    recrawl text rewrite, the fingerprint, every bloom hash/bit, the
+    bit_or block aggregation, and the probe's bits&mask check."""
+    block, mask = _bloom_sql_parts("fp", BLOOM_GATE_NB)
+    return f"""
+        WITH committed AS (
+            SELECT doc_id, md5({_CANON}) AS fp
+            FROM documents WHERE doc_id % 3 <> 0
+        ),
+        newbatch AS (
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 2 = 0 AND p.text IS NOT NULL
+                        THEN p.text ELSE d.text END AS text
+            FROM documents d
+            LEFT JOIN documents p ON p.doc_id = d.doc_id + 1
+            WHERE d.doc_id % 3 = 0
+        ),
+        newfp AS (SELECT doc_id, md5({_CANON}) AS fp FROM newbatch),
+        bloom AS (
+            SELECT {block} AS block, bit_or({mask}) AS bits
+            FROM committed GROUP BY 1
+        ),
+        probe AS (
+            SELECT doc_id, fp, {block} AS block, {mask} AS mask FROM newfp
+        )
+        SELECT p.doc_id,
+               (b.bits IS NOT NULL AND (b.bits & p.mask) = p.mask)
+                   AS maybe_seen,
+               -- coalesce: a NULL fp (NULL text) probes as NULL under IN,
+               -- while the Spark semi-join simply never matches -> false
+               coalesce(p.fp IN (SELECT fp FROM committed), FALSE) AS seen
+        FROM probe p LEFT JOIN bloom b USING (block)
+    """
+
+
+def _semantic_dedup_oracle() -> str:
+    """DuckDB twin of q_semantic_dedup: replays the planted corpus, the
+    seeded-Lloyd quantizer (seeds = first 16 vectors, one refinement
+    iteration, 6-dp means — the exact ivf_centroids replay the ivf_topk
+    twin uses), the cluster-size cap, and the within-cluster keep-first
+    pairing at the same 4-dp rounded cosine threshold."""
+    cos = (
+        "round(list_dot_product(ca.e, cb.e)"
+        " / (sqrt(list_dot_product(ca.e, ca.e))"
+        " * sqrt(list_dot_product(cb.e, cb.e))), 4)"
+    )
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.02)
+            FROM embeddings WHERE vec_id < 8
+        ), seeds AS (
+            SELECT vec_id AS cent_id, e AS cv FROM corpus WHERE vec_id < 16
+        ), assign0 AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT c.vec_id, s.cent_id,
+                       row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                         list_dot_product(c.e, s.cv)
+                         / (sqrt(list_dot_product(c.e, c.e))
+                            * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                         s.cent_id ASC) AS rn
+                FROM corpus c, seeds s
+            ) WHERE rn = 1
+        ), dims AS (
+            SELECT vec_id, i AS pos, e[i] AS x
+            FROM corpus, unnest(generate_series(1, len(e))) AS t(i)
+        ), refined AS (
+            SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+                SELECT a.cent_id, d.pos, round(avg(d.x), 6) AS m
+                FROM assign0 a JOIN dims d ON a.vec_id = d.vec_id
+                GROUP BY a.cent_id, d.pos
+            ) GROUP BY cent_id
+        ), assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT c.vec_id, r.cent_id,
+                       row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                         list_dot_product(c.e, r.cv)
+                         / (sqrt(list_dot_product(c.e, c.e))
+                            * sqrt(list_dot_product(r.cv, r.cv))) DESC,
+                         r.cent_id ASC) AS rn
+                FROM corpus c, refined r
+            ) WHERE rn = 1
+        ), inplay AS (
+            SELECT a.vec_id, a.cent_id FROM assign a
+            JOIN (SELECT cent_id FROM assign GROUP BY cent_id
+                  HAVING count(*) <= 1024) s USING (cent_id)
+        ), dup AS (
+            SELECT b.vec_id AS id_b, min(a.vec_id) AS dup_of
+            FROM inplay a
+            JOIN inplay b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+            JOIN corpus ca ON ca.vec_id = a.vec_id
+            JOIN corpus cb ON cb.vec_id = b.vec_id
+            WHERE {cos} >= 0.95
+            GROUP BY b.vec_id
+        )
+        SELECT a.vec_id, a.cent_id,
+               (d.dup_of IS NOT NULL) AS is_dup,
+               coalesce(d.dup_of, -1) AS dup_of
+        FROM assign a LEFT JOIN dup d ON a.vec_id = d.id_b
+    """
+
+
 def _host_quality_oracle() -> str:
     """DuckDB twin of q_host_quality: the quality_filter twin's kept column
     aggregated per canonical messy-url host, same support floor and
@@ -2777,6 +2966,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "quality_filter": _quality_filter_oracle(),
         "token_budget_mix": _token_budget_mix_oracle(),
         "host_quality": _host_quality_oracle(),
+        "bloom_gate": _bloom_gate_oracle(),
+        "semantic_dedup": _semantic_dedup_oracle(),
         "lm_score": _lm_score_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),

@@ -107,7 +107,7 @@ BENCH_QUERIES = (
     "dedup_clusters clean_corpus line_dedup shard_assignment dedup_increment "
     "host_cap robots_filter outlinks host_degree pagerank_hosts anchor_terms "
     "canonical_groups dup_spans dup_span_removal lsh_recall inverted_index "
-    "merge_table"
+    "merge_table token_budget_mix host_quality bloom_gate"
 ).split()
 
 
@@ -411,7 +411,14 @@ def run_scale_level(cores: int, pages: int) -> dict:
              "OCR_BENCH_PAGES_DIR": f"{SHM_DIR}/pages_{pages}",
              "OCR_BENCH_REPS": str(SCALE_REPS)},
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    level = json.loads(out.stdout.strip().splitlines()[-1])
+    log(
+        f"bench: scale level {cores}c @{pages}p: min={level['min_wall']}s "
+        f"walls={level['walls']} converged={level['converged']} "
+        f"elapsed={level.get('level_elapsed_s')}s "
+        f"bursts={len(level.get('bursts', []))}"
+    )
+    return level
 
 
 def main() -> None:

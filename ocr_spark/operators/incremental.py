@@ -14,8 +14,11 @@ table with zero reads of committed text. At 100 TB the state table is the
 difference between O(batch) and O(corpus) work per ingest.
 
 Shape: the exact check is a broadcast-friendly LEFT SEMI against the
-committed fingerprint set (at 100 TB that side is a fingerprint-only
-projection — Bloom-filter sized). The near check band-joins the new
+committed fingerprint set; pass ``bloom`` (a persisted blocked-Bloom
+table from operators/bloom.py, built from the state table's fp column at
+commit time) to prefilter it — bloom-negative rows are definitively new
+and never touch the committed table, so a mostly-novel batch's exact
+check is map-side. The near check band-joins the new
 batch's (band, bucket) rows against bucket keys derived from the STORED
 committed signatures (xxhash64 over sig slices — no md5 over text), with
 the same union-wide bucket cap as ``minhash_lsh_pairs``, then verifies
@@ -74,6 +77,8 @@ def incremental_status_against_state(
     perms: int = MINHASH_PERMS,
     bands: int = LSH_BANDS,
     max_bucket: int = 256,
+    bloom: DataFrame | None = None,
+    bloom_n_blocks: int | None = None,
 ) -> DataFrame:
     """(id_col, status) for every row of ``new_df`` checked against a
     persisted :func:`committed_state` table: 'exact_seen' (fingerprint
@@ -90,8 +95,22 @@ def incremental_status_against_state(
     new_state = committed_state(new_df, text_col, id_col, perms)
     new_ids = new_state.select("id")
 
+    exact_probe = new_state.select("id", "fp")
+    if bloom is not None:
+        # scale path: the persisted blocked-Bloom filter (built once per
+        # commit from the state table's fp column, operators/bloom.py)
+        # sentences bloom-NEGATIVE rows to 'new' map-side — only the few
+        # positives (duplicates + ~2% false positives) reach the exact
+        # semi-join, so the committed fp projection is no longer joined
+        # against the whole batch every ingest
+        from .bloom import bloom_probe
+
+        exact_probe = bloom_probe(
+            exact_probe, bloom, "fp",
+            n_blocks=bloom_n_blocks if bloom_n_blocks is not None else 1 << 20,
+        ).where(F.col("maybe_seen")).select("id", "fp")
     exact = (
-        new_state.select("id", "fp")
+        exact_probe
         .join(state_df.select("fp").distinct(), "fp", "left_semi")
         .select("id")
         .withColumn("e", F.lit(True))

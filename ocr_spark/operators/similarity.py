@@ -229,6 +229,67 @@ def ivf_topk(df: DataFrame, k: int = 10, n_centroids: int = 16, n_probe: int = 4
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   n_centroids: int = 16, n_iters: int = 1,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   max_cluster: int = 1024) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the deterministic seeded-Lloyd
+    quantizer (:func:`ivf_centroids` — pure function of the data, so the
+    DuckDB twin replays it exactly), then compare pairs ONLY within a
+    cluster and mark every vector that has a lower-id cluster-mate with
+    cosine >= ``threshold`` as a duplicate of its lowest such mate
+    ("keep first" — deterministic, order-free).
+
+    Output: one row per input vector (never-drop contract) —
+    (id_col, cent_id, is_dup, dup_of) with dup_of NULL for keepers.
+
+    Scale shape: the quadratic step is per-cluster, so cost is
+    sum(c_i^2) — production sizes ``n_centroids ~ N / target_cluster`` so
+    clusters stay small (the paper runs 50k clusters for LAION-440M);
+    clusters larger than ``max_cluster`` are excluded from pairing (their
+    members all come back as keepers) — the same disclosed hot-bucket cap
+    as the minhash/LSH paths, preventing a degenerate cluster from
+    contributing k^2 pairs on one partition. The pair join shuffles
+    (cent_id, id, vector) once; centroids move only by broadcast.
+    """
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents = ivf_centroids(df, n_centroids, n_iters, vec_col, id_col)
+    assigned = _assign_cells(
+        df.select(F.col(id_col), emb.alias("v")), cents, id_col
+    )
+
+    ok = (
+        assigned.groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= max_cluster)
+        .select("cent_id")
+    )
+    in_play = assigned.join(F.broadcast(ok), "cent_id", "left_semi")
+    a = in_play.select(
+        "cent_id", F.col(id_col).alias("id_a"), F.col("v").alias("va")
+    )
+    b = in_play.select(
+        "cent_id", F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+    )
+    dup_of = (
+        a.join(b, "cent_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_col(F.col("va"), F.col("vb")), 4) >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_of, assigned[id_col] == dup_of["id_b"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cent_id"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            F.col("dup_of"),
+        )
+    )
+
+
 def knn_brute_force(df: DataFrame, queries: DataFrame, k: int = 5,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:

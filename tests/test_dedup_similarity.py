@@ -298,3 +298,56 @@ def test_line_dedup_crlf_documents(spark):
     assert out[2]["text"] == "\nbody 2"      # header+tail hot across BOTH forms
     assert out[2]["n_dropped"] == 2
     assert out[99]["text"] == "body 99"      # LF doc shares the hot lines
+
+
+def test_semantic_dedup_flags_planted_copies(spark):
+    """SemDeDup: scaled copies land in their original's cluster and come
+    back is_dup with dup_of = the lowest matching cluster-mate; distinct
+    vectors survive as keepers. One row per input (never-drop)."""
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (4, [0.71, 0.71, 0.0, 0.0]),
+    ]
+    copies = [(100, [1.02, 0.0, 0.0, 0.0]), (101, [0.0, 0.98, 0.0, 0.0])]
+    df = spark.createDataFrame(
+        base + copies, "vec_id long, embedding array<float>"
+    )
+    out = semantic_dedup(df, threshold=0.99, n_centroids=4).toPandas()
+    assert len(out) == len(base) + len(copies)
+    verdicts = {r.vec_id: (r.is_dup, r.dup_of) for r in out.itertuples()}
+    assert verdicts[100] == (True, 0)
+    assert verdicts[101] == (True, 1)
+    assert not verdicts[2][0] and not verdicts[3][0] and not verdicts[4][0]
+
+
+def test_semantic_dedup_oversized_cluster_capped(spark):
+    """Clusters beyond max_cluster are excluded from pairing (disclosed
+    cap): their members all come back keepers instead of exploding into a
+    quadratic within-cluster join."""
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    seeds = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    flood = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10, 50)]
+    pair = [(100, [0.0, 1.02, 0.0, 0.0])]
+    df = spark.createDataFrame(
+        seeds + flood + pair, "vec_id long, embedding array<float>"
+    )
+    out = semantic_dedup(
+        df, threshold=0.99, n_centroids=4, max_cluster=10
+    ).toPandas()
+    verdicts = {r.vec_id: (r.is_dup, r.dup_of) for r in out.itertuples()}
+    assert verdicts[100] == (True, 1)         # small cluster still paired
+    # capped cluster (seed 0 + 40 identical floods): all keepers, no pairing
+    assert not verdicts[0][0]
+    assert not any(verdicts[i][0] for i in range(10, 50))
+    assert len(out) == 45
