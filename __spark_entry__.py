@@ -1220,6 +1220,28 @@ def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist(pages, min_docs=5, min_kept_frac=0.85)
 
 
+def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: assignment hashed at canonical-host
+    granularity so one site never spans both splits. Map-side only."""
+    from ocr_spark.functions import urls as U
+    from ocr_spark.operators.sampling import leakage_safe_split
+
+    d = _messy_urls(_t(spark, sf_dir, "documents"))
+    pages = d.select("doc_id", U.url_host("url").alias("host"))
+    return leakage_safe_split(pages, "host", eval_frac=0.1)
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents table for a fixed 3-term
+    query — the search side of the inverted-index family. Query-vocabulary
+    filter before any shuffle; df/N/avgdl as broadcast stats."""
+    from ocr_spark.operators.index import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["spark", "vector", "merge"], k=15
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication over the planted near-dup
     corpus: seeded-Lloyd k-means clustering, within-cluster pairwise
@@ -1344,7 +1366,7 @@ _EXTRA_KEYS = frozenset(
     "anchor_terms canonical_groups "
     "url_parts media_meta error_top_fields outer_join "
     "top_events_per_user token_budget_mix host_quality bloom_gate "
-    "semantic_dedup".split()
+    "semantic_dedup bm25 train_eval_split".split()
 )
 
 _QUERIES = {
@@ -1423,6 +1445,8 @@ _QUERIES = {
         "host_quality": q_host_quality,
         "bloom_gate": q_bloom_gate,
         "semantic_dedup": q_semantic_dedup,
+        "bm25": q_bm25,
+        "train_eval_split": q_train_eval_split,
     }
 
 
@@ -2354,6 +2378,71 @@ def _bloom_gate_oracle() -> str:
     """
 
 
+def _train_eval_split_oracle() -> str:
+    """DuckDB twin of q_train_eval_split: same messy-url synth, same host
+    canonicalization template, same md5 bucket and cutoff as
+    sampling.sample_bucket (eval_frac 0.1 -> bucket < 1000)."""
+    from ocr_spark.functions import urls as U
+
+    host = U.SQL_URL_HOST.format(c="url")
+    return f"""
+        WITH u AS (
+            SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents
+        ), h AS (
+            SELECT doc_id, {host} AS host FROM u
+        )
+        SELECT doc_id, host,
+               CASE WHEN ('0x' || substr(md5(host || ':split'), 1, 8))::BIGINT
+                         % 10000 < 1000
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM h
+    """
+
+
+def _bm25_oracle() -> str:
+    """DuckDB twin of q_bm25: same tokenizer, same Lucene-variant idf,
+    same k1/b constants, avgdl rounded to 6 dp and scores to 4 dp on both
+    engines before ranking."""
+    return """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '[A-Za-z0-9_'']+') AS t
+            FROM documents
+        ), doclen AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   round(sum(dl) / count(*), 6) AS avgdl
+            FROM doclen
+        ), qtf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+            WHERE term IN ('merge', 'spark', 'vector')
+            GROUP BY 1, 2
+        ), dft AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS dft FROM qtf GROUP BY 1
+        ), scored AS (
+            SELECT q.doc_id,
+                   round(sum(
+                     ln(1.0 + (s.n_docs - d.dft + 0.5) / (d.dft + 0.5))
+                     * (q.tf * 2.2
+                        / (q.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)))
+                   ), 4) AS score
+            FROM qtf q
+            JOIN dft d USING (term)
+            JOIN doclen l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY 1
+        )
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+        FROM scored
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 15
+    """
+
+
 def _semantic_dedup_oracle() -> str:
     """DuckDB twin of q_semantic_dedup: replays the planted corpus, the
     seeded-Lloyd quantizer (seeds = first 16 vectors, one refinement
@@ -2968,6 +3057,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "host_quality": _host_quality_oracle(),
         "bloom_gate": _bloom_gate_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
+        "bm25": _bm25_oracle(),
+        "train_eval_split": _train_eval_split_oracle(),
         "lm_score": _lm_score_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),

@@ -107,7 +107,8 @@ BENCH_QUERIES = (
     "dedup_clusters clean_corpus line_dedup shard_assignment dedup_increment "
     "host_cap robots_filter outlinks host_degree pagerank_hosts anchor_terms "
     "canonical_groups dup_spans dup_span_removal lsh_recall inverted_index "
-    "merge_table token_budget_mix host_quality bloom_gate"
+    "merge_table token_budget_mix host_quality bloom_gate "
+    "semantic_dedup bm25 train_eval_split"
 ).split()
 
 

@@ -73,3 +73,74 @@ def inverted_index(
     if max_df is not None:
         cond = cond & (F.col("df") <= max_df)
     return inv.where(cond).select("term", "df", "cf", "postings")
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents for a bag of query terms
+    (Robertson/Sparck Jones; the Lucene idf variant
+    ln(1 + (N - df + 0.5)/(df + 0.5)), which stays positive for
+    df > N/2). Output: (doc_id, score, rank), score rounded to 4 dp.
+
+    Plan shape (the 100 TB story): the token explosion is filtered to the
+    query vocabulary BEFORE any shuffle, so the tf aggregation moves
+    O(docs-containing-a-query-term) rows, never the full postings
+    universe; per-term df and the corpus (N, avgdl) stats are tiny
+    aggregates that come back as broadcast joins; the final ranking is
+    TakeOrderedAndProject (per-partition top-k, no global sort). Float
+    discipline for the DuckDB twin: avgdl is rounded to 6 dp on both
+    engines before it enters a score, scores to 4 dp before ranking.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(TOKEN_PATTERN),
+            F.lit(0),
+        ).alias("toks"),
+    )
+    doclen = toks.select("id", F.size("toks").cast("long").alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("dl") / F.count(F.lit(1)), 6).alias("avgdl"),
+    )
+    qtf = (
+        toks.select("id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dft = qtf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("dft"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        qtf.join(F.broadcast(dft), "term")
+        .join(doclen, "id")
+        .join(F.broadcast(stats))
+        .groupBy("id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    top = (
+        scored.orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))  # k rows: trivial
+    return top.withColumn("rank", F.row_number().over(w))

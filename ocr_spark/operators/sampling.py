@@ -53,6 +53,24 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.where(sample_bucket(key_col, salt) < cutoff)
 
 
+def leakage_safe_split(df: DataFrame, group_col: str, eval_frac: float = 0.1,
+                       salt: str = "split", out_col: str = "split") -> DataFrame:
+    """Train/eval assignment at GROUP granularity: every row of a group
+    (canonically, a host) lands in the same split, so near-duplicate pages
+    from one site can never straddle the train/eval boundary (the
+    contamination vector document-level random splits leave open).
+    The verdict hashes the group key — a pure map-side projection, zero
+    shuffle, reproducible across runs/partitionings/engines, and nested
+    the same way the sampler is (growing eval_frac only moves groups
+    train->eval, never reshuffles)."""
+    cut = int(eval_frac * SAMPLE_DENOM)
+    return df.withColumn(
+        out_col,
+        F.when(sample_bucket(group_col, salt) < cut, F.lit("eval"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def cap_per_group(df: DataFrame, group_col: str, k: int,
                   id_col: str = "doc_id", salt: str = "hostcap") -> DataFrame:
     """Deterministic per-group downsampling cap: keep at most ``k`` rows

@@ -158,3 +158,30 @@ def test_inverted_index_tf_compression_before_postings(spark):
     tree = _tree(plan)
     assert tree.count("HashAggregate") >= 4  # partial+final x (tf, postings)
     assert "Generate" in tree                # the token explode feeds tf
+
+
+def test_bm25_query_vocab_filter_before_shuffle_and_topk(spark):
+    """BM25's token explode must be filtered to the query vocabulary before
+    the tf aggregation shuffles (term IN (...) below the first exchange),
+    the df/stats sides must broadcast, and the ranking must be a
+    TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, "bm25")
+    assert "Python" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in _tree(plan)
+    tree = _tree(plan)
+    gen = tree.index("Generate")
+    # a Filter sits between the explode and its aggregate (vocab pushdown)
+    after_gen = tree[gen:]
+    assert "Filter" in after_gen.split("HashAggregate")[0] or \
+        "Filter" in tree[:gen]
+
+
+def test_semantic_dedup_broadcast_centroids_no_cartesian(spark):
+    """SemDeDup's cluster assignment and size gate must move centroids by
+    broadcast; the only pair join is the within-cluster equi-join on
+    cent_id (no CartesianProduct over the corpus)."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "CartesianProduct" not in _tree(plan)
+    assert "BroadcastExchange" in _tree(plan)
+    assert "Python" not in plan

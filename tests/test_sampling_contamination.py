@@ -65,3 +65,43 @@ def test_contamination_common_gram_cap(spark):
     corpus = spark.createDataFrame([(100, common)], "doc_id long, text string")
     out = contamination_check(corpus, bench, max_df=5).collect()
     assert out == []
+
+
+def test_leakage_safe_split_group_atomic(spark):
+    """Every group lands wholly in one split; the split is a deterministic
+    function of the group key (rerun-identical), and eval_frac growth only
+    moves whole groups train -> eval (nested, never reshuffled)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.sampling import leakage_safe_split
+
+    rows = [(i, f"host{i % 37}.org") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, host string").repartition(7)
+
+    out = leakage_safe_split(df, "host", eval_frac=0.2)
+    per_group = out.groupBy("host").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_group.where(F.col("n_splits") > 1).count() == 0
+
+    again = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(df, "host", eval_frac=0.2).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+    wider = {r["doc_id"]: r["split"]
+             for r in leakage_safe_split(df, "host", eval_frac=0.5).collect()}
+    for doc, split in first.items():
+        if split == "eval":
+            assert wider[doc] == "eval"  # nested: eval only ever grows
+
+
+def test_leakage_safe_split_zero_shuffle_plan(spark):
+    from ocr_spark.operators.sampling import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(1, "a.org"), (2, "b.org")], "doc_id long, host string"
+    )
+    plan = leakage_safe_split(df, "host")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
