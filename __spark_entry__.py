@@ -1220,6 +1220,30 @@ def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist(pages, min_docs=5, min_kept_frac=0.85)
 
 
+def q_within_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal over deterministically
+    multi-lined pages (documents.text is single-line, so lines are
+    planted: slice the text into 40-char lines with line 1 repeated —
+    non-vacuous by construction, replayed byte-for-byte in the twin)."""
+    from ocr_spark.operators.dedup import collapse_repeated_lines
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    pages = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(t, 1, 40),
+            F.substring(t, 41, 40),
+            F.substring(t, 1, 40),
+            F.lit(""),
+            F.substring(t, 81, 40),
+            F.substring(t, 41, 40),
+        ).alias("text"),
+    )
+    return collapse_repeated_lines(pages)
+
+
 def q_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/eval split: assignment hashed at canonical-host
     granularity so one site never spans both splits. Map-side only."""
@@ -1366,7 +1390,7 @@ _EXTRA_KEYS = frozenset(
     "anchor_terms canonical_groups "
     "url_parts media_meta error_top_fields outer_join "
     "top_events_per_user token_budget_mix host_quality bloom_gate "
-    "semantic_dedup bm25 train_eval_split".split()
+    "semantic_dedup bm25 train_eval_split within_doc_dedup".split()
 )
 
 _QUERIES = {
@@ -1447,6 +1471,7 @@ _QUERIES = {
         "semantic_dedup": q_semantic_dedup,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
+        "within_doc_dedup": q_within_doc_dedup,
     }
 
 
@@ -2378,6 +2403,39 @@ def _bloom_gate_oracle() -> str:
     """
 
 
+def _within_doc_dedup_oracle() -> str:
+    """DuckDB twin of q_within_doc_dedup: same planted line construction,
+    and the SAME index-lambda prefix-slice filter semantics (element kept
+    iff blank or absent from the preceding slice)."""
+    return """
+        WITH pages AS (
+            SELECT doc_id,
+                   concat_ws(chr(10),
+                             substr(coalesce(text, ''), 1, 40),
+                             substr(coalesce(text, ''), 41, 40),
+                             substr(coalesce(text, ''), 1, 40),
+                             '',
+                             substr(coalesce(text, ''), 81, 40),
+                             substr(coalesce(text, ''), 41, 40)) AS text
+            FROM documents
+        ), split AS (
+            SELECT doc_id,
+                   regexp_split_to_array(coalesce(text, ''), '\\r?\\n') AS l
+            FROM pages
+        ), kept AS (
+            SELECT doc_id, l,
+                   list_filter(l, (x, i) ->
+                       trim(x) = '' OR NOT list_contains(l[1:i-1], x)) AS k
+            FROM split
+        )
+        SELECT doc_id,
+               array_to_string(k, chr(10)) AS text,
+               CAST(len(l) AS BIGINT) AS n_lines,
+               CAST(len(l) - len(k) AS BIGINT) AS n_removed
+        FROM kept
+    """
+
+
 def _train_eval_split_oracle() -> str:
     """DuckDB twin of q_train_eval_split: same messy-url synth, same host
     canonicalization template, same md5 bucket and cutoff as
@@ -3059,6 +3117,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "bm25": _bm25_oracle(),
         "train_eval_split": _train_eval_split_oracle(),
+        "within_doc_dedup": _within_doc_dedup_oracle(),
         "lm_score": _lm_score_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),

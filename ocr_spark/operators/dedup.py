@@ -747,3 +747,42 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         )
         .select(F.col("id").alias(id_col), text_col, "n_lines", "n_dropped")
     )
+
+
+def collapse_repeated_lines(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """WITHIN-document repeated-line removal (the intra-page half of the
+    RefinedWeb/C4 line cleaning; :func:`line_dedup` is the cross-corpus
+    half): every non-blank line keeps only its FIRST occurrence inside the
+    document; blank/whitespace-only lines are structure and always stay.
+    Returns (id_col, text_col, n_lines, n_removed) — one row per input
+    row, text reassembled in original order.
+
+    Shape: a zero-shuffle, zero-Python per-row projection — the dedupe is
+    a single ``filter`` lambda over the split array (element i survives if
+    blank or not present in the preceding slice), evaluated JVM-side.
+    Per-row cost is O(lines^2) string compares in the worst case, bounded
+    by document size, embarrassingly parallel, streaming-safe — no state,
+    no exchange at any scale. Replayed expression-for-expression in the
+    DuckDB twin (same index-lambda + prefix-slice semantics)."""
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), "\r?\n")
+    kept = F.filter(
+        arr,
+        lambda x, i: (F.trim(x) == "")
+        | ~F.exists(F.slice(arr, F.lit(1), i), lambda y: y == x),
+    )
+    # the lambda-bearing column is materialized behind a projection
+    # boundary and downstream expressions reference it by NAME: placing
+    # two copies of a nested index-lambda expression in one Project
+    # miscounts under Spark 4.1's subexpression handling (observed:
+    # size(kept) off by one when kept appears twice in a select) —
+    # pinned by test_collapse_repeated_lines_counts
+    mid = df.select(
+        F.col(id_col), arr.alias("_lines"), kept.alias("_kept")
+    )
+    return mid.select(
+        F.col(id_col),
+        F.array_join("_kept", "\n").alias(text_col),
+        F.size("_lines").cast("long").alias("n_lines"),
+        (F.size("_lines") - F.size("_kept")).cast("long").alias("n_removed"),
+    )

@@ -351,3 +351,32 @@ def test_semantic_dedup_oversized_cluster_capped(spark):
     assert not verdicts[0][0]
     assert not any(verdicts[i][0] for i in range(10, 50))
     assert len(out) == 45
+
+
+def test_collapse_repeated_lines_counts(spark):
+    """Within-doc line dedup: first occurrences and blank lines stay,
+    repeats drop, NULL text comes back as one blank line, and — the
+    regression this pins — n_removed agrees with the reassembled text
+    (a nested index-lambda expression duplicated in one Project miscounted
+    by one before the projection-boundary fix in collapse_repeated_lines)."""
+    from ocr_spark.operators.dedup import collapse_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\n\na\nc\n\nb"), (2, None), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in collapse_repeated_lines(df).collect()}
+    assert out[1].text == "a\nb\n\nc\n"
+    assert out[1].n_lines == 7 and out[1].n_removed == 2
+    assert out[1].n_lines - out[1].n_removed == len(out[1].text.split("\n"))
+    assert out[2].text == "" and out[2].n_removed == 0   # never dropped
+    assert out[3].text == "x" and out[3].n_removed == 0
+
+
+def test_collapse_repeated_lines_zero_shuffle(spark):
+    from ocr_spark.operators.dedup import collapse_repeated_lines
+
+    df = spark.createDataFrame([(1, "a\na")], "doc_id long, text string")
+    plan = collapse_repeated_lines(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
