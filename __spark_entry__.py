@@ -1220,6 +1220,43 @@ def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist(pages, min_docs=5, min_kept_frac=0.85)
 
 
+def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-dump recrawl resolution: ~2.5 deterministic captures per page
+    (path keyed by doc_id % 200; www/userinfo/port/utm decorations vary by
+    capture so only CANONICAL grouping reunites them) -> keep the newest
+    capture per canonical url. latest_ts is emitted as a formatted string
+    so both engines hash the same bytes."""
+    from ocr_spark.operators.dedup import latest_capture
+
+    did = F.col("doc_id")
+    caps = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit("crawler@")).otherwise(F.lit("")),
+            F.lit("h"),
+            ((did % 200) % 23).cast("string"),
+            F.lit(".Example.ORG"),
+            F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            (did % 200).cast("string"),
+            F.when(did % 2 == 0, F.lit("?utm_source=x&b=2&a=1#frag"))
+            .otherwise(F.lit("?b=2&a=1")),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + (did % 89) * 3600).alias(
+            "warc_ts"
+        ),
+    )
+    out = latest_capture(caps)
+    return out.select(
+        "url_canon",
+        "keep_id",
+        "n_captures",
+        F.date_format("latest_ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+    )
+
+
 def q_within_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal over deterministically
     multi-lined pages (documents.text is single-line, so lines are
@@ -1390,7 +1427,8 @@ _EXTRA_KEYS = frozenset(
     "anchor_terms canonical_groups "
     "url_parts media_meta error_top_fields outer_join "
     "top_events_per_user token_budget_mix host_quality bloom_gate "
-    "semantic_dedup bm25 train_eval_split within_doc_dedup".split()
+    "semantic_dedup bm25 train_eval_split within_doc_dedup "
+    "latest_capture".split()
 )
 
 _QUERIES = {
@@ -1472,6 +1510,7 @@ _QUERIES = {
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
+        "latest_capture": q_latest_capture,
     }
 
 
@@ -2403,6 +2442,43 @@ def _bloom_gate_oracle() -> str:
     """
 
 
+def _latest_capture_oracle() -> str:
+    """DuckDB twin of q_latest_capture: same capture synth, the shared
+    SQL_URL_CANON template, and keep = max (warc_ts, doc_id) per canonical
+    url replayed as a row_number window."""
+    from ocr_spark.functions import urls as U
+
+    canon = U.SQL_URL_CANON.format(c="url")
+    return f"""
+        WITH caps AS (
+            SELECT doc_id,
+                   'HTTPS://'
+                   || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN 'crawler@' ELSE '' END
+                   || 'h' || ((doc_id % 200) % 23) || '.Example.ORG'
+                   || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+                   || '/p/' || (doc_id % 200)
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN '?utm_source=x&b=2&a=1#frag'
+                           ELSE '?b=2&a=1' END AS url,
+                   make_timestamp((1704067200 + (doc_id % 89) * 3600)
+                                  * 1000000) AS warc_ts
+            FROM documents
+        ), canon AS (
+            SELECT doc_id, warc_ts, {canon} AS url_canon FROM caps
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY url_canon
+                        ORDER BY warc_ts DESC, doc_id DESC) AS rn
+            FROM canon
+        )
+        SELECT url_canon,
+               max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_captures,
+               strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS latest_ts
+        FROM ranked GROUP BY 1
+    """
+
+
 def _within_doc_dedup_oracle() -> str:
     """DuckDB twin of q_within_doc_dedup: same planted line construction,
     and the SAME index-lambda prefix-slice filter semantics (element kept
@@ -3118,6 +3194,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "bm25": _bm25_oracle(),
         "train_eval_split": _train_eval_split_oracle(),
         "within_doc_dedup": _within_doc_dedup_oracle(),
+        "latest_capture": _latest_capture_oracle(),
         "lm_score": _lm_score_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),

@@ -786,3 +786,31 @@ def collapse_repeated_lines(df: DataFrame, text_col: str = "text",
         F.size("_lines").cast("long").alias("n_lines"),
         (F.size("_lines") - F.size("_kept")).cast("long").alias("n_removed"),
     )
+
+
+def latest_capture(df: DataFrame, url_col: str = "url",
+                   ts_col: str = "warc_ts", id_col: str = "doc_id") -> DataFrame:
+    """Cross-dump recrawl resolution: a crawl corpus holds many CAPTURES
+    of the same page (one per dump); training wants exactly one — the
+    newest. Group by the CANONICAL url (scheme/host case, www., userinfo,
+    default port, utm and param order must not split a page into fake
+    'distinct' urls — functions/urls.py) and keep the capture with the
+    greatest (ts, id) — the id tie-break makes same-second recrawls
+    deterministic. Returns (url_canon, keep_id, n_captures, latest_ts).
+
+    Shape: one hash aggregation on the canonical key — max_by and count
+    combine map-side, so each partition forwards one row per canonical
+    url it saw, never the capture payloads. At 10^12 captures this is the
+    same partial-agg scan shape as exact_dedup; no window, no sort."""
+    from ..functions.urls import url_canonicalize
+
+    return (
+        df.groupBy(url_canonicalize(F.col(url_col)).alias("url_canon"))
+        .agg(
+            F.max_by(
+                F.col(id_col), F.struct(F.col(ts_col), F.col(id_col))
+            ).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_captures"),
+            F.max(ts_col).alias("latest_ts"),
+        )
+    )

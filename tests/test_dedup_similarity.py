@@ -380,3 +380,32 @@ def test_collapse_repeated_lines_zero_shuffle(spark):
     plan = collapse_repeated_lines(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_latest_capture_keeps_newest_per_canonical_url(spark):
+    """Recrawl resolution: decorated url variants reunite under one
+    canonical key; the keeper is the greatest (warc_ts, doc_id) — id
+    breaks same-second ties deterministically."""
+    import datetime as dt
+
+    from ocr_spark.operators.dedup import latest_capture
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "https://example.org/a?b=2&a=1", t0),
+        (2, "HTTPS://WWW.Example.ORG:443/a?utm_source=x&a=1&b=2#f",
+         t0 + dt.timedelta(hours=1)),                 # newest capture of /a
+        (3, "https://example.org/b", t0),
+        (4, "https://example.org/b", t0),             # tie -> higher id wins
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts timestamp")
+    out = {r.url_canon: r for r in latest_capture(df).collect()}
+    assert len(out) == 2
+    a = out["https://example.org/a?a=1&b=2"]
+    assert a.keep_id == 2 and a.n_captures == 2
+    b = out["https://example.org/b"]
+    assert b.keep_id == 4 and b.n_captures == 2
+
+    plan = latest_capture(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan    # map-side combine before the exchange
+    assert plan.count("Exchange") == 1
