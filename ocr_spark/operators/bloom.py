@@ -161,6 +161,19 @@ def bloom_probe(
     )
 
 
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """OR-combine filter tables built with the SAME (n_blocks, k): the
+    blocked layout makes the union a block-keyed bit_or — an ingest loop
+    extends its committed filter with each batch's delta instead of
+    rebuilding over the whole corpus (build cost stays O(batch))."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one filter table")
+    merged = blooms[0]
+    for b in blooms[1:]:
+        merged = merged.unionByName(b)
+    return merged.groupBy("block").agg(F.bit_or("bits").alias("bits"))
+
+
 def bloom_gate_exact(
     new_df: DataFrame,
     committed_keys: DataFrame,
