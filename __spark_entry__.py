@@ -1220,6 +1220,21 @@ def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist(pages, min_docs=5, min_kept_frac=0.85)
 
 
+def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (title / description / og:title / canonical
+    / robots meta / html lang) as zero-shuffle zero-Python JVM regexes over
+    a metadata-rich page wrapper whose head fields are pure functions of
+    (doc_id, lang) — the SQL twin replays them from the documents table.
+    Exercises: whitespace collapse + entity decode (title), BOTH attribute
+    orders (description alternates by parity), NULL on absent tag
+    (og:title missing for doc_id % 3 == 0), and the robots directive
+    booleans (absent tag => false, never NULL)."""
+    from ocr_spark.operators.pagemeta import page_meta
+    from ocr_spark.sources.pages import meta_pages_from_documents
+
+    return page_meta(meta_pages_from_documents(spark, sf_dir))
+
+
 def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-dump recrawl resolution: ~2.5 deterministic captures per page
     (path keyed by doc_id % 200; www/userinfo/port/utm decorations vary by
@@ -1428,7 +1443,7 @@ _EXTRA_KEYS = frozenset(
     "url_parts media_meta error_top_fields outer_join "
     "top_events_per_user token_budget_mix host_quality bloom_gate "
     "semantic_dedup bm25 train_eval_split within_doc_dedup "
-    "latest_capture".split()
+    "latest_capture page_meta".split()
 )
 
 _QUERIES = {
@@ -1511,6 +1526,7 @@ _QUERIES = {
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
         "latest_capture": q_latest_capture,
+        "page_meta": q_page_meta,
     }
 
 
@@ -3195,6 +3211,20 @@ def _oracle_sql_all() -> dict[str, str]:
         "train_eval_split": _train_eval_split_oracle(),
         "within_doc_dedup": _within_doc_dedup_oracle(),
         "latest_capture": _latest_capture_oracle(),
+        "page_meta": """
+            SELECT 'https://docs.example.com/' || doc_id AS url,
+                   'doc ' || doc_id || ' & notes' AS title,
+                   'Summary of document ' || doc_id || ' (' || lang || ')'
+                       AS meta_description,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL
+                        ELSE 'Doc ' || doc_id END AS og_title,
+                   'https://docs.example.com/' || doc_id || '?utm_source=feed'
+                       AS canonical_href,
+                   (doc_id % 7 = 0) AS robots_noindex,
+                   (doc_id % 7 = 0 OR doc_id % 5 = 0) AS robots_nofollow,
+                   lang AS html_lang
+            FROM documents
+        """,
         "lm_score": _lm_score_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),

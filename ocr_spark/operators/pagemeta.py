@@ -1,0 +1,114 @@
+"""Head-metadata extraction: structured fields from raw page HTML.
+
+The web-pipeline companion to main-content extraction: title, meta
+description, og:title, canonical link, robots-meta directives, and the
+declared document language, as PURE JVM expressions (regexp_extract over a
+head-bounded slice) — no Python, no shuffle, streaming-safe. The reference's
+per-field extraction dialects (one_key_process.py:281-340: one regex/rule
+per output field over the recognized text) are replayed here over the raw
+markup instead, because on the web the head fields ARE the per-document
+structured record.
+
+Downstream uses inside this engine: ``canonical_href`` feeds the
+canonical-URL grouping / recrawl resolution family (links.py, latest
+capture), ``robots_noindex`` is a filter predicate with the same standing
+as robots.txt rules (robots.py), ``html_lang`` cross-checks the heuristic
+lang_id, and title/description are retrieval fields for the BM25 index.
+
+Contracts (documented, tested):
+- Only the first ``head_bytes`` (default 64 KiB) of the page are scanned —
+  bounds regex cost on adversarial pages; all head fields sit there in
+  practice.
+- Attribute matching accepts single- or double-quoted values and BOTH
+  attribute orders (name-then-content and content-then-name) via two
+  anchored patterns coalesced; regexes are RE2-safe (no backrefs, no
+  lookaround) so the DuckDB twin runs the identical patterns.
+- Title is whitespace-collapsed, trimmed, and entity-decoded for the five
+  predefined XML entities (&amp; last — the standard single-pass
+  approximation; numeric references beyond &#39; are out of scope).
+- robots: ``noindex``/``nofollow`` are substring tests over the robots meta
+  content; the RFC alias ``none`` implies both. Absent tag => both false
+  (the crawler default), never NULL.
+- Absent string fields are NULL (via nullif ''), not empty string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEAD_BYTES = 65536
+
+# (?is): case-insensitive + dot-matches-newline; supported by both Java
+# regex (Spark) and RE2 (DuckDB). Non-greedy .*? is RE2-safe.
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_HTML_LANG_RE = r"""(?is)<html[^>]*\slang=["']([^"']+)["']"""
+
+
+def _meta_content_res(name_attr: str, name_value: str) -> tuple[str, str]:
+    """Two RE2-safe patterns for <meta/link>: attr-then-content and
+    content-then-attr order."""
+    fwd = (
+        rf"""(?is)<(?:meta|link)[^>]*\s{name_attr}=["']{name_value}["']"""
+        rf"""[^>]*\s(?:content|href)=["']([^"']*)["']"""
+    )
+    rev = (
+        rf"""(?is)<(?:meta|link)[^>]*\s(?:content|href)=["']([^"']*)["']"""
+        rf"""[^>]*\s{name_attr}=["']{name_value}["']"""
+    )
+    return fwd, rev
+
+
+def _first_match(head: Column, patterns: tuple[str, str]) -> Column:
+    fwd, rev = patterns
+    return F.coalesce(
+        F.nullif(F.regexp_extract(head, fwd, 1), F.lit("")),
+        F.nullif(F.regexp_extract(head, rev, 1), F.lit("")),
+    )
+
+
+def decode_entities(c: Column) -> Column:
+    """The five predefined entities; &amp; decoded LAST (single pass)."""
+    for src, dst in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    return c
+
+
+def page_meta(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    head_bytes: int = HEAD_BYTES,
+) -> DataFrame:
+    """(url, title, meta_description, og_title, canonical_href,
+    robots_noindex, robots_nofollow, html_lang) — one row per input row,
+    zero exchanges, zero Python."""
+    head = F.substring(F.col(html_col).cast("string"), 1, head_bytes)
+    title_raw = F.nullif(
+        F.trim(F.regexp_replace(F.regexp_extract(head, _TITLE_RE, 1), r"\s+", " ")),
+        F.lit(""),
+    )
+    robots = F.lower(
+        F.coalesce(_first_match(head, _meta_content_res("name", "robots")), F.lit(""))
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        decode_entities(title_raw).alias("title"),
+        _first_match(head, _meta_content_res("name", "description")).alias(
+            "meta_description"
+        ),
+        _first_match(head, _meta_content_res("property", "og:title")).alias("og_title"),
+        _first_match(head, _meta_content_res("rel", "canonical")).alias(
+            "canonical_href"
+        ),
+        (robots.contains("noindex") | robots.contains("none")).alias("robots_noindex"),
+        (robots.contains("nofollow") | robots.contains("none")).alias(
+            "robots_nofollow"
+        ),
+        F.nullif(F.regexp_extract(head, _HTML_LANG_RE, 1), F.lit("")).alias(
+            "html_lang"
+        ),
+    )

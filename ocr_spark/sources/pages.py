@@ -95,6 +95,68 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     return docs.select("doc_id", "text", "lang").mapInPandas(to_pages, schema=PAGES_SCHEMA)
 
 
+def meta_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the documents table as pages with a METADATA-RICH head — the
+    input for the page_meta head-extraction operator (operators/pagemeta.py).
+
+    Separate from ``pages_from_documents`` on purpose: the multimodal
+    oracles replay THAT template byte-for-byte (sha256 in SQL), so its
+    bytes are pinned; this wrapper is free to vary head structure. Every
+    head field is a pure function of (doc_id, lang) so the page_meta
+    oracle replays it from the documents table:
+
+    - title carries extra whitespace + ``&amp;`` (exercises the collapse
+      + entity-decode contract)
+    - description alternates attribute order by doc_id parity (exercises
+      both coalesced patterns)
+    - og:title is ABSENT when doc_id % 3 == 0 (exercises the NULL path)
+    - canonical link carries a tracking param (downstream canonicalization)
+    - robots meta: 'noindex,nofollow' when doc_id % 7 == 0, 'nofollow'
+      when doc_id % 5 == 0, absent otherwise (absent => false/false)
+    """
+    import datetime as dt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_ts = dt.datetime(2026, 1, 9, 17, 7, 52)
+
+    def to_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                i = int(doc_id)
+                desc = f"Summary of document {i} ({lang})"
+                desc_tag = (
+                    f'<meta name="description" content="{desc}">'
+                    if i % 2 == 0
+                    else f'<meta content="{desc}" name="description">'
+                )
+                og_tag = "" if i % 3 == 0 else f'<meta property="og:title" content="Doc {i}">'
+                robots = (
+                    "noindex,nofollow" if i % 7 == 0
+                    else ("nofollow" if i % 5 == 0 else None)
+                )
+                robots_tag = f'<meta name="robots" content="{robots}">' if robots else ""
+                html = (
+                    f'<html lang="{lang}"><head><title> doc   {i} &amp; notes </title>'
+                    f"{desc_tag}{og_tag}"
+                    f'<link rel="canonical" href="https://docs.example.com/{i}?utm_source=feed">'
+                    f"{robots_tag}</head>"
+                    f"<body><article><p>{text}</p></article></body></html>"
+                ).encode("utf-8")
+                rows.append(
+                    {
+                        "url": f"https://docs.example.com/{i}",
+                        "warc_ts": base_ts + dt.timedelta(seconds=i),
+                        "html": html,
+                        "text": None,
+                        "lang": lang,
+                    }
+                )
+            yield pd.DataFrame.from_records(rows)
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(to_pages, schema=PAGES_SCHEMA)
+
+
 def pdf_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrap the documents table as PDF-payload pages (the binary branch of
     the extraction dispatch): each document's text becomes one page content
