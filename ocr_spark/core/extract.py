@@ -18,13 +18,16 @@ Dispatch (deterministic):
                          two-strategy cascade: strict scoring first
                          (confidence early-exit), lenient rescoring when
                          strict keeps nothing ('ok_lenient' status); bytes
-                         decode as UTF-8, falling back to latin-1 (total,
-                         deterministic)
+                         decode via the WHATWG-ish sniff (_decode: BOM,
+                         declared charset in the first 1 KiB, UTF-8,
+                         latin-1 — total, deterministic)
   branch raised       -> text fallback if available else 'error:<Class>'
   branch returned ''  -> text fallback if available else 'empty'
 """
 
 from __future__ import annotations
+
+import re as _re
 
 from .htmlparse import extract_html_text_cascade
 from .normalize import normalize_text
@@ -46,7 +49,44 @@ STATUS_EMPTY = "empty"
 STATUS_FALLBACK = "fallback_text"
 
 
+_CHARSET_RE = _re.compile(rb"""charset\s*=\s*["']?([A-Za-z0-9_\-:.]+)""", _re.I)
+
+# WHATWG-prescan-style sniff window: a declared charset must appear in the
+# first 1 KiB to be honored (real browsers scan 1024 bytes).
+_SNIFF_BYTES = 1024
+
+
 def _decode(html: bytes) -> str:
+    """Deterministic, total byte->str decode (WHATWG-ish sniff order):
+
+    1. BOM is authoritative: UTF-8 BOM stripped, UTF-16 LE/BE BOM via the
+       BOM-consuming codec; malformed sequences become U+FFFD (replace) —
+       the BOM's claim outranks byte validity, and replace keeps the
+       function total and deterministic.
+    2. A ``charset=`` declaration in the first 1 KiB (meta tag or a stray
+       Content-Type line; the prescan approximation — a body occurrence
+       inside the window also matches, disclosed) is tried strictly;
+       unknown labels or invalid bytes fall through.
+    3. Strict UTF-8, else latin-1 (total: every byte sequence decodes).
+
+    Fixture note: no synthetic page declares a charset; 6 of the 400 pinned
+    pages (the binary-garbage family) start with BOM-like bytes and moved
+    from the latin-1 fallback to the UTF-16 branch when this sniff landed —
+    deterministic mojibake either way, statuses unchanged; pins regenerated
+    deliberately with that commit.
+    """
+    if html[:3] == b"\xef\xbb\xbf":
+        return html[3:].decode("utf-8", "replace")
+    if html[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return html.decode("utf-16", "replace")
+    m = _CHARSET_RE.search(html[:_SNIFF_BYTES])
+    if m:
+        label = m.group(1).decode("ascii", "ignore").strip().lower()
+        if label not in ("utf-8", "utf8"):  # utf-8 claim == default path
+            try:
+                return html.decode(label)
+            except (LookupError, UnicodeDecodeError, ValueError):
+                pass
     try:
         return html.decode("utf-8")
     except UnicodeDecodeError:

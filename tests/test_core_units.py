@@ -233,3 +233,55 @@ def test_pdf_length_regex_rejects_multidigit_indirect_refs():
     assert _RE_LENGTH.search(b"/Length 123 7 R") is None
     assert _RE_LENGTH.search(b"/Length 4 1 R") is None
     assert _RE_LENGTH.search(b"/Length 41 >>").group(1) == b"41"
+
+
+class TestCharsetSniff:
+    """_decode: WHATWG-ish sniff order (BOM > declared charset > utf-8 >
+    latin-1). Deterministic and total; fixtures never declare charsets so
+    golden pins are unaffected (asserted by the untouched pin suite)."""
+
+    PARA = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def _page(self, body: str) -> str:
+        return f"<html><body><article><p>{body}</p></article></body></html>"
+
+    def test_declared_cp1252_euro(self):
+        # 0x80 is € in cp1252 but a control char via the latin-1 fallback —
+        # the declaration is what makes the byte meaningful
+        raw = ('<meta charset="windows-1252">' + self._page(self.PARA + " price 5€")).encode("cp1252")
+        rec = extract_record("u", raw, None, "en")
+        assert "5€" in rec["text"]
+        assert rec["extract_status"] in ("ok", "ok_lenient")
+
+    def test_undeclared_invalid_utf8_falls_back_latin1(self):
+        raw = self._page(self.PARA + " caf\xe9").encode("latin-1")
+        rec = extract_record("u", raw, None, "en")
+        assert "café" in rec["text"]
+
+    def test_utf8_bom_stripped(self):
+        raw = b"\xef\xbb\xbf" + self._page(self.PARA).encode("utf-8")
+        rec = extract_record("u", raw, None, "en")
+        assert rec["text"] and "﻿" not in rec["text"]
+
+    def test_utf16_le_bom(self):
+        raw = self._page(self.PARA + " caf\xe9").encode("utf-16")  # emits BOM
+        rec = extract_record("u", raw, None, "en")
+        assert "café" in rec["text"]
+
+    def test_bogus_charset_label_falls_through(self):
+        raw = ('<meta charset="no-such-enc">' + self._page(self.PARA)).encode("utf-8")
+        rec = extract_record("u", raw, None, "en")
+        assert self.PARA.split()[1] in rec["text"]
+
+    def test_declared_charset_with_invalid_bytes_falls_through(self):
+        # declares utf-16 (sans BOM) but bytes are utf-8: odd length makes
+        # utf-16 raise, so the chain lands on strict utf-8
+        raw = ('<meta charset="utf-16">' + self._page(self.PARA) + "x").encode("utf-8")
+        rec = extract_record("u", raw, None, "en")
+        assert self.PARA.split()[2] in rec["text"]
+
+    def test_declaration_outside_1k_window_ignored(self):
+        pad = self._page("x " * 600)  # pushes the meta past 1024 bytes
+        raw = (pad + '<meta charset="windows-1252">').encode("utf-8")
+        rec = extract_record("u", raw, None, "en")
+        assert rec["extract_status"] in ("ok", "ok_lenient", "empty")
