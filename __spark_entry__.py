@@ -770,6 +770,19 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed n-gram linear quality classifier (the
+    FineWeb-Edu/DCLM-class learned gate), synthetic-model mode: weights
+    are a pure md5 expression of the feature bucket so the DuckDB twin
+    replays scoring end-to-end (tokens -> unigram+bigram features ->
+    md5 bucket -> weight -> mean+bias -> 4-dp sigmoid -> keep).
+    Production mode (a trained weight table, broadcast-joined) is
+    plan-pinned in tests/test_classifier.py."""
+    from ocr_spark.operators.classifier import classifier_score
+
+    return classifier_score(_t(spark, sf_dir, "documents"))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document structural repetition: duplicate-line
     fraction (count and char variants), duplicate-paragraph fraction, and
@@ -1426,7 +1439,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     validate_docs and its top-N shape by top_customers/knn; outer_join's
     join family by asof_join + resume_antijoin; top_events_per_user's
     rank window by sessionize + moving_avg — its slot went to the
-    dup_span_removal rewrite). All stay oracle-checked by
+    dup_span_removal rewrite). knn's broadcast-probe batch k-NN is
+    witnessed in-window by ivf_topk (same broadcast-probe + argmax
+    machinery plus the IVF stage) and embedding_neardup — its slot went
+    to the quality_classifier learned gate. All stay oracle-checked by
     tests/test_oracle_parity.py at sf0.01."""
     return {
         k: _with_engine_conf(v)
@@ -1443,7 +1459,7 @@ _EXTRA_KEYS = frozenset(
     "url_parts media_meta error_top_fields outer_join "
     "top_events_per_user token_budget_mix host_quality bloom_gate "
     "semantic_dedup bm25 train_eval_split within_doc_dedup "
-    "latest_capture page_meta".split()
+    "latest_capture page_meta knn".split()
 )
 
 _QUERIES = {
@@ -1473,6 +1489,7 @@ _QUERIES = {
         "contamination": q_contamination,
         "tfidf_terms": q_tfidf_terms,
         "knn": q_knn,
+        "quality_classifier": q_quality_classifier,
         "media_meta": q_media_meta,
         "pdf_extract": q_pdf_extract,
         "union_branches": q_union_branches,
@@ -3211,6 +3228,38 @@ def _oracle_sql_all() -> dict[str, str]:
         "train_eval_split": _train_eval_split_oracle(),
         "within_doc_dedup": _within_doc_dedup_oracle(),
         "latest_capture": _latest_capture_oracle(),
+        "quality_classifier": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[A-Za-z0-9_'']+') AS t
+                FROM documents
+            ), feats AS (
+                SELECT doc_id,
+                       unnest(t || [t[i] || ' ' || t[i+1]
+                                    for i in generate_series(1, greatest(len(t) - 1, 0))])
+                           AS feat
+                FROM toks
+            ), w AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5('qclf-1:w:' ||
+                            (('0x' || substr(md5('qclf-1:' || feat), 1, 8))::BIGINT
+                             % 262144)), 1, 8))::BIGINT % 10000) / 10000.0 - 0.5
+                           AS weight
+                FROM feats
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_feats, sum(weight) AS w_sum
+                FROM w GROUP BY doc_id
+            ), scored AS (
+                SELECT d.doc_id,
+                       coalesce(a.n_feats, 0) AS n_feats,
+                       round(1.0 / (1.0 + exp(-(coalesce(a.w_sum, 0)
+                             / greatest(coalesce(a.n_feats, 0), 1)))), 4)
+                           AS score
+                FROM documents d LEFT JOIN agg a USING (doc_id)
+            )
+            SELECT doc_id, n_feats, score, (score >= 0.5) AS kept FROM scored
+        """,
         "page_meta": """
             SELECT 'https://docs.example.com/' || doc_id AS url,
                    'doc ' || doc_id || ' & notes' AS title,
