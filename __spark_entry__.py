@@ -783,6 +783,68 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(_t(spark, sf_dir, "documents"))
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing: bigram-LM score per doc, exact
+    per-language tercile via the distributed ntile (range exchange +
+    broadcast offsets — no per-language global sort, no driver collect).
+    Ranks read the 4-dp rounded score so the DuckDB row_number twin is
+    bit-identical."""
+    from ocr_spark.operators.ranking import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_soft_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling (DCLM-style): keep each doc
+    with probability = its classifier score, drawn from the portable md5
+    bucket — the classifier -> soft-sample composition, reproducible
+    across engines. Zero shuffle beyond the classifier's own aggregate."""
+    from ocr_spark.operators.classifier import classifier_score
+    from ocr_spark.operators.sampling import soft_sample
+
+    qc = classifier_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "score"
+    )
+    return soft_sample(qc, weight_col="score")
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist gate over synthesized hosts with
+    subdomain depth: suffix-chain columns probed by broadcast joins (zero
+    corpus shuffle), deepest matching rule wins, duplicate rule domains
+    deduped min-category. Every row returns with (host, block_category,
+    kept)."""
+    from ocr_spark.operators.blocklist import blocklist_gate
+
+    d = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(
+                d % 4 == 0,
+                F.concat(F.lit("m"), (d % 3).cast("string"), F.lit(".")),
+            ).otherwise(F.lit("")),
+            F.lit("h"),
+            (d % 23).cast("string"),
+            F.lit(".example.org/p/"),
+            d.cast("string"),
+        ).alias("url"),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h3.example.org", "adult"),
+            ("h3.example.org", "zz-dup"),  # exercises min-category dedup
+            ("h9.example.org", "ads"),
+            ("m1.h5.example.org", "tracker"),
+        ],
+        "domain string, category string",
+    )
+    return blocklist_gate(pages, rules).select(
+        "doc_id", "host", "block_category", "kept"
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document structural repetition: duplicate-line
     fraction (count and char variants), duplicate-paragraph fraction, and
@@ -1442,8 +1504,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dup_span_removal rewrite). knn's broadcast-probe batch k-NN is
     witnessed in-window by ivf_topk (same broadcast-probe + argmax
     machinery plus the IVF stage) and embedding_neardup — its slot went
-    to the quality_classifier learned gate. All stay oracle-checked by
-    tests/test_oracle_parity.py at sf0.01."""
+    to the quality_classifier learned gate. pivot_events' conditional-agg
+    pivot and grouping_sets' multi-level agg are witnessed in-window by
+    group_quantiles + corpus_report (same hash-agg machinery) — their
+    slots went to perplexity_buckets (the distributed-ntile CCNet
+    bucketing) and the blocklist gate; soft_sample's sampling family is
+    witnessed in-window by stratified_sample + host_cap. All stay
+    oracle-checked by tests/test_oracle_parity.py at sf0.01."""
     return {
         k: _with_engine_conf(v)
         for k, v in _QUERIES.items()
@@ -1459,7 +1526,8 @@ _EXTRA_KEYS = frozenset(
     "url_parts media_meta error_top_fields outer_join "
     "top_events_per_user token_budget_mix host_quality bloom_gate "
     "semantic_dedup bm25 train_eval_split within_doc_dedup "
-    "latest_capture page_meta knn".split()
+    "latest_capture page_meta knn pivot_events grouping_sets "
+    "soft_sample".split()
 )
 
 _QUERIES = {
@@ -1490,6 +1558,9 @@ _QUERIES = {
         "tfidf_terms": q_tfidf_terms,
         "knn": q_knn,
         "quality_classifier": q_quality_classifier,
+        "perplexity_buckets": q_perplexity_buckets,
+        "soft_sample": q_soft_sample,
+        "blocklist": q_blocklist,
         "media_meta": q_media_meta,
         "pdf_extract": q_pdf_extract,
         "union_branches": q_union_branches,
@@ -2911,6 +2982,136 @@ def _lm_score_oracle() -> str:
     """
 
 
+def _quality_classifier_oracle() -> str:
+    """DuckDB twin of q_quality_classifier: same tokens, same unigram ++
+    adjacent-bigram feature stream, same md5 bucket + synthetic weight,
+    same 4-dp sigmoid gate."""
+    return """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '[A-Za-z0-9_'']+') AS t
+            FROM documents
+        ), feats AS (
+            SELECT doc_id,
+                   unnest(t || [t[i] || ' ' || t[i+1]
+                                for i in generate_series(1, greatest(len(t) - 1, 0))])
+                       AS feat
+            FROM toks
+        ), w AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5('qclf-1:w:' ||
+                        (('0x' || substr(md5('qclf-1:' || feat), 1, 8))::BIGINT
+                         % 262144)), 1, 8))::BIGINT % 10000) / 10000.0 - 0.5
+                       AS weight
+            FROM feats
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_feats, sum(weight) AS w_sum
+            FROM w GROUP BY doc_id
+        ), scored AS (
+            SELECT d.doc_id,
+                   coalesce(a.n_feats, 0) AS n_feats,
+                   round(1.0 / (1.0 + exp(-(coalesce(a.w_sum, 0)
+                         / greatest(coalesce(a.n_feats, 0), 1)))), 4)
+                       AS score
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        )
+        SELECT doc_id, n_feats, score, (score >= 0.5) AS kept FROM scored
+    """
+
+
+def _perplexity_buckets_oracle() -> str:
+    """DuckDB twin of q_perplexity_buckets: the lm_score oracle's 4-dp
+    scores, a plain per-lang row_number over (score DESC, doc_id) — the
+    distributed ntile's exact semantics — and floor-tercile buckets;
+    unscored (NULL-score) docs union back with bucket 'unscored'."""
+    return f"""
+        WITH lm AS ({_lm_score_oracle()}),
+        j AS (
+            SELECT d.doc_id, d.lang, lm.lm_logprob
+            FROM documents d JOIN lm USING (doc_id)
+        ), r AS (
+            SELECT doc_id, lang, lm_logprob,
+                   CAST(row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY lm_logprob DESC, doc_id) AS BIGINT)
+                       AS lang_rank,
+                   count(*) OVER (PARTITION BY lang) AS cnt
+            FROM j WHERE lm_logprob IS NOT NULL
+        )
+        SELECT doc_id, lang, lm_logprob, lang_rank,
+               CASE least(CAST(floor(3.0 * (lang_rank - 1) / cnt) AS INT), 2)
+                    WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r
+        UNION ALL
+        SELECT doc_id, lang, lm_logprob, CAST(NULL AS BIGINT) AS lang_rank,
+               'unscored' AS bucket
+        FROM j WHERE lm_logprob IS NULL
+    """
+
+
+def _soft_sample_oracle() -> str:
+    """DuckDB twin of q_soft_sample: classifier score as keep
+    probability, the portable md5 sample bucket, floor cutoff (Spark's
+    double->long cast truncates; scores are non-negative so floor ==
+    truncate)."""
+    return f"""
+        WITH qc AS ({_quality_classifier_oracle()}),
+        b AS (
+            SELECT doc_id, score,
+                   (('0x' || substr(md5(doc_id || ':soft'), 1, 8))::BIGINT
+                    % 10000) AS sample_bucket
+            FROM qc
+        )
+        SELECT doc_id, score, sample_bucket,
+               sample_bucket < CAST(floor(score * 10000) AS BIGINT) AS kept
+        FROM b
+    """
+
+
+def _blocklist_oracle() -> str:
+    """DuckDB twin of q_blocklist: same synthesized subdomain-bearing
+    hosts, suffix chain via unnest (the oracle may shuffle; the engine
+    side is the zero-shuffle column-probe form), deepest match wins
+    (max_by on suffix length), duplicate rule domains deduped to the min
+    category."""
+    return """
+        WITH u AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'm' || (doc_id % 3) || '.' ELSE '' END
+                   || 'h' || (doc_id % 23) || '.example.org' AS host
+            FROM documents
+        ), rules_raw(domain, category) AS (VALUES
+            ('h3.example.org', 'adult'),
+            ('h3.example.org', 'zz-dup'),
+            ('h9.example.org', 'ads'),
+            ('m1.h5.example.org', 'tracker')
+        ), rules AS (
+            SELECT domain, min(category) AS category
+            FROM rules_raw GROUP BY domain
+        ), sfx AS (
+            SELECT doc_id, i,
+                   array_to_string(list_slice(
+                       string_split(host, '.'),
+                       len(string_split(host, '.')) - i + 1,
+                       len(string_split(host, '.'))), '.') AS suffix
+            FROM (SELECT doc_id, host,
+                         unnest(generate_series(1,
+                             least(len(string_split(host, '.')), 5))) AS i
+                  FROM u)
+        ), m AS (
+            SELECT doc_id, max_by(category, i) AS block_category
+            FROM sfx JOIN rules ON sfx.suffix = rules.domain
+            GROUP BY doc_id
+        )
+        SELECT u.doc_id, u.host, m.block_category,
+               (m.block_category IS NULL) AS kept
+        FROM u LEFT JOIN m USING (doc_id)
+    """
+
+
 def _host_cap_oracle() -> str:
     from ocr_spark.functions import urls as U
     from ocr_spark.operators.sampling import SAMPLE_DENOM
@@ -3228,38 +3429,10 @@ def _oracle_sql_all() -> dict[str, str]:
         "train_eval_split": _train_eval_split_oracle(),
         "within_doc_dedup": _within_doc_dedup_oracle(),
         "latest_capture": _latest_capture_oracle(),
-        "quality_classifier": """
-            WITH toks AS (
-                SELECT doc_id,
-                       regexp_extract_all(lower(coalesce(text, '')),
-                                          '[A-Za-z0-9_'']+') AS t
-                FROM documents
-            ), feats AS (
-                SELECT doc_id,
-                       unnest(t || [t[i] || ' ' || t[i+1]
-                                    for i in generate_series(1, greatest(len(t) - 1, 0))])
-                           AS feat
-                FROM toks
-            ), w AS (
-                SELECT doc_id,
-                       (('0x' || substr(md5('qclf-1:w:' ||
-                            (('0x' || substr(md5('qclf-1:' || feat), 1, 8))::BIGINT
-                             % 262144)), 1, 8))::BIGINT % 10000) / 10000.0 - 0.5
-                           AS weight
-                FROM feats
-            ), agg AS (
-                SELECT doc_id, count(*) AS n_feats, sum(weight) AS w_sum
-                FROM w GROUP BY doc_id
-            ), scored AS (
-                SELECT d.doc_id,
-                       coalesce(a.n_feats, 0) AS n_feats,
-                       round(1.0 / (1.0 + exp(-(coalesce(a.w_sum, 0)
-                             / greatest(coalesce(a.n_feats, 0), 1)))), 4)
-                           AS score
-                FROM documents d LEFT JOIN agg a USING (doc_id)
-            )
-            SELECT doc_id, n_feats, score, (score >= 0.5) AS kept FROM scored
-        """,
+        "quality_classifier": _quality_classifier_oracle(),
+        "perplexity_buckets": _perplexity_buckets_oracle(),
+        "soft_sample": _soft_sample_oracle(),
+        "blocklist": _blocklist_oracle(),
         "page_meta": """
             SELECT 'https://docs.example.com/' || doc_id AS url,
                    'doc ' || doc_id || ' & notes' AS title,

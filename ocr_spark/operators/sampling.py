@@ -53,6 +53,32 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     return df.where(sample_bucket(key_col, salt) < cutoff)
 
 
+def soft_sample(df: DataFrame, weight_col: str, key_col: str = "doc_id",
+                salt: str = "soft", out_col: str = "kept") -> DataFrame:
+    """Quality-weighted (soft) sampling — the DCLM/FineWeb-Edu move of
+    keeping a document with probability equal to its quality score
+    instead of thresholding: a hard cutoff throws away every borderline
+    document and keeps every barely-passing one, while importance
+    resampling preserves the score DISTRIBUTION (the kept corpus's
+    expected composition matches the weights exactly). Keep iff
+    bucket(key) < clamp(weight, 0, 1) * DENOM — the same portable md5
+    bucket as ``hash_sample``, so the draw is reproducible across runs,
+    partitionings, and engines, and raising a document's score can only
+    ever flip it drop->keep (monotone, never resampled). NULL weights
+    clamp to 0 (dropped — an unscored doc has no business in a
+    score-weighted corpus, and the flag row still comes back). Pure
+    map-side projection: zero shuffle, streaming-safe. Returns the input
+    + (sample_bucket, kept)."""
+    w = F.least(
+        F.greatest(F.coalesce(F.col(weight_col), F.lit(0.0)), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    b = sample_bucket(key_col, salt)
+    return df.withColumn("sample_bucket", b).withColumn(
+        out_col, b < (w * SAMPLE_DENOM).cast("long")
+    )
+
+
 def leakage_safe_split(df: DataFrame, group_col: str, eval_frac: float = 0.1,
                        salt: str = "split", out_col: str = "split") -> DataFrame:
     """Train/eval assignment at GROUP granularity: every row of a group
