@@ -845,6 +845,46 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ index parse -> WARC range-read plan: synthesized CC-style
+    index lines (1-in-29 corrupted), JVM regex frame + from_json blob,
+    then per-WARC-file offset-ordered batches. Malformed lines audit
+    under the NULL warc path; the per-file window is bounded by
+    records-per-WARC, never corpus-wide."""
+    from ocr_spark.sources.cdx import fetch_plan, parse_cdxj
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 23).cast("string"))
+    url = F.concat(host, F.lit(".example.org/p/"), d.cast("string"))
+    ts14 = F.date_format(
+        F.to_timestamp(F.lit("2026-02-03 04:05:06")) + F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0), d.cast("double")
+        ),
+        "yyyyMMddHHmmss",
+    )
+    blob = F.concat(
+        F.lit('{"url": "https://'), url,
+        F.lit('", "mime": "text/html", "status": "200", "digest": "sha1:'),
+        F.upper(F.substring(F.md5(url), 1, 16)),
+        F.lit('", "length": "'), (F.lit(500) + d % 1500).cast("string"),
+        F.lit('", "offset": "'), ((d * 2048) % 1000000).cast("string"),
+        F.lit('", "filename": "crawl-data/seg-'), (d % 7).cast("string"),
+        F.lit("/warc/f-"), (d % 13).cast("string"),
+        F.lit('.warc.gz"}'),
+    )
+    lines = _t(spark, sf_dir, "documents").select(
+        F.when(d % 29 == 0, F.concat(F.lit("corrupt "), d.cast("string")))
+        .otherwise(
+            F.concat(
+                F.lit("org,example,"), host, F.lit(")/p/"), d.cast("string"),
+                F.lit(" "), ts14, F.lit(" "), blob,
+            )
+        )
+        .alias("value")
+    )
+    return fetch_plan(parse_cdxj(lines), batch_size=4)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document structural repetition: duplicate-line
     fraction (count and char variants), duplicate-paragraph fraction, and
@@ -1527,7 +1567,7 @@ _EXTRA_KEYS = frozenset(
     "top_events_per_user token_budget_mix host_quality bloom_gate "
     "semantic_dedup bm25 train_eval_split within_doc_dedup "
     "latest_capture page_meta knn pivot_events grouping_sets "
-    "soft_sample".split()
+    "soft_sample cdx_fetch_plan".split()
 )
 
 _QUERIES = {
@@ -1561,6 +1601,7 @@ _QUERIES = {
         "perplexity_buckets": q_perplexity_buckets,
         "soft_sample": q_soft_sample,
         "blocklist": q_blocklist,
+        "cdx_fetch_plan": q_cdx_fetch_plan,
         "media_meta": q_media_meta,
         "pdf_extract": q_pdf_extract,
         "union_branches": q_union_branches,
@@ -3112,6 +3153,72 @@ def _blocklist_oracle() -> str:
     """
 
 
+def _cdx_fetch_plan_oracle() -> str:
+    """DuckDB twin of q_cdx_fetch_plan: the same synthesized CDXJ lines,
+    frame regex + JSON extraction, per-WARC offset-ordered batches of 4;
+    corrupt lines (doc_id % 29 == 0) land under the NULL warc path."""
+    return r"""
+        WITH lines AS (
+            SELECT CASE WHEN doc_id % 29 = 0 THEN 'corrupt ' || doc_id
+                   ELSE 'org,example,h' || (doc_id % 23) || ')/p/' || doc_id
+                        || ' '
+                        || strftime(TIMESTAMP '2026-02-03 04:05:06'
+                                    + to_seconds(doc_id), '%Y%m%d%H%M%S')
+                        || ' {"url": "https://h' || (doc_id % 23)
+                        || '.example.org/p/' || doc_id
+                        || '", "mime": "text/html", "status": "200", '
+                        || '"digest": "sha1:'
+                        || upper(substr(md5('h' || (doc_id % 23)
+                               || '.example.org/p/' || doc_id), 1, 16))
+                        || '", "length": "' || (500 + doc_id % 1500)
+                        || '", "offset": "' || ((doc_id * 2048) % 1000000)
+                        || '", "filename": "crawl-data/seg-' || (doc_id % 7)
+                        || '/warc/f-' || (doc_id % 13) || '.warc.gz"}'
+                   END AS value
+            FROM documents
+        ), framed AS (
+            SELECT value,
+                   regexp_extract(value, '^(\S+) (\d{14}) (\{.*\})$', 1)
+                       AS surt,
+                   nullif(regexp_extract(value,
+                          '^(\S+) (\d{14}) (\{.*\})$', 3), '') AS blob
+            FROM lines
+        ), parsed AS (
+            SELECT CASE WHEN ok THEN json_extract_string(blob, '$.url') END
+                       AS url,
+                   CASE WHEN ok
+                        THEN json_extract_string(blob, '$.filename') END
+                       AS warc_path,
+                   CASE WHEN ok THEN CAST(
+                        json_extract_string(blob, '$.offset') AS BIGINT) END
+                       AS warc_offset,
+                   CASE WHEN ok THEN CAST(
+                        json_extract_string(blob, '$.length') AS BIGINT) END
+                       AS warc_length
+            FROM (SELECT *,
+                         surt <> ''
+                         AND json_extract_string(blob, '$.url') IS NOT NULL
+                         AND json_extract_string(blob, '$.filename')
+                             IS NOT NULL AS ok
+                  FROM framed)
+        ), batched AS (
+            SELECT warc_path, warc_offset, warc_length,
+                   CAST(floor((row_number() OVER (
+                        PARTITION BY warc_path
+                        ORDER BY warc_offset ASC NULLS FIRST, url ASC)
+                        - 1) / 4) AS INT) AS batch
+            FROM parsed
+        )
+        SELECT warc_path, batch,
+               count(*) AS n_records,
+               sum(warc_length) AS bytes_total,
+               min(warc_offset) AS min_offset,
+               max(warc_offset) AS max_offset
+        FROM batched
+        GROUP BY warc_path, batch
+    """
+
+
 def _host_cap_oracle() -> str:
     from ocr_spark.functions import urls as U
     from ocr_spark.operators.sampling import SAMPLE_DENOM
@@ -3433,6 +3540,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "perplexity_buckets": _perplexity_buckets_oracle(),
         "soft_sample": _soft_sample_oracle(),
         "blocklist": _blocklist_oracle(),
+        "cdx_fetch_plan": _cdx_fetch_plan_oracle(),
         "page_meta": """
             SELECT 'https://docs.example.com/' || doc_id AS url,
                    'doc ' || doc_id || ' & notes' AS title,

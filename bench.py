@@ -108,7 +108,9 @@ BENCH_QUERIES = (
     "host_cap robots_filter outlinks host_degree pagerank_hosts anchor_terms "
     "canonical_groups dup_spans dup_span_removal lsh_recall inverted_index "
     "merge_table token_budget_mix host_quality bloom_gate "
-    "semantic_dedup bm25 train_eval_split within_doc_dedup latest_capture"
+    "semantic_dedup bm25 train_eval_split within_doc_dedup latest_capture "
+    "quality_classifier perplexity_buckets soft_sample blocklist "
+    "cdx_fetch_plan"
 ).split()
 
 
