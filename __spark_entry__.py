@@ -98,6 +98,18 @@ def q_flagship_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "text", "extract_status", "content_kind", "n_blocks")
 
 
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-emitting extraction (the north-rule "extracted text/spans per
+    document" contract): one row per kept block with its [span_start,
+    span_end) char span into the decoded html. The DuckDB twin replays the
+    deterministic page template's offset arithmetic, so the driver hash-
+    checks the parser's actual source offsets."""
+    from ocr_spark.operators.extract_op import extract_page_spans
+
+    pages = pages_from_documents(spark, sf_dir)
+    return extract_page_spans(pages, repartition=True)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1: exact dedup by canonical-text fingerprint (hash groupBy)."""
     return exact_dedup_groups(_t(spark, sf_dir, "documents"))
@@ -1559,6 +1571,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _EXTRA_KEYS = frozenset(
+    "lang_distribution "  # groupBy-count-share witnessed by host_stats +
+    # lang_id; its window slot went to extract_spans (the north-rule
+    # text/spans contract, hash-checked against template offset arithmetic)
     "simhash fingerprint token_jaccard cosine_topk union_branches "
     "rollup_events moving_avg epoch_parse semi_join "
     "agg_pricing events_hourly set_ops image_resize pagerank_hosts "
@@ -1572,6 +1587,7 @@ _EXTRA_KEYS = frozenset(
 
 _QUERIES = {
         "flagship_extract": q_flagship_extract,
+        "extract_spans": q_extract_spans,
         "exact_dedup": q_exact_dedup,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
@@ -3575,6 +3591,33 @@ def _oracle_sql_all() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "simhash_pairs": _simhash_pairs_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
+        "extract_spans": f"""
+            WITH pre AS (
+                SELECT doc_id, lang, text,
+                       length('<html lang="' || lang || '"><head><title>doc '
+                              || doc_id || '</title></head><body>'
+                              || '<nav class="menu"><a href="/a">home</a> '
+                              || '<a href="/b">about</a></nav>'
+                              || '<article><h2>') AS h2_start,
+                       'Document ' || doc_id AS h2_text
+                FROM documents
+            )
+            SELECT 'https://docs.example.com/' || doc_id AS url,
+                   CAST(0 AS INT) AS block_idx,
+                   CAST(h2_start AS INT) AS span_start,
+                   CAST(h2_start + length(h2_text) AS INT) AS span_end,
+                   h2_text AS block_text, true AS heading
+            FROM pre
+            UNION ALL
+            SELECT 'https://docs.example.com/' || doc_id AS url,
+                   CAST(1 AS INT) AS block_idx,
+                   CAST(h2_start + length(h2_text) + 8 AS INT) AS span_start,
+                   CAST(h2_start + length(h2_text) + 8 + length(text) AS INT)
+                       AS span_end,
+                   {_CANON_RAW} AS block_text, false AS heading
+            FROM pre
+            WHERE length({_CANON_RAW}) >= 25
+        """,
         "flagship_extract": f"""
             SELECT 'https://docs.example.com/' || doc_id AS url,
                    CASE WHEN length({_CANON_RAW}) >= 25

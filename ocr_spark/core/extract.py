@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import re as _re
 
-from .htmlparse import extract_html_text_cascade
+from .htmlparse import extract_html_text_cascade, extract_kept_blocks_cascade
 from .normalize import normalize_text
 from .pdfparse import extract_pdf_text
 
@@ -144,3 +144,52 @@ def extract_record(url: str, html: bytes | None, text: str | None, lang: str | N
             return result(fallback, STATUS_FALLBACK, kind, 0)
         return result("", STATUS_EMPTY, kind, 0)
     return result(out, status_ok, kind, n_blocks)
+
+
+SPAN_COLUMNS = ("url", "block_idx", "span_start", "span_end", "block_text", "heading")
+
+
+def extract_span_rows(url: str, html: bytes | None, text: str | None,
+                      lang: str | None) -> list[dict]:
+    """Extract one document into PER-BLOCK span rows — the north-rule
+    "extracted text/spans per document" contract: each kept block carries
+    the char span [span_start, span_end) of the DECODED html region it was
+    drawn from (reference analog: per-region OCR records with their source
+    coordinates, one_key_process.py:796-896; DOM offsets replace pixel
+    boxes). Joining block_text over blocks in block_idx order with one LF
+    reconstructs ``extract_record``'s text byte-for-byte — asserted by
+    tests, so the two paths cannot drift.
+
+    Total function, never raises; never drops a document: non-HTML branches
+    (pdf / text fallback / empty / error) emit ONE row with NULL spans so
+    every input url appears in the output (P7 contract).
+    """
+    if html is not None and len(html) > 0 and html[:4] != b"%PDF":
+        try:
+            kept, _strategy = extract_kept_blocks_cascade(_decode(html))
+        except Exception:  # noqa: BLE001 — P7: fall through to the record path
+            kept = []
+        if kept:
+            return [
+                {
+                    "url": url,
+                    "block_idx": i,
+                    "span_start": b.src_start,
+                    "span_end": b.src_end,
+                    "block_text": b.text,
+                    "heading": b.heading,
+                }
+                for i, b in enumerate(kept)
+            ]
+    # pdf / fallback / empty / error: one whole-document row, NULL span
+    r = extract_record(url, html, text, lang)
+    return [
+        {
+            "url": url,
+            "block_idx": 0,
+            "span_start": None,
+            "span_end": None,
+            "block_text": r["text"],
+            "heading": False,
+        }
+    ]

@@ -90,7 +90,18 @@ _RAWTEXT_CLOSE = {t: re.compile(f"</{t}", re.IGNORECASE) for t in _RAWTEXT_TAGS}
 
 @dataclass
 class Block:
-    """One candidate text block with the stats scoring needs."""
+    """One candidate text block with the stats scoring needs.
+
+    ``src_start``/``src_end`` are the block's source span: character offsets
+    into the DECODED html string from the start of the block's first text
+    chunk to the end of its last. The extracted ``text`` is the
+    normalize_inline'd, entity-decoded rendering of that region with markup
+    removed — the span is the raw extent, so it may include the chunks'
+    surrounding whitespace and any inline tags between chunks. Spans of
+    successive blocks never overlap and are monotonically non-decreasing
+    (chunks are consumed left to right). -1/-1 means the block got no source
+    chunk (cannot happen for a non-empty block).
+    """
 
     text: str = ""
     link_chars: int = 0
@@ -100,6 +111,8 @@ class Block:
     depth: int = 0
     boiler_blocked: bool = False  # structural boilerplate tag (nav/footer/...)
     class_blocked: bool = False   # class/id blocklist hit (the heuristic part)
+    src_start: int = -1           # span into the decoded html (char offsets)
+    src_end: int = -1
 
 
 def _attrs_blocked(attrs: str) -> bool:
@@ -123,6 +136,8 @@ def extract_blocks(html_text: str) -> list[Block]:
     """
     blocks: list[Block] = []
     parts: list[str] = []
+    span_start = -1   # source extent of the chunks in `parts`
+    span_end = -1
     link_chars = 0
     boiler_depth = 0
     class_depth = 0
@@ -133,7 +148,7 @@ def extract_blocks(html_text: str) -> list[Block]:
     cur_heading = False
 
     def flush() -> None:
-        nonlocal link_chars, cur_heading
+        nonlocal link_chars, cur_heading, span_start, span_end
         if parts:
             text = normalize_inline("".join(parts))
             if text:
@@ -148,9 +163,12 @@ def extract_blocks(html_text: str) -> list[Block]:
                         depth=len(block_stack),
                         boiler_blocked=boiler_depth > 0,
                         class_blocked=class_depth > 0,
+                        src_start=span_start,
+                        src_end=span_end,
                     )
                 )
             parts.clear()
+            span_start = span_end = -1
         link_chars = 0
         cur_heading = bool(block_stack) and block_stack[-1] in HEADING_TAGS
 
@@ -164,6 +182,9 @@ def extract_blocks(html_text: str) -> list[Block]:
         if lt != pos:
             # text chunk [pos:lt) (or the tail when no further '<' exists)
             if skip_depth == 0:
+                if span_start < 0:
+                    span_start = pos
+                span_end = lt if lt >= 0 else n
                 chunk = html_text[pos:lt] if lt >= 0 else html_text[pos:]
                 if "&" in chunk:
                     chunk = unescape(chunk)
@@ -192,6 +213,9 @@ def extract_blocks(html_text: str) -> list[Block]:
                 continue
             # bare '<' that opens nothing: literal text
             if skip_depth == 0:
+                if span_start < 0:
+                    span_start = lt
+                span_end = lt + 1
                 parts_append("<")
                 if anchor_depth > 0:
                     link_chars += 1
@@ -329,14 +353,24 @@ def extract_html_text_cascade(html_text: str) -> tuple[str, int, str]:
 
     Tokenization runs ONCE; the cascade only rescans the block list.
     """
+    kept, strategy = extract_kept_blocks_cascade(html_text)
+    return "\n".join(b.text for b in kept), len(kept), strategy
+
+
+def extract_kept_blocks_cascade(html_text: str) -> tuple[list[Block], str]:
+    """The cascade of :func:`extract_html_text_cascade`, returning the kept
+    :class:`Block` list itself (with source spans) instead of the joined
+    text — the span-emitting extraction path (the north-rule "extracted
+    text/spans per document" contract: each kept block carries the char
+    span of the source region it was drawn from)."""
     blocks = extract_blocks(html_text)
     kept = score_blocks(blocks)
     if kept:
-        return "\n".join(b.text for b in kept), len(kept), "strict"
+        return kept, "strict"
     kept = score_blocks(
         blocks,
         min_block_chars=LENIENT_MIN_BLOCK_CHARS,
         max_link_density=LENIENT_MAX_LINK_DENSITY,
         include_class_blocked=True,
     )
-    return "\n".join(b.text for b in kept), len(kept), "lenient"
+    return kept, "lenient"

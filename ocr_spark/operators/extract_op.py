@@ -26,11 +26,16 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..core.extract import extract_record
+from ..core.extract import SPAN_COLUMNS, extract_record, extract_span_rows
 from ..plans.partitioning import ranged_repartition, salted_repartition
 from ..session import EXTRACTED_SCHEMA
 
 INPUT_COLS = ("url", "html", "text", "lang")
+
+SPANS_SCHEMA = (
+    "url string, block_idx int, span_start int, span_end int, "
+    "block_text string, heading boolean"
+)
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -140,3 +145,41 @@ def extract_pages(
     elif repartition:
         pruned = salted_repartition(pruned, num_partitions, salt_buckets=salt_buckets)
     return pruned.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+def _span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        texts = pdf["text"].tolist()
+        rows: list[dict] = []
+        for url, html, t, lang in zip(
+            pdf["url"].tolist(), pdf["html"].tolist(), texts, pdf["lang"].tolist()
+        ):
+            rows.extend(
+                extract_span_rows(url, html, t if isinstance(t, str) else None, lang)
+            )
+        yield pd.DataFrame.from_records(rows, columns=list(SPAN_COLUMNS))
+
+
+def extract_page_spans(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    salt_buckets: int = 16,
+    repartition: bool | str = "auto",
+) -> DataFrame:
+    """pages -> per-block span rows (SPANS_SCHEMA): the span-emitting twin
+    of :func:`extract_pages` (1:N rows; N = kept blocks, exactly 1 NULL-span
+    row for non-HTML/failed/empty docs so no url ever disappears). Same
+    partitioning policy and Arrow batch shape as the text path; the output
+    carries (int, int) spans + block text only, so the fan-out rows are
+    narrow — at 100 TB the span table is a small fraction of the input."""
+    pruned = df.select(*INPUT_COLS)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if num_partitions is None:
+        num_partitions = parallelism * 2
+    if repartition == "auto":
+        repartition = _estimated_scan_partitions(df) < parallelism
+    if repartition == "range":
+        pruned = ranged_repartition(pruned, num_partitions)
+    elif repartition:
+        pruned = salted_repartition(pruned, num_partitions, salt_buckets=salt_buckets)
+    return pruned.mapInPandas(_span_batches, schema=SPANS_SCHEMA)
