@@ -1057,6 +1057,73 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(assembled)
 
 
+def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-HOST site-chrome removal (the host-conditional half of the
+    RefinedWeb line cleaning): documents are assembled into 20 synthetic
+    hosts, each page carrying its host's welcome + footer chrome (100% of
+    the host's pages — must be dropped), a host promo on 1/3 of pages and
+    a cross-host 'powered by' line on 1/4 (both BELOW the 0.5 host ratio —
+    must stay, which a corpus-global cutoff would get wrong). Exact
+    DuckDB twin."""
+    from ocr_spark.operators.dedup import host_line_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"), (F.col("doc_id") % 20).cast("string"), F.lit(".example.com")
+    )
+    assembled = d.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.lit("welcome to "), host, F.lit(" portal\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("\n"), host, F.lit(" promo of the week")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\npowered by examplecms")
+            ).otherwise(F.lit("")),
+            F.lit("\nall rights reserved "), host,
+        ).alias("text"),
+    )
+    return host_line_dedup(assembled, min_host_pages=5, min_ratio=0.5)
+
+
+def q_blockwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blockword page gate over documents with planted hits:
+    every 7th document gets one blockword appended (punctuation-attached,
+    so the regex tokenization is exercised), every 11th gets two distinct
+    ones. Exact DuckDB twin."""
+    from ocr_spark.operators.quality import blockword_filter
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" xbadwordx.")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" XBannedX xforbiddenx")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return blockword_filter(planted)
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling toward a target exemplar set (English
+    docs with doc_id % 5 == 0): hashed-ngram log-likelihood-ratio weights
+    + md5-uniform Gumbel-top-k selection of 50 documents. The whole
+    pipeline — bucket counts, Laplace-smoothed log ratios, Gumbel keys,
+    the selected set — is replayed in the DuckDB twin."""
+    from ocr_spark.operators.dsir import dsir_sample
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.where((F.col("lang") == "en") & (F.col("doc_id") % 5 == 0))
+    return dsir_sample(d, target, k=50, n_buckets=512)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-run audit table (K5/A5-A8 at corpus level): per cleaning
     disposition, document counts and mean quality/LM measurements. Exact
@@ -1582,7 +1649,14 @@ _EXTRA_KEYS = frozenset(
     "top_events_per_user token_budget_mix host_quality bloom_gate "
     "semantic_dedup bm25 train_eval_split within_doc_dedup "
     "latest_capture page_meta knn pivot_events grouping_sets "
-    "soft_sample cdx_fetch_plan".split()
+    "soft_sample cdx_fetch_plan "
+    # host_boilerplate: the line-dedup family's host-conditional variant
+    # (in-window witness: line_dedup); dsir_sample: the mixing/classifier
+    # family's importance-resampling variant (in-window witness:
+    # quality_classifier); blockwords: the quality family's C4 wordlist
+    # gate (witness: quality_filter) — all oracle-checked by
+    # test_oracle_parity
+    "host_boilerplate dsir_sample blockwords".split()
 )
 
 _QUERIES = {
@@ -1643,6 +1717,9 @@ _QUERIES = {
         "shard_assignment": q_shard_assignment,
         "dedup_increment": q_dedup_increment,
         "line_dedup": q_line_dedup,
+        "host_boilerplate": q_host_boilerplate,
+        "dsir_sample": q_dsir_sample,
+        "blockwords": q_blockwords,
         "host_cap": q_host_cap,
         "robots_filter": q_robots_filter,
         "warc_roundtrip": q_warc_roundtrip,
@@ -3365,6 +3442,113 @@ def _line_dedup_oracle() -> str:
     """
 
 
+def _host_line_dedup_oracle() -> str:
+    """DuckDB twin of q_host_boilerplate: same 20-host page assembly, same
+    60-bit md5 line hash, host-conditional (n_pages >= 5 AND ldf >
+    n_pages * 0.5) removal, ordered string_agg reassembly. Groups hot
+    lines by the host STRING where Spark groups by its 60-bit md5 — 20
+    distinct hosts cannot collide, so the semantics agree."""
+    return """
+        WITH asm AS (
+            SELECT doc_id,
+                   'h' || (doc_id % 20) || '.example.com' AS host,
+                   'welcome to h' || (doc_id % 20) || '.example.com portal'
+                   || chr(10) || text ||
+                   CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'h' || (doc_id % 20)
+                             || '.example.com promo of the week'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 4 = 0
+                        THEN chr(10) || 'powered by examplecms'
+                        ELSE '' END ||
+                   chr(10) || 'all rights reserved h' || (doc_id % 20)
+                   || '.example.com' AS text
+            FROM documents
+        ), parts AS (
+            SELECT doc_id AS id, host,
+                   string_split(coalesce(text, ''), chr(10)) AS p
+            FROM asm
+        ), lines AS (
+            SELECT id, host, i - 1 AS pos, p[i] AS line,
+                   ('0x' || substr(md5(trim(p[i])), 1, 15))::BIGINT AS lh
+            FROM (SELECT id, host, p, unnest(generate_series(1, len(p))) AS i
+                  FROM parts)
+        ), host_pages AS (
+            SELECT host, count(DISTINCT doc_id) AS n_pages FROM asm GROUP BY 1
+        ), ldf AS (
+            SELECT host, lh, count(DISTINCT id) AS ldf
+            FROM lines WHERE trim(line) <> '' GROUP BY 1, 2
+        ), hot AS (
+            SELECT l.host, l.lh
+            FROM ldf l JOIN host_pages hp USING (host)
+            WHERE hp.n_pages >= 5 AND l.ldf > hp.n_pages * 0.5
+        ), marked AS (
+            SELECT l.id, l.host, l.pos, l.line,
+                   (h.lh IS NOT NULL AND trim(l.line) <> '') AS dropped
+            FROM lines l LEFT JOIN hot h ON l.host = h.host AND l.lh = h.lh
+        )
+        SELECT id AS doc_id, host,
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT dropped), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM marked GROUP BY id, host
+    """
+
+
+def _dsir_oracle() -> str:
+    """DuckDB twin of q_dsir_sample: same hashed feature stream (the
+    classifier's md5 bucket family, 512 buckets), Laplace-smoothed
+    log-likelihood ratios vs the lang='en' AND doc_id%5=0 target, same
+    md5-uniform Gumbel keys, same 4-dp-rounded Gumbel-top-50 selection
+    with doc_id tie-break."""
+    return """
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '[A-Za-z0-9_'']+') AS t
+            FROM documents
+        ), feats AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5('dsir-1:' || feat), 1, 8))::BIGINT
+                    % 512) AS bucket
+            FROM (SELECT doc_id,
+                         unnest(t || [t[i] || ' ' || t[i+1]
+                                for i in generate_series(1, greatest(len(t) - 1, 0))])
+                             AS feat
+                  FROM toks)
+        ), raw_counts AS (
+            SELECT bucket, count(*) AS c_raw FROM feats GROUP BY 1
+        ), tgt_counts AS (
+            SELECT bucket, count(*) AS c_tgt
+            FROM feats JOIN documents USING (doc_id)
+            WHERE lang = 'en' AND doc_id % 5 = 0 GROUP BY 1
+        ), tots AS (
+            SELECT (SELECT sum(c_raw) FROM raw_counts) AS t_raw,
+                   (SELECT coalesce(sum(c_tgt), 0) FROM tgt_counts) AS t_tgt
+        ), ratio AS (
+            SELECT r.bucket,
+                   ln((coalesce(tc.c_tgt, 0) + 0.5) / (t.t_tgt + 0.5 * 512))
+                 - ln((r.c_raw + 0.5) / (t.t_raw + 0.5 * 512)) AS lr
+            FROM raw_counts r LEFT JOIN tgt_counts tc USING (bucket), tots t
+        ), w AS (
+            SELECT f.doc_id, count(*) AS n_feats, avg(rt.lr) AS w_raw
+            FROM feats f JOIN ratio rt USING (bucket) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+               round(coalesce(w.w_raw, 0), 4) AS log_weight,
+               round(coalesce(w.w_raw, 0)
+                     - ln(-ln(((('0x' || substr(md5('dsir-1:g:' || d.doc_id),
+                                                1, 8))::BIGINT % 1000000)
+                               + 0.5) / 1000000.0)), 4) AS sample_key
+        FROM documents d LEFT JOIN w USING (doc_id)
+        ORDER BY sample_key DESC, doc_id
+        LIMIT 50
+    """
+
+
 def _dedup_increment_oracle() -> str:
     """DuckDB twin of q_dedup_increment: same batch split + plants, the
     committed fingerprint set, the minhash pair oracle over the union,
@@ -3529,6 +3713,30 @@ def _oracle_sql_all() -> dict[str, str]:
         "corpus_report": _corpus_report_oracle(),
         "dedup_increment": _dedup_increment_oracle(),
         "line_dedup": _line_dedup_oracle(),
+        "host_boilerplate": _host_line_dedup_oracle(),
+        "dsir_sample": _dsir_oracle(),
+        "blockwords": f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 7 = 0 THEN ' xbadwordx.' ELSE '' END ||
+                       CASE WHEN doc_id % 11 = 0
+                            THEN ' XBannedX xforbiddenx' ELSE '' END AS text
+                FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(
+                           lower(coalesce(text, '')), '{_TOKEN_SQL}')) AS t
+                FROM planted
+            )
+            SELECT doc_id,
+                   CAST(len(list_filter(t, x -> x IN
+                        ('xbadwordx', 'xbannedx', 'xforbiddenx'))) AS BIGINT)
+                       AS n_blockwords,
+                   len(list_filter(t, x -> x IN
+                        ('xbadwordx', 'xbannedx', 'xforbiddenx'))) = 0 AS kept
+            FROM toks
+        """,
         "host_cap": _host_cap_oracle(),
         "robots_filter": _robots_filter_oracle(),
         "shard_assignment": """

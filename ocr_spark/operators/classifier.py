@@ -70,6 +70,36 @@ def synthetic_weight(bucket: Column, seed: str) -> Column:
     return (h % 10000).cast("double") / 10000.0 - 0.5
 
 
+def hashed_feature_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_N_BUCKETS,
+    seed: str = "qclf-1",
+) -> DataFrame:
+    """(id_col, bucket) rows: the unigram+adjacent-bigram hashed feature
+    stream shared by the classifier gate and the DSIR importance weights.
+    ``explode_outer`` keeps empty/NULL-text documents as one NULL-bucket
+    row, so no document ever vanishes from a downstream aggregate."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode_outer(F.concat(toks, bigrams)).alias("feat"),
+    ).select(
+        id_col,
+        F.when(
+            F.col("feat").isNotNull(),
+            feature_bucket(F.col("feat"), n_buckets, seed),
+        ).alias("bucket"),
+    )
+
+
 def classifier_score(
     df: DataFrame,
     weights_df: DataFrame | None = None,
@@ -82,23 +112,7 @@ def classifier_score(
 ) -> DataFrame:
     """(id_col, n_feats, score, kept): sigmoid(mean hashed-feature weight
     + bias) per document. Every input row produces exactly one output row."""
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    feats = df.select(
-        F.col(id_col),
-        F.explode_outer(F.concat(toks, bigrams)).alias("feat"),
-    ).select(
-        id_col,
-        F.when(
-            F.col("feat").isNotNull(),
-            feature_bucket(F.col("feat"), n_buckets, seed),
-        ).alias("bucket"),
-    )
+    feats = hashed_feature_stream(df, text_col, id_col, n_buckets, seed)
 
     if weights_df is None:
         weighted = feats.select(

@@ -749,6 +749,94 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def host_line_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", host_col: str = "host",
+                    min_host_pages: int = 5,
+                    min_ratio: float = 0.5) -> DataFrame:
+    """PER-HOST boilerplate removal (the site-chrome half of RefinedWeb's
+    line cleaning; :func:`line_dedup` is the corpus-GLOBAL half): a line
+    is host-boilerplate when its host has at least ``min_host_pages``
+    pages AND the line appears on more than ``min_ratio`` of them — nav
+    bars, cookie banners, and footer chrome repeat across one SITE's
+    pages, not across the whole web, so a global document-frequency
+    cutoff either misses them (threshold too high) or nukes legitimately
+    common sentences (too low). Returns (id, host, text, n_lines,
+    n_dropped); surviving lines reassemble in original order; every
+    document comes back (NULL text included).
+
+    Shape: the corpus crosses the shuffle once as (host-hash long,
+    line-hash long, id, pos) rows; the hot set is keyed (host, line)
+    — counted with the same 60-bit md5 family as line_dedup — and is
+    bounded by (hosts × per-host chrome lines), tiny next to the corpus;
+    the removal is a left join on the two longs. Host page counts come
+    from a countDistinct per host (hosts ≪ documents). Exactly
+    SQL-replayable (``__spark_entry__._host_line_dedup_oracle``)."""
+    hh = F.conv(F.substring(F.md5(F.col(host_col)), 1, 15), 16, 10).cast("long")
+    lh = F.conv(F.substring(F.md5(F.trim(F.col("line"))), 1, 15), 16, 10).cast("long")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("host"),
+        hh.alias("hh"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\r?\n")
+        ).alias("pos", "line"),
+    ).withColumn("lh", lh)
+
+    host_pages = (
+        df.groupBy(F.col(host_col).alias("host"))
+        .agg(F.countDistinct(id_col).alias("n_pages"))
+        .select(
+            F.conv(F.substring(F.md5(F.col("host")), 1, 15), 16, 10)
+            .cast("long").alias("hh"),
+            "n_pages",
+        )
+    )
+    hot = (
+        lines.where(F.trim("line") != "")
+        .groupBy("hh", "lh")
+        .agg(F.countDistinct("id").alias("ldf"))
+        # no broadcast hint on purpose: at crawl scale the host table is
+        # 10^7-10^8 rows — AQE broadcasts it when it fits, shuffles two
+        # (long, long) tables when it doesn't; both sides are already
+        # aggregates, far smaller than the corpus
+        .join(host_pages, "hh")
+        .where(
+            (F.col("n_pages") >= min_host_pages)
+            & (F.col("ldf") > F.col("n_pages") * min_ratio)
+        )
+        .select("hh", "lh")
+    )
+    kept = lines.join(
+        hot.withColumn("hot", F.lit(True)), ["hh", "lh"], "left"
+    ).withColumn("drop", F.col("hot").isNotNull() & (F.trim("line") != ""))
+
+    return (
+        kept.groupBy("id", "host")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("drop"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("drop").cast("long")).alias("n_dropped"),
+        )
+        .select(
+            F.col("id").alias(id_col), F.col("host").alias(host_col),
+            text_col, "n_lines", "n_dropped",
+        )
+    )
+
+
 def collapse_repeated_lines(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:
     """WITHIN-document repeated-line removal (the intra-page half of the

@@ -160,6 +160,46 @@ MAX_DUP_PARA_FRAC = 0.30
 MAX_TOP_BIGRAM_FRAC = 0.18
 
 
+# Demonstration blockword list. The production C4/RefinedWeb deployment
+# swaps in the published "List of Dirty, Naughty, Obscene..." terms (not
+# vendored here — the mechanism, not the vocabulary, is the operator).
+DEFAULT_BLOCKWORDS = ("xbadwordx", "xbannedx", "xforbiddenx")
+
+
+def blockword_filter(
+    df: DataFrame,
+    words: tuple[str, ...] = DEFAULT_BLOCKWORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The C4-style blockword page gate: a page containing ANY listed word
+    (token-exact, case-insensitive — substring matches like 'class' for
+    'ass' are the documented false-positive this tokenized form avoids) is
+    marked kept=false. Returns (id, n_blockwords, kept) — one row per
+    input row, NULL text behaves like empty (kept).
+
+    Shape: zero-shuffle stateless projection (tokenize + array_intersect
+    against a literal array), so the same operator gates a stream; the
+    word list rides in the task binary, never a join. At C4's real list
+    size (~400 terms) the intersect is still per-row bounded work.
+    Reference analog: the rule-table blocklist choosing which regions
+    carry signal (one_key_process.py:1146-1165), applied at page level."""
+    from ..functions.text import TOKEN_PATTERN
+
+    # regex tokens (not the whitespace split): 'xbadwordx.' must still hit
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(TOKEN_PATTERN), F.lit(0),
+    )
+    bad = F.array(*[F.lit(w.lower()) for w in words])
+    n_bad = F.size(F.array_intersect(toks, bad))
+    return df.select(
+        F.col(id_col),
+        n_bad.cast("long").alias("n_blockwords"),
+        (n_bad == 0).alias("kept"),
+    )
+
+
 def _canon_units(col, sep_pattern: str):
     """Split on ``sep_pattern``, canonicalize each unit (lowercase, inner
     whitespace collapsed, trimmed), drop empties. Unit identity for the

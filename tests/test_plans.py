@@ -185,3 +185,39 @@ def test_semantic_dedup_broadcast_centroids_no_cartesian(spark):
     assert "CartesianProduct" not in _tree(plan)
     assert "BroadcastExchange" in _tree(plan)
     assert "Python" not in plan
+
+
+def test_extract_spans_single_salted_exchange(spark):
+    # the span path must keep the flagship parse shape: one salted
+    # exchange of payload bytes, then the Arrow span fan-out
+    plan = _plan(spark, "extract_spans")
+    assert _tree(plan).count("Exchange") == 1
+    assert "xxhash64" in plan
+    assert "_span_batches(url" in plan
+
+
+def test_blockwords_zero_shuffle(spark):
+    # the C4 wordlist gate is a stateless projection: streaming-safe,
+    # no exchange at any scale
+    plan = _plan(spark, "blockwords")
+    assert "Exchange" not in _tree(plan)
+    assert "array_intersect" in plan
+
+
+def test_dsir_broadcast_ratio_and_topk(spark):
+    plan = _plan(spark, "dsir_sample")
+    tree = _tree(plan)
+    # the log-ratio table reaches the corpus-feature join as a broadcast
+    assert "BroadcastHashJoin" in tree
+    # selection is per-partition top-k heads, never a 1-partition sort
+    assert "TakeOrderedAndProject" in tree
+    assert "Sort [" not in tree or "SinglePartition" not in tree
+
+
+def test_host_boilerplate_long_keyed_shuffle(spark):
+    # the corpus crosses the shuffle keyed on the two 60-bit md5 longs
+    # (hh, lh) — never on line strings
+    plan = _plan(spark, "host_boilerplate")
+    # partitioning arguments live in the detail section, not the tree
+    assert "hashpartitioning(hh" in plan
+    assert "hashpartitioning(line" not in plan

@@ -202,3 +202,28 @@ def test_pii_redact_counts_and_rewrite(spark):
     # NULL text coalesces to '' and the row survives
     assert out[2]["n_pii"] == 0
     assert out[2]["red_fp"] == hashlib.md5(b"").hexdigest()[:16]
+
+
+def test_blockword_filter(spark):
+    from ocr_spark.operators.quality import blockword_filter
+
+    rows = [
+        (0, "clean page text"),
+        (1, "contains xbadwordx. attached to punctuation"),
+        (2, "XBADWORDX upper and xbannedx twice xbannedx"),
+        (3, None),
+        (4, "substring notxbadwordxhere must not hit"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in blockword_filter(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0].kept and out[0].n_blockwords == 0
+    assert not out[1].kept and out[1].n_blockwords == 1
+    # distinct blockwords, case-insensitive: xbadwordx + xbannedx = 2
+    assert not out[2].kept and out[2].n_blockwords == 2
+    assert out[3].kept  # NULL text behaves like empty
+    # token-exact: embedded substring is a different token, no hit
+    assert out[4].kept and out[4].n_blockwords == 0
