@@ -1111,6 +1111,63 @@ def q_blockwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blockword_filter(planted)
 
 
+def q_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script mix profile over documents with planted non-Latin
+    content: every 10th document is REPLACED by a CJK-dominant mixed
+    string (dominance must flip), and of the rest every %4==1/2/3 doc
+    gets Cyrillic / CJK / Arabic words appended (fractions must be
+    non-zero, Latin stays dominant). Exact DuckDB twin."""
+    from ocr_spark.operators.textprofile import script_stats
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("数据处理系统库 данные x"))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 4 == 1, F.lit(" привет мир данные сеть"))
+                .when(F.col("doc_id") % 4 == 2, F.lit(" 数据处理系统结构"))
+                .when(F.col("doc_id") % 4 == 3, F.lit(" بيانات النظام شبكة"))
+                .otherwise(F.lit("")),
+            )
+        )
+        .alias("text"),
+    )
+    return script_stats(planted)
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-likeness gate over documents with planted code: every 6th doc
+    gets a def/return snippet with indented lines appended (keyword+indent
+    clause), every %6==5 doc is replaced by symbol-dense JSON (symbol
+    clause), every %6==3 doc gets a single keyword with no indent (must
+    NOT trigger). Exact DuckDB twin."""
+    from ocr_spark.operators.textprofile import code_detect
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 5,
+            F.lit('{"a": [1, 2], "b": {"c": 3}}'),
+        )
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 6 == 0,
+                    F.lit("\ndef main():\n    x = [1, 2];\n    return x;"),
+                )
+                .when(F.col("doc_id") % 6 == 3, F.lit("\nvar x"))
+                .otherwise(F.lit("")),
+            )
+        )
+        .alias("text"),
+    )
+    return code_detect(planted)
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling toward a target exemplar set (English
     docs with doc_id % 5 == 0): hashed-ngram log-likelihood-ratio weights
@@ -1531,6 +1588,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCLM-style cluster-balanced selection over the embeddings table:
+    seeded-Lloyd cells, at most 8 picks per cell by md5-uniform key.
+    Every vector comes back with its cell, key, rank, and picked flag;
+    the whole draw is replayed in the DuckDB twin."""
+    from ocr_spark.operators.similarity import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"), per_cluster=8, n_centroids=16
+    )
+
+
 # block count for q_bloom_gate's filter — part of the filter's identity,
 # shared with the oracle so the bit layout cannot drift
 BLOOM_GATE_NB = 1024
@@ -1656,7 +1725,13 @@ _EXTRA_KEYS = frozenset(
     # quality_classifier); blockwords: the quality family's C4 wordlist
     # gate (witness: quality_filter) — all oracle-checked by
     # test_oracle_parity
-    "host_boilerplate dsir_sample blockwords".split()
+    "host_boilerplate dsir_sample blockwords "
+    # cluster_sample: the embedding-curation family's cluster-balanced
+    # selection (in-window witness: semantic_dedup / ivf_topk share its
+    # seeded-Lloyd core); script_stats / code_detect: the quality family's
+    # character-class profile gates (witness: quality_filter / lang_id) —
+    # all oracle-checked by test_oracle_parity
+    "cluster_sample script_stats code_detect".split()
 )
 
 _QUERIES = {
@@ -1744,6 +1819,9 @@ _QUERIES = {
         "host_quality": q_host_quality,
         "bloom_gate": q_bloom_gate,
         "semantic_dedup": q_semantic_dedup,
+        "cluster_sample": q_cluster_sample,
+        "script_stats": q_script_stats,
+        "code_detect": q_code_detect,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -2884,6 +2962,60 @@ def _semantic_dedup_oracle() -> str:
     """
 
 
+def _cluster_sample_oracle() -> str:
+    """DuckDB twin of q_cluster_sample: the same seeded-Lloyd replay as the
+    semantic_dedup/ivf twins (seeds = first 16 vectors, one refinement
+    iteration, 6-dp means) over the PLAIN embeddings table, then the
+    md5-uniform pick key and the per-cell rank with id tie-break."""
+    return """
+        WITH corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), seeds AS (
+            SELECT vec_id AS cent_id, e AS cv FROM corpus WHERE vec_id < 16
+        ), assign0 AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT c.vec_id, s.cent_id,
+                       row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                         list_dot_product(c.e, s.cv)
+                         / (sqrt(list_dot_product(c.e, c.e))
+                            * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                         s.cent_id ASC) AS rn
+                FROM corpus c, seeds s
+            ) WHERE rn = 1
+        ), dims AS (
+            SELECT vec_id, i AS pos, e[i] AS x
+            FROM corpus, unnest(generate_series(1, len(e))) AS t(i)
+        ), refined AS (
+            SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+                SELECT a.cent_id, d.pos, round(avg(d.x), 6) AS m
+                FROM assign0 a JOIN dims d ON a.vec_id = d.vec_id
+                GROUP BY a.cent_id, d.pos
+            ) GROUP BY cent_id
+        ), assign AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT c.vec_id, r.cent_id,
+                       row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                         list_dot_product(c.e, r.cv)
+                         / (sqrt(list_dot_product(c.e, c.e))
+                            * sqrt(list_dot_product(r.cv, r.cv))) DESC,
+                         r.cent_id ASC) AS rn
+                FROM corpus c, refined r
+            ) WHERE rn = 1
+        ), keyed AS (
+            SELECT vec_id, cent_id,
+                   (('0x' || substr(md5('cbal-1:' || vec_id), 1, 8))::BIGINT
+                    % 1000000) AS pick_key
+            FROM assign
+        )
+        SELECT vec_id, cent_id, pick_key,
+               CAST(row_number() OVER (PARTITION BY cent_id
+                    ORDER BY pick_key, vec_id) AS BIGINT) AS pick_rank,
+               (row_number() OVER (PARTITION BY cent_id
+                    ORDER BY pick_key, vec_id)) <= 8 AS picked
+        FROM keyed
+    """
+
+
 def _host_quality_oracle() -> str:
     """DuckDB twin of q_host_quality: the quality_filter twin's kept column
     aggregated per canonical messy-url host, same support floor and
@@ -3497,6 +3629,119 @@ def _host_line_dedup_oracle() -> str:
     """
 
 
+def _script_stats_oracle() -> str:
+    """DuckDB twin of q_script_stats: same plants, same explicit
+    code-point-range classes (imported from the operator module so the
+    two engines cannot drift), counts as length-minus-length-after-
+    removal, dominance as the earliest SCRIPT_ORDER entry achieving the
+    max (the operator's reversed >= fold)."""
+    from ocr_spark.operators.textprofile import SCRIPT_ORDER, SCRIPT_RANGES
+
+    cnt_exprs = ",\n                   ".join(
+        "(length(text) - length(regexp_replace(text, '[{cls}]', '', 'g')))"
+        " AS c_{k}".format(cls=SCRIPT_RANGES[k], k=k)
+        for k in SCRIPT_ORDER
+    )
+    # earliest-in-order wins ties; 'other' when every count is zero
+    dom_branches = []
+    for i, k in enumerate(SCRIPT_ORDER):
+        later = SCRIPT_ORDER[i + 1:]
+        cond = " AND ".join(f"c_{k} >= c_{j}" for j in later) or "TRUE"
+        dom_branches.append(f"WHEN {cond} THEN '{k}'")
+    dom = ("CASE WHEN greatest("
+           + ", ".join(f"c_{k}" for k in SCRIPT_ORDER)
+           + ") = 0 THEN 'other' "
+           + " ".join(dom_branches[:-1])
+           + f" ELSE '{SCRIPT_ORDER[-1]}' END")
+    fracs = ",\n               ".join(
+        "round(CASE WHEN n_chars = 0 THEN 0.0"
+        " ELSE c_{k}::DOUBLE / n_chars END, 4) AS {k}_frac".format(k=k)
+        for k in SCRIPT_ORDER
+    )
+    return """
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN '数据处理系统库 данные x'
+                        ELSE coalesce(text, '') ||
+                          CASE WHEN doc_id % 4 = 1 THEN ' привет мир данные сеть'
+                               WHEN doc_id % 4 = 2 THEN ' 数据处理系统结构'
+                               WHEN doc_id % 4 = 3 THEN ' بيانات النظام شبكة'
+                               ELSE '' END
+                   END AS text
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS n_chars,
+                   {CNT}
+            FROM planted
+        )
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               {FRACS},
+               {DOM} AS dominant_script
+        FROM m
+    """.replace("{CNT}", cnt_exprs).replace("{FRACS}", fracs).replace("{DOM}", dom)
+
+
+def _code_detect_oracle() -> str:
+    """DuckDB twin of q_code_detect: same plants, same symbol class /
+    keyword list / thresholds (imported from the operator module), the
+    keyword count as a distinct-token intersect, is_code evaluated on the
+    4-dp ROUNDED sym_ratio exactly as the engine does."""
+    from ocr_spark.operators.textprofile import (
+        CODE_KEYWORDS,
+        MIN_CODE_INDENT_LINES,
+        MIN_CODE_KEYWORDS,
+        MIN_CODE_SYM_RATIO,
+    )
+
+    kws = ", ".join(f"'{k}'" for k in CODE_KEYWORDS)
+    return """
+        WITH planted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 6 = 5 THEN '{"a": [1, 2], "b": {"c": 3}}'
+                        ELSE coalesce(text, '') ||
+                          CASE WHEN doc_id % 6 = 0
+                               THEN chr(10) || 'def main():' || chr(10)
+                                    || '    x = [1, 2];' || chr(10)
+                                    || '    return x;'
+                               WHEN doc_id % 6 = 3 THEN chr(10) || 'var x'
+                               ELSE '' END
+                   END AS text
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS n_chars,
+                   len(string_split(text, chr(10))) AS n_lines,
+                   len(list_filter(string_split(text, chr(10)),
+                       x -> regexp_matches(x, '^(\t|    )'))) AS indent_lines,
+                   (length(text)
+                    - length(regexp_replace(text, '[{}\\[\\]();=<>]', '', 'g')))
+                       AS n_sym,
+                   len(list_filter(list_distinct(
+                       regexp_extract_all(lower(text), '{TOK}')),
+                       x -> x IN ({KWS}))) AS kw_hits
+            FROM planted
+        )
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(indent_lines AS BIGINT) AS indent_lines,
+               round(CASE WHEN n_chars = 0 THEN 0.0
+                          ELSE n_sym::DOUBLE / n_chars END, 4) AS sym_ratio,
+               CAST(kw_hits AS BIGINT) AS kw_hits,
+               ((kw_hits >= {MINKW} AND indent_lines >= {MININD})
+                OR round(CASE WHEN n_chars = 0 THEN 0.0
+                              ELSE n_sym::DOUBLE / n_chars END, 4) >= {MINSYM})
+                   AS is_code
+        FROM m
+    """.replace("{TOK}", _TOKEN_SQL).replace("{KWS}", kws).replace(
+        "{MINKW}", str(MIN_CODE_KEYWORDS)
+    ).replace("{MININD}", str(MIN_CODE_INDENT_LINES)).replace(
+        "{MINSYM}", str(MIN_CODE_SYM_RATIO)
+    )
+
+
 def _dsir_oracle() -> str:
     """DuckDB twin of q_dsir_sample: same hashed feature stream (the
     classifier's md5 bucket family, 512 buckets), Laplace-smoothed
@@ -3756,6 +4001,9 @@ def _oracle_sql_all() -> dict[str, str]:
         "host_quality": _host_quality_oracle(),
         "bloom_gate": _bloom_gate_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
+        "cluster_sample": _cluster_sample_oracle(),
+        "script_stats": _script_stats_oracle(),
+        "code_detect": _code_detect_oracle(),
         "bm25": _bm25_oracle(),
         "train_eval_split": _train_eval_split_oracle(),
         "within_doc_dedup": _within_doc_dedup_oracle(),

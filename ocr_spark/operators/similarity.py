@@ -290,6 +290,57 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def cluster_balanced_sample(df: DataFrame, per_cluster: int = 8,
+                            n_centroids: int = 16, n_iters: int = 1,
+                            vec_col: str = "embedding", id_col: str = "vec_id",
+                            seed: str = "cbal-1") -> DataFrame:
+    """Cluster-balanced corpus selection (the DCLM/DataComp curation shape:
+    embed -> cluster -> sample per cluster so no dense region of embedding
+    space dominates the training mix): assign every vector to its
+    seeded-Lloyd cell (:func:`ivf_centroids` — a pure, SQL-replayable
+    function of the data), then keep at most ``per_cluster`` vectors per
+    cell, chosen by a deterministic md5-uniform key so the draw is
+    reproducible and engine-independent.
+
+    Output: one row per input vector (never-drop contract) —
+    (id_col, cent_id, pick_key, pick_rank, picked); ``picked`` marks the
+    selected subset, everything else stays auditable.
+
+    Scale shape: clustering is the broadcast-centroid + ``max_by``
+    assignment every IVF path here uses (one corpus shuffle); the
+    per-cluster rank is a window partitioned by cent_id — production
+    sizes ``n_centroids ~ N / target_cluster`` (the SemDeDup deployment
+    argument, arXiv:2303.09540 §3), so per-partition state is the bounded
+    cluster size, never the corpus. The pick key is data-independent
+    (pure function of the id), so sampling stays stable under re-runs
+    and incremental appends.
+
+    Reference analog: the rule table selecting a bounded subset of
+    candidate regions per layout class (one_key_process.py:1146-1165) —
+    here the "layout class" is a learned embedding cell."""
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents = ivf_centroids(df, n_centroids, n_iters, vec_col, id_col)
+    assigned = _assign_cells(
+        df.select(F.col(id_col), emb.alias("v")), cents, id_col
+    )
+    key = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(1_000_000),
+    )
+    w = Window.partitionBy("cent_id").orderBy(F.asc("pick_key"), F.asc(id_col))
+    return (
+        assigned.select(id_col, "cent_id", key.alias("pick_key"))
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .withColumn("picked", F.col("pick_rank") <= per_cluster)
+    )
+
+
 def knn_brute_force(df: DataFrame, queries: DataFrame, k: int = 5,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     qid_col: str = "q_id", qvec_col: str = "q_vec") -> DataFrame:

@@ -1,0 +1,140 @@
+"""Character-class text profiling: Unicode-script mix and code-likeness.
+
+Two gates every large crawl pipeline runs between language-ID and the
+quality model:
+
+- ``script_stats`` — the CCNet-lineage script filter: a page whose
+  characters disagree with its declared language tag (Latin page tagged
+  zh, mojibake Cyrillic inside an English page) is a decode or labeling
+  failure. Counted over explicit Unicode CODE-POINT RANGES, not named
+  script properties, so Java regex (Spark) and RE2 (DuckDB) agree by
+  construction and the result cannot drift across Unicode table versions.
+- ``code_detect`` — the RedPajama/StarCoder-style prose-vs-code split:
+  keyword hits (token-exact, the blockword idiom), indented-line fraction,
+  and symbol density. Used either to ROUTE (code corpora are curated
+  separately) or to EXCLUDE (prose-only mixes).
+
+Both are zero-shuffle stateless projections (streaming-safe; the same
+operator gates a batch table or a readStream) — the plan-test contract of
+quality_filter/blockwords. Reference analog: the per-region character
+profile choosing the recognition branch (one_key_process.py:576-607).
+
+Determinism/oracle: every count is ``length(x) - length(regexp_replace
+(x, cls, ''))`` over an explicit char class, fractions round to 4 dp,
+NULL text behaves as '' and every input row comes back (P7 discipline).
+Twins: ``__spark_entry__._script_stats_oracle`` / ``_code_detect_oracle``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_PATTERN
+
+# Explicit code-point ranges (identical semantics in Java regex and RE2).
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "cjk": "一-鿿぀-ヿ",   # Han + kana
+    "arabic": "؀-ۿ",
+    "greek": "Ͱ-Ͽ",
+}
+# deterministic dominant-script tie-break: first listed wins at equality
+SCRIPT_ORDER = ("latin", "cyrillic", "cjk", "arabic", "greek")
+
+WHITESPACE_CLS = "[ \t\n\r]"
+
+CODE_KEYWORDS = (
+    "def", "return", "import", "class", "function", "const", "var",
+    "void", "include", "printf", "endif", "lambda",
+)
+CODE_SYMBOL_CLS = r"[{}\[\]();=<>]"
+MIN_CODE_KEYWORDS = 2      # keyword clause: >=2 distinct keywords ...
+MIN_CODE_INDENT_LINES = 1  # ... plus at least one indented line
+MIN_CODE_SYM_RATIO = 0.08  # or symbol-dense text outright
+
+
+def _cls_count(text: Column, cls: str) -> Column:
+    """Characters of ``text`` inside char-class ``cls`` — the portable
+    count both engines compute as length minus length-after-removal."""
+    return F.length(text) - F.length(F.regexp_replace(text, f"[{cls}]", ""))
+
+
+def script_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_chars, latin_frac, cyrillic_frac, cjk_frac, arabic_frac,
+    greek_frac, dominant_script): per-document script mix over
+    non-whitespace characters. ``dominant_script`` is the max-count range
+    (SCRIPT_ORDER tie-break) or 'other' when no listed script occurs.
+    One output row per input row; NULL text counts as empty."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(F.regexp_replace(text, WHITESPACE_CLS, "")).cast("long")
+    counts = {k: _cls_count(text, cls) for k, cls in SCRIPT_RANGES.items()}
+
+    best = F.lit("other")
+    best_n = F.lit(0)
+    for name in reversed(SCRIPT_ORDER):
+        # reversed fold: earlier SCRIPT_ORDER entries override at >= ties
+        best = F.when(counts[name] >= best_n, F.lit(name)).otherwise(best)
+        best_n = F.greatest(counts[name], best_n)
+    dominant = F.when(best_n > 0, best).otherwise(F.lit("other"))
+
+    def frac(c: Column) -> Column:
+        return F.round(
+            F.when(n_chars == 0, F.lit(0.0)).otherwise(
+                c.cast("double") / n_chars.cast("double")
+            ),
+            4,
+        )
+
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        *[frac(counts[k]).alias(f"{k}_frac") for k in SCRIPT_ORDER],
+        dominant.alias("dominant_script"),
+    )
+
+
+def code_detect(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_chars, n_lines, indent_lines, sym_ratio, kw_hits, is_code):
+    code-likeness verdict. is_code when >= MIN_CODE_KEYWORDS distinct
+    code keywords co-occur with an indented line, OR symbol density alone
+    exceeds MIN_CODE_SYM_RATIO (dense config/JSON with no keywords).
+    Keyword matching is token-exact over TOKEN_PATTERN (lowercased), so
+    'classic' never hits 'class' — the blockword_filter idiom."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(F.regexp_replace(text, WHITESPACE_CLS, "")).cast("long")
+    lines = F.split(text, "\n")
+    indent_lines = F.size(
+        F.filter(lines, lambda x: x.rlike("^(\t|    )"))
+    ).cast("long")
+    n_sym = F.length(text) - F.length(F.regexp_replace(text, CODE_SYMBOL_CLS, ""))
+    sym_ratio = F.round(
+        F.when(n_chars == 0, F.lit(0.0)).otherwise(
+            n_sym.cast("double") / n_chars.cast("double")
+        ),
+        4,
+    )
+    toks = F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), F.lit(0))
+    kw_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(k) for k in CODE_KEYWORDS]))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        F.size(lines).cast("long").alias("n_lines"),
+        indent_lines.alias("indent_lines"),
+        sym_ratio.alias("sym_ratio"),
+        kw_hits.alias("kw_hits"),
+    ).withColumn(
+        "is_code",
+        (
+            (F.col("kw_hits") >= MIN_CODE_KEYWORDS)
+            & (F.col("indent_lines") >= MIN_CODE_INDENT_LINES)
+        )
+        | (F.col("sym_ratio") >= MIN_CODE_SYM_RATIO),
+    )

@@ -409,3 +409,36 @@ def test_latest_capture_keeps_newest_per_canonical_url(spark):
     plan = latest_capture(df)._jdf.queryExecution().executedPlan().toString()
     assert "partial_max_by" in plan    # map-side combine before the exchange
     assert plan.count("Exchange") == 1
+
+
+def test_cluster_balanced_sample_caps_per_cell(spark):
+    """Two well-separated embedding families; per_cluster=3 must keep
+    exactly 3 per cell, every vector comes back, and the draw is a pure
+    function of the ids (re-run identical)."""
+    from ocr_spark.operators.similarity import cluster_balanced_sample
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows += [(2 + i, [1.0, 0.01 * i]) for i in range(10)]
+    rows += [(12 + i, [0.01 * i, 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = cluster_balanced_sample(df, per_cluster=3, n_centroids=2)
+    got = out.collect()
+    assert len(got) == 22                      # never-drop
+    by_cell: dict[int, list] = {}
+    for r in got:
+        by_cell.setdefault(r.cent_id, []).append(r)
+    assert len(by_cell) == 2
+    for cell, members in by_cell.items():
+        picked = [r for r in members if r.picked]
+        assert len(picked) == 3, (cell, members)
+        assert sorted(r.pick_rank for r in picked) == [1, 2, 3]
+        # picked = the 3 smallest (pick_key, id) in the cell
+        cutoff = max((r.pick_key, r.vec_id) for r in picked)
+        for r in members:
+            if not r.picked:
+                assert (r.pick_key, r.vec_id) > cutoff
+
+    again = {r.vec_id: r.picked for r in
+             cluster_balanced_sample(df, per_cluster=3, n_centroids=2).collect()}
+    assert again == {r.vec_id: r.picked for r in got}

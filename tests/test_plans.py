@@ -221,3 +221,24 @@ def test_host_boilerplate_long_keyed_shuffle(spark):
     # partitioning arguments live in the detail section, not the tree
     assert "hashpartitioning(hh" in plan
     assert "hashpartitioning(line" not in plan
+
+
+def test_cluster_sample_broadcast_centroids_no_cartesian(spark):
+    # same contract as semantic_dedup: centroids ride a broadcast, the
+    # corpus never crosses a cartesian, nothing drops to Python
+    plan = _plan(spark, "cluster_sample")
+    tree = _tree(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastExchange" in tree
+    assert "Python" not in plan
+
+
+def test_textprofile_gates_are_zero_shuffle(spark):
+    # both character-class profile gates are stateless projections:
+    # streaming-safe, no exchange, no Python, single scan
+    for name in ("script_stats", "code_detect"):
+        plan = _plan(spark, name)
+        tree = _tree(plan)
+        assert "Exchange" not in tree, name
+        assert "Python" not in plan, name
+        assert tree.count("Scan parquet") == 1, name
