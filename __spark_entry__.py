@@ -1600,6 +1600,37 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The BPE query's training artifact: a fixed exemplar word-count table
+# (the production shape — tokenizers are fit offline on a bounded sample
+# and shipped as an artifact; the DISTRIBUTED fit path,
+# tokenizer.fit_word_counts, is exercised by test_tokenizer). 24 of the
+# corpus's 31 words with stylized descending counts: the 7 absent words
+# exercise the <unk> path corpus-wide. Shared with the oracle so the
+# fitted map cannot drift between engines.
+BPE_TRAIN_COUNTS = {
+    "join": 96, "hash": 94, "row": 93, "batch": 92, "scan": 91,
+    "customer": 90, "column": 89, "filter": 88, "small": 87, "slow": 86,
+    "merge": 85, "order": 84, "vector": 83, "line": 82, "data": 81,
+    "table": 80, "agg": 79, "value": 78, "key": 77, "stream": 76,
+    "window": 75, "spark": 74, "group": 73, "part": 72,
+}
+BPE_N_MERGES = 40
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide BPE tokenization with the fixed shipped encoder
+    (BPE_TRAIN_COUNTS -> deterministic merges -> word->tokens map):
+    per document the word count, token count, <unk> count, and the md5
+    fingerprint of the full decoded token stream. The apply — tokenize,
+    map lookup, '<unk>' fallback, fingerprint — is replayed exactly in
+    the DuckDB twin with the same embedded map."""
+    from ocr_spark.core.bpe import build_word_map
+    from ocr_spark.operators.tokenizer import bpe_encode
+
+    word_map = build_word_map(BPE_TRAIN_COUNTS, BPE_N_MERGES)
+    return bpe_encode(_t(spark, sf_dir, "documents"), word_map)
+
+
 # block count for q_bloom_gate's filter — part of the filter's identity,
 # shared with the oracle so the bit layout cannot drift
 BLOOM_GATE_NB = 1024
@@ -1731,7 +1762,9 @@ _EXTRA_KEYS = frozenset(
     # seeded-Lloyd core); script_stats / code_detect: the quality family's
     # character-class profile gates (witness: quality_filter / lang_id) —
     # all oracle-checked by test_oracle_parity
-    "cluster_sample script_stats code_detect".split()
+    # bpe_tokens: real BPE apply with a shipped fitted encoder (witness:
+    # token_stats / pack_sequences share the tokenization family)
+    "cluster_sample script_stats code_detect bpe_tokens".split()
 )
 
 _QUERIES = {
@@ -1822,6 +1855,7 @@ _QUERIES = {
         "cluster_sample": q_cluster_sample,
         "script_stats": q_script_stats,
         "code_detect": q_code_detect,
+        "bpe_tokens": q_bpe_tokens,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -3629,6 +3663,47 @@ def _host_line_dedup_oracle() -> str:
     """
 
 
+def _bpe_tokens_oracle() -> str:
+    """DuckDB twin of q_bpe_tokens: the identical fitted word->tokens map
+    (built from the shared BPE_TRAIN_COUNTS constant by the same pure
+    core, embedded as VALUES), the same tokenize / lookup / '<unk>'
+    fallback / ordered join / md5 fingerprint."""
+    from ocr_spark.core.bpe import build_word_map
+
+    word_map = build_word_map(BPE_TRAIN_COUNTS, BPE_N_MERGES)
+    vals = ", ".join(
+        "('{w}', '{t}')".format(w=w, t=t) for w, t in sorted(word_map.items())
+    )
+    return """
+        WITH wmap(w, t) AS (VALUES {VALS}),
+        toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')), '{TOK}') AS tk
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, i, tk[i] AS w
+            FROM toks, unnest(generate_series(1, len(tk))) AS u(i)
+        ), mt AS (
+            SELECT p.doc_id, p.i, coalesce(mp.t, '<unk>') AS t
+            FROM pos p LEFT JOIN wmap mp ON p.w = mp.w
+        ), agg AS (
+            SELECT doc_id,
+                   count(*) AS n_words,
+                   string_agg(t, ' ' ORDER BY i) AS full,
+                   sum(CASE WHEN t = '<unk>' THEN 1 ELSE 0 END) AS n_unk
+            FROM mt GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+               CAST(CASE WHEN coalesce(a.full, '') = '' THEN 0
+                         ELSE len(string_split(a.full, ' ')) END AS BIGINT)
+                   AS n_tokens,
+               CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk,
+               md5(coalesce(a.full, '')) AS tokens_fp
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """.replace("{VALS}", vals).replace("{TOK}", _TOKEN_SQL)
+
+
 def _script_stats_oracle() -> str:
     """DuckDB twin of q_script_stats: same plants, same explicit
     code-point-range classes (imported from the operator module so the
@@ -4004,6 +4079,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "cluster_sample": _cluster_sample_oracle(),
         "script_stats": _script_stats_oracle(),
         "code_detect": _code_detect_oracle(),
+        "bpe_tokens": _bpe_tokens_oracle(),
         "bm25": _bm25_oracle(),
         "train_eval_split": _train_eval_split_oracle(),
         "within_doc_dedup": _within_doc_dedup_oracle(),

@@ -116,7 +116,8 @@ BENCH_QUERIES = (
     "merge_table token_budget_mix host_quality bloom_gate "
     "semantic_dedup bm25 train_eval_split within_doc_dedup latest_capture "
     "quality_classifier perplexity_buckets soft_sample blocklist "
-    "cdx_fetch_plan"
+    "cdx_fetch_plan extract_spans host_boilerplate dsir_sample blockwords "
+    "cluster_sample script_stats code_detect"
 ).split()
 
 

@@ -1,0 +1,106 @@
+"""Distributed BPE tokenization: sample-fit, broadcast-apply.
+
+Production tokenizers are FIT once on a bounded sample (single-node —
+the HF-tokenizers deployment shape) and APPLIED corpus-wide; the apply is
+what must scale. This module does exactly that, Spark-first:
+
+- ``fit_word_counts``: the distributed half of the fit — tokenize, one
+  map-side-combined word-count shuffle, take the top ``max_words`` by
+  (count desc, word asc) through TakeOrderedAndProject. The collected
+  sample is vocabulary-bounded (the legitimate tiny-aggregate class: it
+  IS the training sample, not corpus data).
+- ``core.bpe.build_word_map``: the pure serial fit (golden-pinned).
+- ``bpe_encode``: corpus-wide apply as a ZERO-SHUFFLE stateless
+  projection — the fitted word->tokens map rides the task binary as a
+  map literal (at production vocab sizes, swap in a broadcast join on
+  the word column; identical semantics), unfitted words encode to the
+  single token '<unk>'. Streaming-safe.
+
+Word-level memoization is the published fast path for corpus-scale BPE
+(token sequences depend only on the word, so the map IS the encoder);
+open-vocabulary corpora fall back per unseen word — here to '<unk>',
+the bounded-vocab convention this engine's synthetic corpus justifies
+(disclosed; a char-fallback is a one-line change on both engines).
+
+Determinism/oracle: the fitted map is a pure function of the training
+counts; the apply is tokenize + lookup + join, so
+``__spark_entry__._bpe_tokens_oracle`` replays the WHOLE application —
+the map embedded as VALUES, the same md5 fingerprint over the decoded
+token stream. The fit itself is non-SQL-expressible (iterative) and is
+instead pinned by hand-computed goldens + a distributed==serial test.
+
+Reference analog: the engine-init amortization contract (E2) — the
+recognition model is loaded once and served per batch
+(one_key_process.py:1056-1076); here the "model" is the merge table.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.bpe import build_word_map
+from ..functions.text import TOKEN_PATTERN
+
+UNK = "<unk>"
+DEFAULT_N_MERGES = 40
+DEFAULT_MAX_WORDS = 24
+
+
+def fit_word_counts(df: DataFrame, text_col: str = "text",
+                    max_words: int = DEFAULT_MAX_WORDS) -> dict[str, int]:
+    """Top ``max_words`` corpus words by (count desc, word asc) — the
+    deterministic bounded training sample for the serial fit."""
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(TOKEN_PATTERN), F.lit(0),
+    )
+    rows = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_words)
+        .collect()
+    )
+    return {r["w"]: r["c"] for r in rows}
+
+
+def fit_bpe_encoder(df: DataFrame, text_col: str = "text",
+                    n_merges: int = DEFAULT_N_MERGES,
+                    max_words: int = DEFAULT_MAX_WORDS) -> dict[str, str]:
+    """Distributed-sample + serial-fit: the word -> token-string map."""
+    return build_word_map(fit_word_counts(df, text_col, max_words), n_merges)
+
+
+def _map_literal(word_map: dict[str, str]) -> Column:
+    return F.create_map(
+        *chain.from_iterable((F.lit(w), F.lit(t)) for w, t in sorted(word_map.items()))
+    )
+
+
+def bpe_encode(df: DataFrame, word_map: dict[str, str],
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a fitted encoder corpus-wide. Returns one row per input row
+    (NULL text = empty): (id, n_words, n_tokens, n_unk, tokens_fp) with
+    tokens_fp = md5 over the space-joined token stream — the compact
+    value-identity the oracle compares."""
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+        F.lit(TOKEN_PATTERN), F.lit(0),
+    )
+    m = _map_literal(word_map)
+    mapped = F.transform(toks, lambda w: F.coalesce(F.element_at(m, w), F.lit(UNK)))
+    full = F.array_join(mapped, " ")
+    n_tokens = F.when(full == "", F.lit(0)).otherwise(
+        F.size(F.split(full, " "))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.filter(mapped, lambda x: x == UNK)).cast("long").alias("n_unk"),
+        F.md5(full).alias("tokens_fp"),
+    )

@@ -242,3 +242,13 @@ def test_textprofile_gates_are_zero_shuffle(spark):
         assert "Exchange" not in tree, name
         assert "Python" not in plan, name
         assert tree.count("Scan parquet") == 1, name
+
+
+def test_bpe_tokens_zero_shuffle_apply(spark):
+    # the fitted encoder rides the task binary; the corpus-wide apply is
+    # a stateless projection
+    plan = _plan(spark, "bpe_tokens")
+    tree = _tree(plan)
+    assert "Exchange" not in tree
+    assert "Python" not in plan
+    assert tree.count("Scan parquet") == 1
