@@ -72,3 +72,29 @@ def test_html_output_is_normalize_canonical(s):
     ):
         text, _ = extract_html_text(markup)
         assert normalize_text(text) == text
+
+
+WORDS = st.text(alphabet="abcdef", min_size=1, max_size=10)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.dictionaries(WORDS, st.integers(1, 50), min_size=1, max_size=12),
+       st.integers(0, 30))
+def test_bpe_fit_deterministic_and_encode_total(counts, n_merges):
+    """BPE core invariants: the fit is a pure function of its input; every
+    encoded word re-concatenates to itself (lossless); token count never
+    exceeds word length; encoding is idempotent under re-encode."""
+    from ocr_spark.core.bpe import encode_word, fit_bpe
+
+    m1 = fit_bpe(counts, n_merges)
+    m2 = fit_bpe(dict(reversed(list(counts.items()))), n_merges)
+    assert m1 == m2                       # insertion-order independent
+    assert len(m1) <= n_merges
+    ranks = {p: i for i, p in enumerate(m1)}
+    for w in counts:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w
+        assert 1 <= len(toks) <= len(w)
+        # re-encoding each produced token splits it no further
+        for t in toks:
+            assert encode_word(t, ranks) == [t]
