@@ -1168,6 +1168,16 @@ def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_detect(planted)
 
 
+def q_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused one-pass signal table (RedPajama-v2 shape): 19 signals —
+    token/quality stats, language guess, content fingerprint, script mix,
+    code-likeness — in ONE projection over ONE scan (plan-pinned zero
+    shuffle). Exact DuckDB twin re-states every signal in one SELECT."""
+    from ocr_spark.operators.signals import quality_signals
+
+    return quality_signals(_t(spark, sf_dir, "documents"))
+
+
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling toward a target exemplar set (English
     docs with doc_id % 5 == 0): hashed-ngram log-likelihood-ratio weights
@@ -1763,8 +1773,10 @@ _EXTRA_KEYS = frozenset(
     # character-class profile gates (witness: quality_filter / lang_id) —
     # all oracle-checked by test_oracle_parity
     # bpe_tokens: real BPE apply with a shipped fitted encoder (witness:
-    # token_stats / pack_sequences share the tokenization family)
-    "cluster_sample script_stats code_detect bpe_tokens".split()
+    # token_stats / pack_sequences share the tokenization family);
+    # signals: the fused one-pass signal table (witness: each constituent
+    # family's own in-window query)
+    "cluster_sample script_stats code_detect bpe_tokens signals".split()
 )
 
 _QUERIES = {
@@ -1855,6 +1867,7 @@ _QUERIES = {
         "cluster_sample": q_cluster_sample,
         "script_stats": q_script_stats,
         "code_detect": q_code_detect,
+        "signals": q_signals,
         "bpe_tokens": q_bpe_tokens,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
@@ -3663,6 +3676,76 @@ def _host_line_dedup_oracle() -> str:
     """
 
 
+def _signals_oracle() -> str:
+    """DuckDB twin of q_signals: every fused signal re-stated in one
+    SELECT — the token/quality/lang/fingerprint fragments shared with
+    their focused twins, plus the script/code expressions built from the
+    operator module's own range/keyword constants (raw corpus, no plants:
+    the constituent operators' planted twins witness non-vacuity)."""
+    from ocr_spark.operators.textprofile import (
+        CODE_KEYWORDS,
+        CODE_SYMBOL_CLS,
+        MIN_CODE_INDENT_LINES,
+        MIN_CODE_KEYWORDS,
+        MIN_CODE_SYM_RATIO,
+        SCRIPT_ORDER,
+        SCRIPT_RANGES,
+    )
+
+    t = "coalesce(text, '')"
+    cnt = {
+        k: "(length({t}) - length(regexp_replace({t}, '[{cls}]', '', 'g')))"
+        .format(t=t, cls=SCRIPT_RANGES[k])
+        for k in SCRIPT_ORDER
+    }
+    nch = "length(regexp_replace({t}, '[ \t\n\r]', '', 'g'))".format(t=t)
+    fracs = ", ".join(
+        "round(CASE WHEN {n} = 0 THEN 0.0 ELSE {c}::DOUBLE / {n} END, 4)"
+        " AS {k}_frac".format(n=nch, c=cnt[k], k=k)
+        for k in SCRIPT_ORDER
+    )
+    dom_branches = []
+    for i, k in enumerate(SCRIPT_ORDER):
+        later = SCRIPT_ORDER[i + 1:]
+        cond = " AND ".join(f"{cnt[k]} >= {cnt[j]}" for j in later) or "TRUE"
+        dom_branches.append(f"WHEN {cond} THEN '{k}'")
+    dom = ("CASE WHEN greatest("
+           + ", ".join(cnt[k] for k in SCRIPT_ORDER)
+           + ") = 0 THEN 'other' "
+           + " ".join(dom_branches[:-1])
+           + f" ELSE '{SCRIPT_ORDER[-1]}' END")
+    nsym = ("(length({t}) - length(regexp_replace({t}, '{cls}', '', 'g')))"
+            .format(t=t, cls=CODE_SYMBOL_CLS))
+    symr = ("round(CASE WHEN {n} = 0 THEN 0.0 ELSE {s}::DOUBLE / {n} END, 4)"
+            .format(n=nch, s=nsym))
+    indent = ("len(list_filter(string_split({t}, chr(10)),"
+              " x -> regexp_matches(x, '^(\t|    )')))".format(t=t))
+    kws = ", ".join(f"'{k}'" for k in CODE_KEYWORDS)
+    kwh = ("len(list_filter(list_distinct(regexp_extract_all(lower({t}),"
+           " '{tok}')), x -> x IN ({kws})))"
+           .format(t=t, tok=_TOKEN_SQL, kws=kws))
+    return f"""
+        SELECT doc_id,
+               CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST({_WS_TOKENS} AS BIGINT) AS n_ws_tokens,
+               round({_PUNCT_RATIO}, 4) AS punct_ratio,
+               round({_STOP_RATIO}, 4) AS stopword_ratio,
+               {_QUALITY} AS quality,
+               {_LANG_PRED} AS lang_pred,
+               md5({_CANON}) AS fp,
+               CAST({nch} AS BIGINT) AS n_chars,
+               {fracs},
+               {dom} AS dominant_script,
+               CAST(len(string_split({t}, chr(10))) AS BIGINT) AS n_lines,
+               CAST({indent} AS BIGINT) AS indent_lines,
+               {symr} AS sym_ratio,
+               CAST({kwh} AS BIGINT) AS kw_hits,
+               (({kwh} >= {MIN_CODE_KEYWORDS} AND {indent} >= {MIN_CODE_INDENT_LINES})
+                OR {symr} >= {MIN_CODE_SYM_RATIO}) AS is_code
+        FROM documents
+    """
+
+
 def _bpe_tokens_oracle() -> str:
     """DuckDB twin of q_bpe_tokens: the identical fitted word->tokens map
     (built from the shared BPE_TRAIN_COUNTS constant by the same pure
@@ -4080,6 +4163,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "script_stats": _script_stats_oracle(),
         "code_detect": _code_detect_oracle(),
         "bpe_tokens": _bpe_tokens_oracle(),
+        "signals": _signals_oracle(),
         "bm25": _bm25_oracle(),
         "train_eval_split": _train_eval_split_oracle(),
         "within_doc_dedup": _within_doc_dedup_oracle(),

@@ -61,15 +61,11 @@ def _cls_count(text: Column, cls: str) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, f"[{cls}]", ""))
 
 
-def script_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, n_chars, latin_frac, cyrillic_frac, cjk_frac, arabic_frac,
-    greek_frac, dominant_script): per-document script mix over
-    non-whitespace characters. ``dominant_script`` is the max-count range
-    (SCRIPT_ORDER tie-break) or 'other' when no listed script occurs.
-    One output row per input row; NULL text counts as empty."""
-    text = F.coalesce(F.col(text_col), F.lit(""))
+def script_columns(text: Column) -> dict[str, Column]:
+    """The script-mix expression bundle over a coalesced text column —
+    shared by :func:`script_stats` and the fused one-pass
+    ``signals.quality_signals`` projection: n_chars plus, per
+    SCRIPT_ORDER entry, ``<script>_frac``, plus ``dominant_script``."""
     n_chars = F.length(F.regexp_replace(text, WHITESPACE_CLS, "")).cast("long")
     counts = {k: _cls_count(text, cls) for k, cls in SCRIPT_RANGES.items()}
 
@@ -89,24 +85,31 @@ def script_stats(
             4,
         )
 
+    out: dict[str, Column] = {"n_chars": n_chars}
+    for k in SCRIPT_ORDER:
+        out[f"{k}_frac"] = frac(counts[k])
+    out["dominant_script"] = dominant
+    return out
+
+
+def script_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_chars, latin_frac, cyrillic_frac, cjk_frac, arabic_frac,
+    greek_frac, dominant_script): per-document script mix over
+    non-whitespace characters. ``dominant_script`` is the max-count range
+    (SCRIPT_ORDER tie-break) or 'other' when no listed script occurs.
+    One output row per input row; NULL text counts as empty."""
+    cols = script_columns(F.coalesce(F.col(text_col), F.lit("")))
     return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        *[frac(counts[k]).alias(f"{k}_frac") for k in SCRIPT_ORDER],
-        dominant.alias("dominant_script"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
-def code_detect(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, n_chars, n_lines, indent_lines, sym_ratio, kw_hits, is_code):
-    code-likeness verdict. is_code when >= MIN_CODE_KEYWORDS distinct
-    code keywords co-occur with an indented line, OR symbol density alone
-    exceeds MIN_CODE_SYM_RATIO (dense config/JSON with no keywords).
-    Keyword matching is token-exact over TOKEN_PATTERN (lowercased), so
-    'classic' never hits 'class' — the blockword_filter idiom."""
-    text = F.coalesce(F.col(text_col), F.lit(""))
+def code_columns(text: Column) -> dict[str, Column]:
+    """The code-likeness expression bundle over a coalesced text column —
+    shared by :func:`code_detect` and ``signals.quality_signals``:
+    n_lines, indent_lines, sym_ratio, kw_hits, is_code."""
     n_chars = F.length(F.regexp_replace(text, WHITESPACE_CLS, "")).cast("long")
     lines = F.split(text, "\n")
     indent_lines = F.size(
@@ -123,18 +126,33 @@ def code_detect(
     kw_hits = F.size(
         F.array_intersect(toks, F.array(*[F.lit(k) for k in CODE_KEYWORDS]))
     ).cast("long")
+    is_code = (
+        (kw_hits >= MIN_CODE_KEYWORDS) & (indent_lines >= MIN_CODE_INDENT_LINES)
+    ) | (sym_ratio >= MIN_CODE_SYM_RATIO)
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "indent_lines": indent_lines,
+        "sym_ratio": sym_ratio,
+        "kw_hits": kw_hits,
+        "is_code": is_code,
+    }
+
+
+def code_detect(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_chars, n_lines, indent_lines, sym_ratio, kw_hits, is_code):
+    code-likeness verdict. is_code when >= MIN_CODE_KEYWORDS distinct
+    code keywords co-occur with an indented line, OR symbol density alone
+    exceeds MIN_CODE_SYM_RATIO (dense config/JSON with no keywords).
+    Keyword matching is token-exact over TOKEN_PATTERN (lowercased), so
+    'classic' never hits 'class' — the blockword_filter idiom."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(F.regexp_replace(text, WHITESPACE_CLS, "")).cast("long")
+    cols = code_columns(text)
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
-        F.size(lines).cast("long").alias("n_lines"),
-        indent_lines.alias("indent_lines"),
-        sym_ratio.alias("sym_ratio"),
-        kw_hits.alias("kw_hits"),
-    ).withColumn(
-        "is_code",
-        (
-            (F.col("kw_hits") >= MIN_CODE_KEYWORDS)
-            & (F.col("indent_lines") >= MIN_CODE_INDENT_LINES)
-        )
-        | (F.col("sym_ratio") >= MIN_CODE_SYM_RATIO),
+        *[cols[k].alias(k) for k in
+          ("n_lines", "indent_lines", "sym_ratio", "kw_hits", "is_code")],
     )

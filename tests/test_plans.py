@@ -252,3 +252,16 @@ def test_bpe_tokens_zero_shuffle_apply(spark):
     assert "Exchange" not in tree
     assert "Python" not in plan
     assert tree.count("Scan parquet") == 1
+
+
+def test_signals_single_scan_single_projection(spark):
+    # the fused signal table: one scan, one codegen projection, nothing
+    # else — no exchange, no join, no Python
+    plan = _plan(spark, "signals")
+    tree = _tree(plan)
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+    assert "Python" not in plan
+    assert tree.count("Scan parquet") == 1
+    # the tree is literally Project over Scan — nothing else
+    assert tree.count("Project") == 1
