@@ -1598,6 +1598,21 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN maintenance: the quantizer is fitted on the
+    COMMITTED corpus only (vec_id < 1500), the new ingest batch
+    (vec_id >= 1500) is assigned to those frozen cells — committed
+    vectors never re-read. The twin replays the committed-side fit and
+    the frozen-cell argmax exactly."""
+    from ocr_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    committed = emb.where(F.col("vec_id") < 1500)
+    new_batch = emb.where(F.col("vec_id") >= 1500)
+    cents = ivf_centroids(committed, n_centroids=16, n_iters=1)
+    return ivf_assign(new_batch, cents)
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCLM-style cluster-balanced selection over the embeddings table:
     seeded-Lloyd cells, at most 8 picks per cell by md5-uniform key.
@@ -1776,7 +1791,10 @@ _EXTRA_KEYS = frozenset(
     # token_stats / pack_sequences share the tokenization family);
     # signals: the fused one-pass signal table (witness: each constituent
     # family's own in-window query)
-    "cluster_sample script_stats code_detect bpe_tokens signals".split()
+    # ivf_assign: incremental ANN maintenance on frozen committed
+    # centroids (witness: ivf_topk shares the quantizer + argmax core)
+    "cluster_sample script_stats code_detect bpe_tokens signals "
+    "ivf_assign".split()
 )
 
 _QUERIES = {
@@ -1865,6 +1883,7 @@ _QUERIES = {
         "bloom_gate": q_bloom_gate,
         "semantic_dedup": q_semantic_dedup,
         "cluster_sample": q_cluster_sample,
+        "ivf_assign": q_ivf_assign,
         "script_stats": q_script_stats,
         "code_detect": q_code_detect,
         "signals": q_signals,
@@ -3006,6 +3025,54 @@ def _semantic_dedup_oracle() -> str:
                (d.dup_of IS NOT NULL) AS is_dup,
                coalesce(d.dup_of, -1) AS dup_of
         FROM assign a LEFT JOIN dup d ON a.vec_id = d.id_b
+    """
+
+
+def _ivf_assign_oracle() -> str:
+    """DuckDB twin of q_ivf_assign: seeded-Lloyd replay restricted to the
+    committed subset (vec_id < 1500), then the frozen-cell argmax over
+    the new batch with the 4-dp winning cosine."""
+    return """
+        WITH committed AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            WHERE vec_id < 1500
+        ), newb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            WHERE vec_id >= 1500
+        ), seeds AS (
+            SELECT vec_id AS cent_id, e AS cv FROM committed WHERE vec_id < 16
+        ), assign0 AS (
+            SELECT vec_id, cent_id FROM (
+                SELECT c.vec_id, s.cent_id,
+                       row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                         list_dot_product(c.e, s.cv)
+                         / (sqrt(list_dot_product(c.e, c.e))
+                            * sqrt(list_dot_product(s.cv, s.cv))) DESC,
+                         s.cent_id ASC) AS rn
+                FROM committed c, seeds s
+            ) WHERE rn = 1
+        ), dims AS (
+            SELECT vec_id, i AS pos, e[i] AS x
+            FROM committed, unnest(generate_series(1, len(e))) AS t(i)
+        ), refined AS (
+            SELECT cent_id, list(m ORDER BY pos) AS cv FROM (
+                SELECT a.cent_id, d.pos, round(avg(d.x), 6) AS m
+                FROM assign0 a JOIN dims d ON a.vec_id = d.vec_id
+                GROUP BY a.cent_id, d.pos
+            ) GROUP BY cent_id
+        )
+        SELECT vec_id, cent_id, round(cos, 4) AS cosine FROM (
+            SELECT n.vec_id, r.cent_id,
+                   list_dot_product(n.e, r.cv)
+                   / (sqrt(list_dot_product(n.e, n.e))
+                      * sqrt(list_dot_product(r.cv, r.cv))) AS cos,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                     list_dot_product(n.e, r.cv)
+                     / (sqrt(list_dot_product(n.e, n.e))
+                        * sqrt(list_dot_product(r.cv, r.cv))) DESC,
+                     r.cent_id ASC) AS rn
+            FROM newb n, refined r
+        ) WHERE rn = 1
     """
 
 
@@ -4160,6 +4227,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "bloom_gate": _bloom_gate_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "cluster_sample": _cluster_sample_oracle(),
+        "ivf_assign": _ivf_assign_oracle(),
         "script_stats": _script_stats_oracle(),
         "code_detect": _code_detect_oracle(),
         "bpe_tokens": _bpe_tokens_oracle(),

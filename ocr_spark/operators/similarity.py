@@ -290,6 +290,37 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def ivf_assign(df: DataFrame, cents: DataFrame,
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Assign vectors to FROZEN centroids — the incremental ANN
+    maintenance path: at ingest scale the quantizer is fitted once on the
+    committed corpus, persisted (iceberg-lite — the centroid table is
+    n_centroids rows), and every new batch is assigned to the frozen
+    cells without touching committed vectors; refits are periodic policy,
+    not per-batch work. Completes the incremental family: exact dedup
+    gates on persisted fingerprints, near-dup on persisted signatures
+    (operators/incremental.py), ANN on persisted centroids.
+
+    Returns (id_col, cent_id, cosine): the argmax-cosine cell per vector
+    (ties -> lowest cent_id) and the winning cosine rounded to 4 dp — the
+    drift signal (falling per-cell mean cosine says the frozen quantizer
+    no longer fits the incoming distribution).
+
+    Shape: one broadcast of the centroid table, one map-side-combined
+    ``max_by`` aggregation — the new batch shuffles once on its id, the
+    committed corpus is never read. Exact DuckDB twin
+    (``__spark_entry__._ivf_assign_oracle``)."""
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = df.select(F.col(id_col), emb.alias("v")).join(F.broadcast(cents))
+    cos = cosine_col(F.col("v"), F.col("cv"))
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("cent_id"), F.struct(cos.alias("c"), (-F.col("cent_id")).alias("t"))
+        ).alias("cent_id"),
+        F.round(F.max(cos), 4).alias("cosine"),
+    )
+
+
 def cluster_balanced_sample(df: DataFrame, per_cluster: int = 8,
                             n_centroids: int = 16, n_iters: int = 1,
                             vec_col: str = "embedding", id_col: str = "vec_id",

@@ -442,3 +442,36 @@ def test_cluster_balanced_sample_caps_per_cell(spark):
     again = {r.vec_id: r.picked for r in
              cluster_balanced_sample(df, per_cluster=3, n_centroids=2).collect()}
     assert again == {r.vec_id: r.picked for r in got}
+
+
+def test_ivf_assign_frozen_centroids_and_persistence(spark, tmp_path):
+    """Incremental ANN maintenance: new vectors assign to the committed
+    corpus's frozen centroids; persisting the centroid table through
+    iceberg-lite and reading it back yields the identical assignment
+    (the per-ingest-batch deployment shape — committed vectors never
+    re-read, quantizer refit is policy, not per-batch)."""
+    from ocr_spark.operators.similarity import ivf_assign, ivf_centroids
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows += [(2 + i, [1.0, 0.02 * i]) for i in range(8)]
+    rows += [(10 + i, [0.02 * i, 1.0]) for i in range(8)]
+    committed = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    newb = spark.createDataFrame(
+        [(100, [1.0, 0.05]), (101, [0.03, 1.0]), (102, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = ivf_centroids(committed, n_centroids=2, n_iters=1)
+
+    direct = {r.vec_id: r for r in ivf_assign(newb, cents).collect()}
+    assert direct[100].cent_id == 0 and direct[101].cent_id == 1
+    assert direct[100].cosine > 0.99 and direct[101].cosine > 0.99
+    # the equidistant probe lands deterministically (argmax w/ id tiebreak)
+    assert direct[102].cent_id in (0, 1)
+
+    t = IcebergLiteTable(str(tmp_path / "centroids"))
+    t.append(cents)
+    reread = t.read(spark)
+    again = {r.vec_id: r for r in ivf_assign(newb, reread).collect()}
+    assert {k: (v.cent_id, v.cosine) for k, v in direct.items()} == \
+        {k: (v.cent_id, v.cosine) for k, v in again.items()}
