@@ -1613,6 +1613,27 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(new_batch, cents)
 
 
+def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical span-level benchmark decontamination: the benchmark set is
+    the first 12 normalized tokens of every 9th document, so those
+    documents (and any document sharing one of the 8-grams) must come
+    back with exactly that region excised and everything else intact.
+    Exact DuckDB twin."""
+    from ocr_spark.functions.text import normalized_for_fingerprint
+    from ocr_spark.operators.spans import decontaminate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 9 == 0).select(
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(normalized_for_fingerprint(F.col("text")), " "), 1, 12
+            ),
+        ).alias("text")
+    )
+    return decontaminate_spans(d, bench)
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DCLM-style cluster-balanced selection over the embeddings table:
     seeded-Lloyd cells, at most 8 picks per cell by md5-uniform key.
@@ -1793,8 +1814,10 @@ _EXTRA_KEYS = frozenset(
     # family's own in-window query)
     # ivf_assign: incremental ANN maintenance on frozen committed
     # centroids (witness: ivf_topk shares the quantizer + argmax core)
+    # decontam_spans: surgical span-level decontamination (witness:
+    # contamination + dup_span_removal share its gram/excise machinery)
     "cluster_sample script_stats code_detect bpe_tokens signals "
-    "ivf_assign".split()
+    "ivf_assign decontam_spans".split()
 )
 
 _QUERIES = {
@@ -1884,6 +1907,7 @@ _QUERIES = {
         "semantic_dedup": q_semantic_dedup,
         "cluster_sample": q_cluster_sample,
         "ivf_assign": q_ivf_assign,
+        "decontam_spans": q_decontam_spans,
         "script_stats": q_script_stats,
         "code_detect": q_code_detect,
         "signals": q_signals,
@@ -2208,6 +2232,78 @@ def _dup_span_removal_oracle(src: str = "documents", w: int = 8) -> str:
         SELECT doc_id,
                -- DuckDB's array_to_string returns NULL for the empty list
                -- (fully-excised doc); the engine's array_join returns ''
+               coalesce(array_to_string(k, ' '), '') AS clean_text,
+               CAST(CASE WHEN t = '' THEN 0 ELSE len(w) END AS BIGINT)
+                   AS n_words,
+               CAST(len(w) - len(k) AS BIGINT) AS n_removed
+        FROM kept
+    """
+
+
+def _decontam_spans_oracle(w: int = 8) -> str:
+    """DuckDB twin of q_decontam_spans: the dup_span_removal span chain
+    with the hit set redefined as corpus grams ∩ benchmark grams (the
+    first-12-token prefixes of every 9th document), no ownership
+    exemption."""
+    canon_nn = ("trim(regexp_replace(lower(coalesce(text, '')), "
+                "'[ \t\n]+', ' ', 'g'))")
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, {canon_nn} AS t FROM documents
+        ), words AS (
+            SELECT doc_id, string_split(t, ' ') AS w FROM docs WHERE t <> ''
+        ), bwords AS (
+            SELECT w[1:12] AS bw FROM words WHERE doc_id % 9 = 0
+        ), bgrams AS (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(array_to_string(
+                        bw[pos + 1 : pos + {w}], ' ')), 1, 15))::BIGINT AS gh
+            FROM bwords, unnest(range(0, len(bw) - {w - 1})) AS ub(pos)
+            WHERE len(bw) >= {w}
+        ), grams AS (
+            SELECT doc_id, pos,
+                   ('0x' || substr(md5(array_to_string(
+                        w[pos + 1 : pos + {w}], ' ')), 1, 15))::BIGINT AS gh
+            FROM words, unnest(range(0, len(w) - {w - 1})) AS u(pos)
+            WHERE len(w) >= {w}
+        ), hits AS (
+            SELECT DISTINCT g.doc_id, g.pos
+            FROM grams g JOIN bgrams b USING (gh)
+        ), flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER win IS NULL
+                          OR pos - lag(pos) OVER win > {w}
+                        THEN 1 ELSE 0 END AS new_seg
+            FROM hits
+            WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        ), segs AS (
+            SELECT doc_id, pos,
+                   sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+            FROM flagged
+        ), spans AS (
+            SELECT doc_id, seg, min(pos) AS s, max(pos) + {w - 1} AS e
+            FROM segs GROUP BY doc_id, seg
+        ), span_list AS (
+            SELECT doc_id, list([s, e] ORDER BY s) AS spans
+            FROM spans GROUP BY doc_id
+        ), base AS (
+            SELECT d.doc_id, d.t,
+                   CASE WHEN d.t = '' THEN [''] ELSE string_split(d.t, ' ')
+                   END AS w
+            FROM docs d
+        ), j AS (
+            SELECT b.doc_id, b.t, b.w,
+                   coalesce(sl.spans, CAST([] AS BIGINT[][])) AS spans
+            FROM base b LEFT JOIN span_list sl USING (doc_id)
+        ), kept AS (
+            SELECT doc_id, t, w,
+                   [w[i] for i in generate_series(1, len(w))
+                    if len(list_filter(spans,
+                           sp -> i - 1 >= sp[1] AND i - 1 <= sp[2])) = 0
+                   ] AS k
+            FROM j
+        )
+        SELECT doc_id,
                coalesce(array_to_string(k, ' '), '') AS clean_text,
                CAST(CASE WHEN t = '' THEN 0 ELSE len(w) END AS BIGINT)
                    AS n_words,
@@ -4228,6 +4324,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle(),
         "cluster_sample": _cluster_sample_oracle(),
         "ivf_assign": _ivf_assign_oracle(),
+        "decontam_spans": _decontam_spans_oracle(),
         "script_stats": _script_stats_oracle(),
         "code_detect": _code_detect_oracle(),
         "bpe_tokens": _bpe_tokens_oracle(),

@@ -140,6 +140,35 @@ def dup_spans(
     )
 
 
+def _doc_grams(df: DataFrame, text_col: str, id_col: str,
+               w: int) -> tuple[DataFrame, DataFrame]:
+    """(base, grams): base = every document as (id, toks); grams = one
+    (id, pos, gh) row per w-gram (docs shorter than w emit none) — the
+    shared front half of the span-rewrite family."""
+    norm = normalized_for_fingerprint(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.split(norm, " ")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    grams = (
+        base.where(F.size("toks") >= w)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - w),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        _gram_hash60(
+                            F.concat_ws(" ", F.slice(F.col("toks"), i + 1, w))
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+    return base, grams
+
+
 def remove_dup_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -166,27 +195,7 @@ def remove_dup_spans(
     At 100 TB the extra cost over :func:`dup_span_stats` is one wider
     aggregate value in the gram groupBy (the min-id owner) and the
     per-doc span array (bounded by words/w per doc)."""
-    norm = normalized_for_fingerprint(F.coalesce(F.col(text_col), F.lit("")))
-    toks = F.split(norm, " ")
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-    grams = (
-        base.where(F.size("toks") >= w)
-        .select(
-            "id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - w),
-                    lambda i: F.struct(
-                        i.cast("long").alias("pos"),
-                        _gram_hash60(
-                            F.concat_ws(" ", F.slice(F.col("toks"), i + 1, w))
-                        ).alias("gh"),
-                    ),
-                )
-            ).alias("g"),
-        )
-        .select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
-    )
+    base, grams = _doc_grams(df, text_col, id_col, w)
     owners = (
         grams.groupBy("gh")
         .agg(
@@ -202,6 +211,15 @@ def remove_dup_spans(
         .select("id", "pos")
         .distinct()
     )
+    return _excise_hits(base, hits, w, id_col)
+
+
+def _excise_hits(base: DataFrame, hits: DataFrame, w: int,
+                 id_col: str) -> DataFrame:
+    """Union the hit windows [pos, pos+w-1] per document (touch-or-overlap
+    merge) and excise every covered word — the shared back half of
+    remove_dup_spans and decontaminate_spans. (id_col, clean_text,
+    n_words, n_removed); every ``base`` document gets a row."""
     win = Window.partitionBy("id").orderBy("pos")
     prev = F.lag("pos").over(win)
     flagged = hits.select(
@@ -285,3 +303,57 @@ def dup_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    w: int = SPAN_W,
+) -> DataFrame:
+    """SURGICAL benchmark decontamination: excise from every corpus
+    document each span covered by a ``w``-gram that occurs anywhere in the
+    benchmark set, keeping the rest of the document — the span-level
+    alternative to doc-level drop/flag decontamination
+    (``dedup.contamination``): a 10k-word page that quotes one benchmark
+    question loses the quote, not the page. No ownership exemption:
+    benchmark text is removed from EVERY document (eval data must not
+    survive anywhere, unlike the keep-one-copy dedup rewrite).
+
+    Returns (doc_id, clean_text, n_words, n_removed); every input
+    document gets a row.
+
+    Shape: the corpus side is the shared gram stream (one explode, (id,
+    pos, 8-byte hash) rows); the benchmark gram set is distinct-hashed and
+    BROADCAST (benchmarks are tiny next to the corpus), so the hit test is
+    a map-side semi-join — the corpus shuffles only for the per-document
+    span union, same as remove_dup_spans. Exact DuckDB twin
+    (``__spark_entry__._decontam_spans_oracle``)."""
+    base, grams = _doc_grams(df, text_col, id_col, w)
+    bench_norm = normalized_for_fingerprint(
+        F.coalesce(F.col(bench_text_col), F.lit(""))
+    )
+    btoks = F.split(bench_norm, " ")
+    bench_gh = (
+        benchmark.select(btoks.alias("toks"))
+        .where(F.size("toks") >= w)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - w),
+                    lambda i: _gram_hash60(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i + 1, w))
+                    ),
+                )
+            ).alias("gh")
+        )
+        .distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(bench_gh), "gh", "left_semi")
+        .select("id", "pos")
+        .distinct()
+    )
+    return _excise_hits(base, hits, w, id_col)

@@ -161,3 +161,42 @@ def test_removal_is_idempotent_on_its_own_output(spark):
     )
     second = {r["doc_id"]: r for r in remove_dup_spans(first).collect()}
     assert all(r["n_removed"] == 0 for r in second.values())
+
+
+def test_decontaminate_spans_excises_benchmark_only(spark):
+    """A corpus doc quoting a benchmark item loses exactly the quoted
+    region (plus the <w fringe by gram granularity); clean docs and the
+    rest of the contaminated doc survive verbatim; no ownership
+    exemption — the bench text vanishes from every doc containing it."""
+    from ocr_spark.operators.spans import decontaminate_spans
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rows = [
+        (0, f"intro words here {bench_text} outro words conclude nicely"),
+        (1, "a fully clean document with no benchmark overlap at all ok"),
+        (2, bench_text),                      # pure benchmark copy -> empty
+        (3, None),                            # NULL text survives as empty
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    out = {r.doc_id: r for r in decontaminate_spans(corpus, bench, w=8).collect()}
+    assert len(out) == 4
+    assert out[0].clean_text == "intro words here outro words conclude nicely"
+    assert out[0].n_removed == 8
+    assert out[1].n_removed == 0 and "fully clean" in out[1].clean_text
+    assert out[2].clean_text == "" and out[2].n_removed == 8
+    assert out[3].clean_text == "" and out[3].n_words == 0
+
+
+def test_decontaminate_spans_merges_touching_windows(spark):
+    """Two overlapping benchmark grams union into one excision interval
+    (no double counting)."""
+    from ocr_spark.operators.spans import decontaminate_spans
+
+    bench = "one two three four five six seven eight nine ten"  # 10 words
+    corpus = spark.createDataFrame(
+        [(0, f"head {bench} tail")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame([(bench,)], "text string")
+    r = decontaminate_spans(corpus, b, w=8).collect()[0]
+    assert r.clean_text == "head tail" and r.n_removed == 10
