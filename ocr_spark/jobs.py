@@ -90,6 +90,28 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 0 if bad == 0 else 2
 
 
+def cmd_signals(args: argparse.Namespace) -> int:
+    """Compute the fused per-document signal table over the committed
+    extracted output and commit it beside it — the ship-signals-filter-
+    later curation layout (one scan; see operators/signals.py)."""
+    from ocr_spark.operators.signals import quality_signals
+    from ocr_spark.pipeline import read_extracted
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    spark = _spark()
+    ext = read_extracted(spark, args.table_root)
+    if ext is None:
+        print("no committed snapshots", file=sys.stderr)
+        return 1
+    sig = quality_signals(ext, id_col="url")
+    t = IcebergLiteTable(f"{args.table_root}/signals")
+    sid = t.append(sig)
+    out = t.read(spark)
+    print(f"signals snapshot {sid} ({out.count()} rows, "
+          f"{len(out.columns)} columns)")
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     from ocr_spark.sources.iceberg_lite import IcebergLiteTable
 
@@ -149,6 +171,12 @@ def main(argv: list[str] | None = None) -> int:
     va = sub.add_parser("validate", help="QA expectations over committed output")
     va.add_argument("--table-root", required=True)
     va.set_defaults(fn=cmd_validate)
+
+    si = sub.add_parser(
+        "signals", help="fused per-document signal table over committed output"
+    )
+    si.add_argument("--table-root", required=True)
+    si.set_defaults(fn=cmd_signals)
 
     co = sub.add_parser("compact", help="rewrite a table's data files (snapshot commit)")
     co.add_argument("--table-root", required=True)

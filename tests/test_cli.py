@@ -1,0 +1,62 @@
+"""In-process CLI chain test: the spark-submit surface (jobs.py) driven
+end-to-end — synth -> extract -> signals -> validate -> compact ->
+expire — against one tmp table root. jobs._spark() reuses the active
+test session via getOrCreate, so the chain runs exactly the shipped
+code path minus the JVM launch."""
+
+import pytest
+
+from ocr_spark import jobs
+
+
+@pytest.fixture(scope="module")
+def roots(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    pages = str(base / "pages")
+    table_root = str(base / "warehouse")
+    assert jobs.main(["synth", "--n", "400", "--output", pages]) == 0
+    return pages, table_root
+
+
+def test_cli_extract_then_resume_noop(roots, capsys):
+    pages, table_root = roots
+    assert jobs.main([
+        "extract", "--input", pages, "--table-root", table_root,
+        "--run-id", "cli-r1", "--chunks", "2",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "run_id=cli-r1" in out and "docs=400" in out
+    # second run resumes: everything committed, nothing re-extracted
+    assert jobs.main([
+        "extract", "--input", pages, "--table-root", table_root,
+        "--run-id", "cli-r2", "--chunks", "2",
+    ]) == 0
+    assert "docs=0" in capsys.readouterr().out
+
+
+def test_cli_signals_commits_beside_output(roots, spark, capsys):
+    pages, table_root = roots
+    assert jobs.main(["signals", "--table-root", table_root]) == 0
+    assert "signals snapshot" in capsys.readouterr().out
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    sig = IcebergLiteTable(f"{table_root}/signals").read(spark)
+    assert sig.count() == 400
+    assert {"url", "n_tokens", "dominant_script", "is_code"} <= set(sig.columns)
+
+
+def test_cli_validate_compact_expire(roots, capsys):
+    pages, table_root = roots
+    assert jobs.main(["validate", "--table-root", table_root]) == 0
+    assert jobs.main([
+        "compact", "--table-root", table_root, "--target-partitions", "2",
+    ]) == 0
+    assert "compacted into snapshot" in capsys.readouterr().out
+    assert jobs.main([
+        "expire", "--table-root", table_root, "--keep-last", "1",
+    ]) == 0
+    assert "expired" in capsys.readouterr().out
+
+
+def test_cli_signals_without_snapshots_fails_cleanly(tmp_path):
+    assert jobs.main(["signals", "--table-root", str(tmp_path / "empty")]) == 1
