@@ -1481,6 +1481,20 @@ def q_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_blocklist(pages, min_docs=5, min_kept_frac=0.85)
 
 
+def q_host_quality_eb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes smoothed domain quality: every host judged by its
+    Beta-Binomial posterior mean (prior = corpus kept rate, strength 20),
+    so small hosts shrink toward the prior instead of being exempted by
+    a support floor. Exact DuckDB twin."""
+    from ocr_spark.operators.mixing import domain_quality_eb
+
+    d = _t(spark, sf_dir, "documents")
+    pages = _messy_urls(d).select("doc_id", "url").join(
+        d.select("doc_id", "text"), "doc_id"
+    )
+    return domain_quality_eb(pages, prior_strength=20.0, min_smoothed_frac=0.85)
+
+
 def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head-metadata extraction (title / description / og:title / canonical
     / robots meta / html lang) as zero-shuffle zero-Python JVM regexes over
@@ -1816,8 +1830,10 @@ _EXTRA_KEYS = frozenset(
     # centroids (witness: ivf_topk shares the quantizer + argmax core)
     # decontam_spans: surgical span-level decontamination (witness:
     # contamination + dup_span_removal share its gram/excise machinery)
+    # host_quality_eb: the floor-free Beta-Binomial smoothing variant of
+    # host_quality (same witness)
     "cluster_sample script_stats code_detect bpe_tokens signals "
-    "ivf_assign decontam_spans".split()
+    "ivf_assign decontam_spans host_quality_eb".split()
 )
 
 _QUERIES = {
@@ -1903,6 +1919,7 @@ _QUERIES = {
         "stream_extract": q_stream_extract,
         "token_budget_mix": q_token_budget_mix,
         "host_quality": q_host_quality,
+        "host_quality_eb": q_host_quality_eb,
         "bloom_gate": q_bloom_gate,
         "semantic_dedup": q_semantic_dedup,
         "cluster_sample": q_cluster_sample,
@@ -3251,6 +3268,39 @@ def _host_quality_oracle() -> str:
     """
 
 
+def _host_quality_eb_oracle() -> str:
+    """DuckDB twin of q_host_quality_eb: the same kept column, per-host
+    (n_docs, n_kept), the corpus-wide rate g as a cross-joined 1-row
+    aggregate, the Beta-Binomial posterior mean at strength 20, blocked
+    on the 4-dp-rounded smoothed rate."""
+    from ocr_spark.functions import urls as U
+
+    return f"""
+        WITH qf AS (SELECT doc_id, kept FROM ({_quality_filter_oracle()})),
+        hosts AS (
+            SELECT doc_id, {U.SQL_URL_HOST.format(c=_SQL_MESSY_URL)} AS host
+            FROM documents
+        ),
+        agg AS (
+            SELECT host, count(*) AS n_docs,
+                   sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept
+            FROM hosts JOIN qf USING (doc_id)
+            GROUP BY host
+        ),
+        g AS (
+            SELECT sum(n_kept)::DOUBLE / sum(n_docs)::DOUBLE AS g FROM agg
+        )
+        SELECT host,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               round(n_kept::DOUBLE / n_docs::DOUBLE, 4) AS kept_frac,
+               round((n_kept + 20.0 * g.g) / (n_docs + 20.0), 4)
+                   AS smoothed_frac,
+               round((n_kept + 20.0 * g.g) / (n_docs + 20.0), 4) < 0.85
+                   AS blocked
+        FROM agg, g
+    """
+
+
 def _repetition_stats_oracle() -> str:
     """DuckDB twin of q_repetition_stats: the same deterministic reshaping
     (token pairs -> lines, 5 lines -> paragraph, %7 boilerplate boost),
@@ -4320,6 +4370,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "quality_filter": _quality_filter_oracle(),
         "token_budget_mix": _token_budget_mix_oracle(),
         "host_quality": _host_quality_oracle(),
+        "host_quality_eb": _host_quality_eb_oracle(),
         "bloom_gate": _bloom_gate_oracle(),
         "semantic_dedup": _semantic_dedup_oracle(),
         "cluster_sample": _cluster_sample_oracle(),

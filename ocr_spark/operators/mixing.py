@@ -211,6 +211,66 @@ def domain_blocklist(
     )
 
 
+def domain_quality_eb(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prior_strength: float = 20.0,
+    min_smoothed_frac: float = 0.5,
+) -> DataFrame:
+    """Empirical-Bayes smoothed per-host quality — the web-scale fix for
+    :func:`domain_blocklist`'s support floor: a floor EXEMPTS every host
+    below ``min_docs`` outright (a 4-page spam host passes forever),
+    while shrinkage judges every host, scaled by its evidence:
+
+        smoothed = (n_kept + a * g) / (n_docs + a)
+
+    with ``g`` the corpus-wide kept rate and ``a = prior_strength`` the
+    prior pseudo-count — a 2-page host sits near the prior, a 10k-page
+    host at its own rate (the standard Beta-Binomial posterior mean).
+
+    Returns (host, n_docs, kept_frac, smoothed_frac, blocked) for every
+    host; ``blocked`` compares the 4-dp-rounded smoothed rate so both
+    engines decide on identical values.
+
+    Shape: the per-doc gate is the zero-shuffle quality_filter; one
+    host aggregation; the global rate is a 1-row broadcast (never a
+    driver collect). Exact DuckDB twin
+    (``__spark_entry__._host_quality_eb_oracle``)."""
+    kept = quality_filter(
+        df.select(F.col(id_col), F.col(text_col)), text_col=text_col,
+        id_col=id_col,
+    ).select(id_col, "kept")
+    hosts = df.select(F.col(id_col), url_host(url_col).alias("host"))
+    per_host = (
+        hosts.join(kept, id_col)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+    )
+    g = per_host.agg(
+        (F.sum("n_kept").cast("double") / F.sum("n_docs").cast("double"))
+        .alias("g")
+    )
+    smoothed = F.round(
+        (F.col("n_kept") + F.lit(prior_strength) * F.col("g"))
+        / (F.col("n_docs") + F.lit(prior_strength)),
+        4,
+    )
+    return per_host.crossJoin(F.broadcast(g)).select(
+        "host",
+        "n_docs",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double"), 4
+        ).alias("kept_frac"),
+        smoothed.alias("smoothed_frac"),
+        (smoothed < F.lit(min_smoothed_frac)).alias("blocked"),
+    )
+
+
 def apply_domain_blocklist(df: DataFrame, blocklist: DataFrame,
                            url_col: str = "url") -> DataFrame:
     """Drop every document whose host is blocked. The blocklist is

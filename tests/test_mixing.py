@@ -159,3 +159,34 @@ def test_token_budget_plan_single_lang_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_domain_quality_eb_shrinks_small_hosts(spark):
+    """A 2-page all-bad host must NOT be blocked (posterior near the
+    prior), while a 40-page all-bad host must be — the evidence-scaled
+    behavior the support floor cannot express; a large good host stays
+    unblocked with smoothed ~ own rate."""
+    from ocr_spark.operators.mixing import domain_quality_eb
+
+    good = ("this is a perfectly reasonable document with plenty of real "
+            "words and normal sentences that passes the quality gate "
+            "because it looks like ordinary prose text written by people. "
+            ) * 3
+    rows = []
+    # big good host: 80 pages of prose (prior g ~ 0.66, above threshold)
+    rows += [(i, f"https://good.com/p{i}", good) for i in range(80)]
+    # big bad host: 40 junk pages
+    rows += [(100 + i, f"https://bad.com/p{i}", "x x") for i in range(40)]
+    # tiny bad host: 2 junk pages — floor-exempt in domain_blocklist,
+    # prior-shrunk (not blocked) here
+    rows += [(200 + i, f"https://tinybad.com/p{i}", "y y") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r.host: r for r in
+           domain_quality_eb(df, prior_strength=20.0,
+                             min_smoothed_frac=0.5).collect()}
+    assert not out["good.com"].blocked
+    assert out["good.com"].smoothed_frac > 0.8
+    assert out["bad.com"].blocked            # 40 bad pages beat the prior
+    assert not out["tinybad.com"].blocked    # 2 pages shrink to the prior
+    assert out["tinybad.com"].kept_frac == 0.0
+    assert out["tinybad.com"].smoothed_frac > 0.4
