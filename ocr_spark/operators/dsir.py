@@ -21,10 +21,13 @@ Spark shape (all expression-level, no Python):
                    global top-k via orderBy+limit (TakeOrderedAndProject —
                    per-partition heads, no single-partition sort)
 
-100 TB verdict: the corpus crosses the shuffle once as (id, long) feature
-rows; every join against it is a broadcast of an n_buckets-bounded table;
-the per-doc aggregate is the standard map-side-combine groupBy. The target
-sample is small by definition (it's a human-curated exemplar set).
+100 TB verdict: the corpus feature stream is scanned twice — once to fit
+the raw bucket counts, once to apply the weights — each time as (id, long)
+rows with map-side-combined aggregates; every join against it is a
+broadcast of an n_buckets-bounded table. At deploy scale, persist the
+fitted log-ratio table once and reuse it across ingest batches (the fit
+is target-distribution state, not per-batch work). The target sample is
+small by definition (it's a human-curated exemplar set).
 
 Determinism/oracle: md5 bucket hashing, md5-uniform Gumbel noise, ln on
 IEEE doubles, weights rounded to 4 dp BEFORE the top-k ordering with id as
