@@ -1057,6 +1057,45 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(assembled)
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity boilerplate removal over documents with
+    planted paragraphs: a common footer on every even document (df far
+    above max_df=8 — must be dropped everywhere, including reflowed
+    SPACING variants that the canonical identity reunites) and a rare
+    paragraph on every 97th (df ~5 — must survive). Exact DuckDB twin."""
+    from ocr_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                # alternating whitespace variants: canonical identity
+                # must reunite them into ONE hot paragraph
+                F.when(
+                    F.col("doc_id") % 4 == 0,
+                    F.lit("\n\ncommon Footer  promo text"),
+                ).otherwise(F.lit("\n\nCOMMON FOOTER PROMO TEXT")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 97 == 0, F.lit("\n\nrare appendix paragraph")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return paragraph_dedup(planted, max_df=8)
+
+
+def q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus 8-gram profile: top 20 grams by document frequency — the
+    threshold-tuning instrument for the gram-based dedup family. Exact
+    DuckDB twin."""
+    from ocr_spark.operators.dedup import common_ngrams
+
+    return common_ngrams(_t(spark, sf_dir, "documents"), w=8, k=20)
+
+
 def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-HOST site-chrome removal (the host-conditional half of the
     RefinedWeb line cleaning): documents are assembled into 20 synthetic
@@ -1832,8 +1871,12 @@ _EXTRA_KEYS = frozenset(
     # contamination + dup_span_removal share its gram/excise machinery)
     # host_quality_eb: the floor-free Beta-Binomial smoothing variant of
     # host_quality (same witness)
+    # paragraph_dedup / common_ngrams: the dedup family's paragraph
+    # granularity + the gram-threshold tuning profile (witness: line_dedup
+    # / dup_spans share the machinery)
     "cluster_sample script_stats code_detect bpe_tokens signals "
-    "ivf_assign decontam_spans host_quality_eb".split()
+    "ivf_assign decontam_spans host_quality_eb paragraph_dedup "
+    "common_ngrams".split()
 )
 
 _QUERIES = {
@@ -1895,6 +1938,8 @@ _QUERIES = {
         "dedup_increment": q_dedup_increment,
         "line_dedup": q_line_dedup,
         "host_boilerplate": q_host_boilerplate,
+        "paragraph_dedup": q_paragraph_dedup,
+        "common_ngrams": q_common_ngrams,
         "dsir_sample": q_dsir_sample,
         "blockwords": q_blockwords,
         "host_cap": q_host_cap,
@@ -3834,6 +3879,89 @@ def _line_dedup_oracle() -> str:
     """
 
 
+def _paragraph_dedup_oracle() -> str:
+    """DuckDB twin of q_paragraph_dedup: same plants, CR strip, \\n{2,}
+    split, canonical (lowercase, whitespace-collapsed, trimmed) 60-bit
+    md5 identity, df > 8 removal, blank paragraphs structural, ordered
+    blank-line reassembly."""
+    return r"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 2 = 0 THEN
+                        CASE WHEN doc_id % 4 = 0
+                             THEN chr(10) || chr(10)
+                                  || 'common Footer  promo text'
+                             ELSE chr(10) || chr(10)
+                                  || 'COMMON FOOTER PROMO TEXT' END
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 97 = 0
+                        THEN chr(10) || chr(10) || 'rare appendix paragraph'
+                        ELSE '' END AS text
+            FROM documents
+        ), parts AS (
+            SELECT doc_id AS id,
+                   regexp_split_to_array(
+                       regexp_replace(coalesce(text, ''), chr(13), '', 'g'),
+                       '\n{2,}') AS p
+            FROM planted
+        ), paras AS (
+            SELECT id, i - 1 AS pos, p[i] AS para,
+                   trim(regexp_replace(lower(p[i]), '[ ' || chr(9) || chr(10)
+                        || ']+', ' ', 'g')) AS canon
+            FROM (SELECT id, p, unnest(generate_series(1, len(p))) AS i
+                  FROM parts)
+        ), keyed AS (
+            SELECT id, pos, para, trim(para) = '' AS blank,
+                   ('0x' || substr(md5(canon), 1, 15))::BIGINT AS ph
+            FROM paras
+        ), hot AS (
+            SELECT ph FROM keyed WHERE NOT blank
+            GROUP BY ph HAVING count(DISTINCT id) > 8
+        ), marked AS (
+            SELECT k.id, k.pos, k.para,
+                   (h.ph IS NOT NULL AND NOT k.blank) AS dropped
+            FROM keyed k LEFT JOIN hot h USING (ph)
+        )
+        SELECT id AS doc_id,
+               coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT dropped), '') AS text,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM marked GROUP BY id
+    """
+
+
+def _common_ngrams_oracle(w: int = 8, k: int = 20) -> str:
+    """DuckDB twin of q_common_ngrams: same canonical tokenization, gram
+    text, 60-bit md5 key, (df desc, gh asc) top-k with min(gram) as the
+    representative."""
+    return f"""
+        WITH docs AS (
+            SELECT doc_id, {_CANON} AS t FROM documents
+        ), words AS (
+            SELECT doc_id, string_split(t, ' ') AS w FROM docs
+            WHERE t <> '' AND len(string_split(t, ' ')) >= {w}
+        ), grams AS (
+            SELECT doc_id,
+                   array_to_string(w[pos + 1 : pos + {w}], ' ') AS gram
+            FROM words, unnest(range(0, len(w) - {w - 1})) AS u(pos)
+        ), keyed AS (
+            SELECT doc_id, gram,
+                   ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+            FROM grams
+        )
+        SELECT gh,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs,
+               min(gram) AS example
+        FROM keyed
+        GROUP BY gh
+        ORDER BY df_docs DESC, gh ASC
+        LIMIT {k}
+    """
+
+
 def _host_line_dedup_oracle() -> str:
     """DuckDB twin of q_host_boilerplate: same 20-host page assembly, same
     60-bit md5 line hash, host-conditional (n_pages >= 5 AND ldf >
@@ -4330,6 +4458,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "dedup_increment": _dedup_increment_oracle(),
         "line_dedup": _line_dedup_oracle(),
         "host_boilerplate": _host_line_dedup_oracle(),
+        "paragraph_dedup": _paragraph_dedup_oracle(),
+        "common_ngrams": _common_ngrams_oracle(),
         "dsir_sample": _dsir_oracle(),
         "blockwords": f"""
             WITH planted AS (

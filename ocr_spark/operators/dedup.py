@@ -902,3 +902,123 @@ def latest_capture(df: DataFrame, url_col: str = "url",
             F.max(ts_col).alias("latest_ts"),
         )
     )
+
+
+PARA_MAX_DF = 8         # paragraphs in more docs than this are boilerplate
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    max_df: int = PARA_MAX_DF) -> DataFrame:
+    """Paragraph-granularity boilerplate removal — the CCNet dedup unit
+    (its shard pass hashes PARAGRAPHS, not lines): a paragraph whose
+    CANONICAL form (lowercased, whitespace collapsed — reflows and
+    indentation changes must not split identities the way the line
+    pass's trim-only identity would) appears in more than ``max_df``
+    documents is removed from every document; survivors reassemble in
+    original order joined by blank lines. Completes the granularity
+    ladder: document (exact_dedup) / span (dup_spans) / paragraph (here)
+    / line (line_dedup). Returns (id, text, n_paras, n_dropped).
+
+    Shape: identical to :func:`line_dedup` — the df count and removal
+    join carry (long, long) rows keyed on the 60-bit md5 of the
+    canonical paragraph. CRs are stripped up front so CRLF and LF
+    documents split identically. Empty/whitespace-only paragraphs are
+    structural: never counted, never dropped. Exactly SQL-replayable
+    (``__spark_entry__._paragraph_dedup_oracle``)."""
+    from ..functions.text import normalized_for_fingerprint
+
+    canon = normalized_for_fingerprint(F.col("para"))
+    ph = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(
+                    F.coalesce(F.col(text_col), F.lit("")), "\r", ""
+                ),
+                "\n{2,}",
+            )
+        ).alias("pos", "para"),
+    ).withColumn("ph", ph).withColumn("blank", F.trim("para") == "")
+
+    hot = (
+        paras.where(~F.col("blank"))
+        .groupBy("ph")
+        .agg(F.countDistinct("id").alias("pdf"))
+        .where(F.col("pdf") > max_df)
+        .select("ph")
+    )
+    kept = paras.join(
+        hot.withColumn("hot", F.lit(True)), "ph", "left"
+    ).withColumn("drop", F.col("hot").isNotNull() & ~F.col("blank"))
+
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("drop"),
+                                F.struct(F.col("pos"), F.col("para")),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("para"),
+                ),
+                "\n\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("drop").cast("long")).alias("n_dropped"),
+        )
+        .select(F.col("id").alias(id_col), text_col, "n_paras", "n_dropped")
+    )
+
+
+def common_ngrams(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", w: int = 8,
+                  k: int = 20) -> DataFrame:
+    """Corpus n-gram profile: the top ``k`` word ``w``-grams by document
+    frequency — the tuning instrument for every gram-threshold in this
+    engine (span-dedup min_df, contamination max_df, boilerplate
+    ratios): you look at THIS table before picking them. Returns
+    (gh, df_docs, example) ordered by (df_docs desc, gh asc).
+
+    Shape: the gram stream is the shared span-family projection; the
+    aggregate is keyed on the 60-bit gram hash with min(gram text) kept
+    as the human-readable representative — one string per (partition,
+    hash) survives the map-side combine, so full gram text never floods
+    the shuffle; the result is a TakeOrderedAndProject top-k. Exactly
+    SQL-replayable (``__spark_entry__._common_ngrams_oracle``)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[ \t\n]+", " "
+        )
+    )
+    toks = F.split(norm, " ")
+    grams = (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .where(F.size("toks") >= w)
+        .select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - w),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, w)),
+                )
+            ).alias("gram"),
+        )
+    )
+    gh = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+    return (
+        grams.withColumn("gh", gh)
+        .groupBy("gh")
+        .agg(
+            F.count_distinct("id").alias("df_docs"),
+            F.min("gram").alias("example"),
+        )
+        .orderBy(F.desc("df_docs"), F.asc("gh"))
+        .limit(k)
+    )

@@ -475,3 +475,40 @@ def test_ivf_assign_frozen_centroids_and_persistence(spark, tmp_path):
     again = {r.vec_id: r for r in ivf_assign(newb, reread).collect()}
     assert {k: (v.cent_id, v.cosine) for k, v in direct.items()} == \
         {k: (v.cent_id, v.cosine) for k, v in again.items()}
+
+
+def test_paragraph_dedup_canonical_identity(spark):
+    """Reflowed whitespace/case variants of the same paragraph share one
+    identity; hot paragraphs vanish everywhere; rare ones and blanks
+    survive; NULL text comes back."""
+    from ocr_spark.operators.dedup import paragraph_dedup
+
+    footer_variants = [
+        "shared  FOOTER text", "Shared footer\ntext", "SHARED FOOTER TEXT",
+    ]
+    rows = [
+        (i, f"unique body {i}\n\n" + footer_variants[i % 3]) for i in range(6)
+    ]
+    rows += [(10, "unique body ten\n\nrare paragraph here"), (11, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df, max_df=3).collect()}
+    assert len(out) == 8
+    for i in range(6):                      # footer df=6 > 3: dropped
+        assert out[i].text == f"unique body {i}" and out[i].n_dropped == 1
+    assert out[10].text == "unique body ten\n\nrare paragraph here"
+    assert out[10].n_dropped == 0
+    assert out[11].text == "" and out[11].n_paras == 1
+
+
+def test_common_ngrams_profile(spark):
+    """The profile surfaces the highest-df gram first with its text; the
+    hash groups whitespace-canonical variants."""
+    from ocr_spark.operators.dedup import common_ngrams
+
+    shared = "one two three four five six seven eight"
+    rows = [(i, f"doc {i} prefix {shared}") for i in range(5)]
+    rows += [(10, "another page entirely different words here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = common_ngrams(df, w=8, k=3).collect()
+    assert out[0].df_docs == 5 and out[0].example == shared
+    assert out[0].df_docs >= out[1].df_docs >= out[2].df_docs
