@@ -265,3 +265,21 @@ def test_signals_single_scan_single_projection(spark):
     assert tree.count("Scan parquet") == 1
     # the tree is literally Project over Scan — nothing else
     assert tree.count("Project") == 1
+
+
+def test_paragraph_dedup_long_keyed_and_broadcast_hot(spark):
+    # paragraph identity crosses the shuffle as the 60-bit long; the hot
+    # set reaches the removal join as a broadcast (vocabulary-sized)
+    plan = _plan(spark, "paragraph_dedup")
+    assert "hashpartitioning(ph" in plan
+    assert "hashpartitioning(para" not in plan
+    assert "BroadcastHashJoin" in _tree(plan)
+    assert "Python" not in plan
+
+
+def test_common_ngrams_topk_not_global_sort(spark):
+    plan = _plan(spark, "common_ngrams")
+    tree = _tree(plan)
+    assert "TakeOrderedAndProject" in tree
+    assert "partial_count" in plan or "partial_min" in plan
+    assert "Python" not in plan
