@@ -384,6 +384,22 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(pages, binary_col="html", id_col="url")
 
 
+def q_media_hash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-bad media hash gate: the blocklist is the sha256 set of every
+    11th page's payload (self-derived plant, the bloom_gate pattern), so
+    exactly those pages must come back blocked. Exact DuckDB twin (the
+    page payload is a deterministic string, so SQL rebuilds the bytes
+    and replays the digest)."""
+    from ocr_spark.operators.multimodal import media_hash_gate
+
+    pages = pages_from_documents(spark, sf_dir)
+    did = F.element_at(F.split(F.col("url"), "/"), -1).cast("long")
+    bl = pages.where(did % 11 == 0).select(
+        F.lower(F.sha2(F.col("html"), 256)).alias("sha256")
+    )
+    return media_hash_gate(pages, bl, binary_col="html", id_col="url")
+
+
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The binary/PDF branch of the extraction dispatch (E-layer + magic
     sniff): documents wrapped as PDF payloads (raw + FlateDecode), extracted
@@ -1874,9 +1890,11 @@ _EXTRA_KEYS = frozenset(
     # paragraph_dedup / common_ngrams: the dedup family's paragraph
     # granularity + the gram-threshold tuning profile (witness: line_dedup
     # / dup_spans share the machinery)
+    # media_hash_gate: the multimodal family's known-bad digest gate
+    # (witness: media_meta replays the same payload digest)
     "cluster_sample script_stats code_detect bpe_tokens signals "
     "ivf_assign decontam_spans host_quality_eb paragraph_dedup "
-    "common_ngrams".split()
+    "common_ngrams media_hash_gate".split()
 )
 
 _QUERIES = {
@@ -1938,6 +1956,7 @@ _QUERIES = {
         "dedup_increment": q_dedup_increment,
         "line_dedup": q_line_dedup,
         "host_boilerplate": q_host_boilerplate,
+        "media_hash_gate": q_media_hash_gate,
         "paragraph_dedup": q_paragraph_dedup,
         "common_ngrams": q_common_ngrams,
         "dsir_sample": q_dsir_sample,
@@ -5127,6 +5146,30 @@ def _oracle_sql_all() -> dict[str, str]:
                    CAST(120 + ((b2 + b3 * 256) % 2161) AS INT) AS height,
                    'stub' AS decoder
             FROM b
+        """,
+        # media_hash_gate: same deterministic page bytes as media_meta;
+        # the blocklist is the digest set of every 11th page
+        "media_hash_gate": """
+            WITH h AS (
+                SELECT doc_id,
+                       'https://docs.example.com/' || doc_id AS id,
+                       '<html lang="' || lang || '"><head><title>doc ' || doc_id
+                       || '</title></head><body>'
+                       || '<nav class="menu"><a href="/a">home</a> <a href="/b">about</a></nav>'
+                       || '<article><h2>Document ' || doc_id || '</h2><p>' || text
+                       || '</p></article>'
+                       || '<footer class="footer"><p>boilerplate footer text that is long enough'
+                       || ' to be kept if the blocklist ever regresses</p></footer>'
+                       || '</body></html>' AS html
+                FROM documents
+            ), d AS (
+                SELECT doc_id, id, sha256(html) AS hx FROM h
+            ), bl AS (
+                SELECT DISTINCT hx FROM d WHERE doc_id % 11 = 0
+            )
+            SELECT d.id AS url, d.hx AS sha256,
+                   (b.hx IS NOT NULL) AS blocked
+            FROM d LEFT JOIN bl b ON d.hx = b.hx
         """,
         "semi_join": """
             SELECT c_custkey, c_name FROM customer

@@ -117,7 +117,7 @@ BENCH_QUERIES = (
     "semantic_dedup bm25 train_eval_split within_doc_dedup latest_capture "
     "quality_classifier perplexity_buckets soft_sample blocklist "
     "cdx_fetch_plan extract_spans host_boilerplate dsir_sample blockwords "
-    "cluster_sample script_stats code_detect signals bpe_tokens ivf_assign decontam_spans host_quality_eb paragraph_dedup common_ngrams"
+    "cluster_sample script_stats code_detect signals bpe_tokens ivf_assign decontam_spans host_quality_eb paragraph_dedup common_ngrams media_hash_gate"
 ).split()
 
 

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MEDIA_FEATURES_SCHEMA = (
     "id string, n_bytes long, kind string, sha256_prefix string, "
@@ -219,3 +220,34 @@ def media_features(df: DataFrame, binary_col: str = "html",
 
     pruned = df.select(id_col, binary_col)
     return pruned.mapInPandas(feats, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def media_hash_gate(df: DataFrame, blocklist: DataFrame,
+                    binary_col: str = "html", id_col: str = "url",
+                    hash_col: str = "sha256") -> DataFrame:
+    """Known-bad media filtering by exact content hash — the mandatory
+    safety gate of every production crawl pipeline (industry hash lists
+    of prohibited imagery; takedown/copyright lists): a binary payload
+    whose sha256 appears in the blocklist is flagged, everything else
+    passes. The MECHANISM is the operator; real deployments broadcast
+    the vendor-supplied digest table (never vendored here).
+
+    Returns (id, sha256 hex, blocked) — one row per input row, never a
+    silent drop (the downstream sink decides suppression, keeping the
+    audit trail).
+
+    Shape: pure JVM sha2 over the binary column (zero Python, zero
+    shuffle on the corpus side — streaming-safe), blocklist joined by
+    broadcast; at list sizes beyond broadcast, swap in the blocked-Bloom
+    prefilter (operators/bloom.py) in front of the exact join. Exact
+    DuckDB twin (``__spark_entry__`` ``media_hash_gate``)."""
+    h = F.lower(F.sha2(F.col(binary_col), 256))
+    hashed = df.select(F.col(id_col), h.alias(hash_col))
+    bl = (
+        blocklist.select(F.lower(F.col(hash_col)).alias(hash_col))
+        .distinct()
+        .withColumn("bad", F.lit(True))
+    )
+    return hashed.join(F.broadcast(bl), hash_col, "left").select(
+        id_col, hash_col, F.col("bad").isNotNull().alias("blocked")
+    )

@@ -233,3 +233,26 @@ def test_quality_filter_applies_to_streams(spark, tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_media_hash_gate_blocks_exact_digests(spark):
+    from ocr_spark.operators.multimodal import media_hash_gate
+
+    rows = [("u0", b"payload zero"), ("u1", b"payload one"),
+            ("u2", b"payload zero"),          # same bytes as u0
+            ("u3", None)]                      # NULL payload still gated
+    df = spark.createDataFrame(rows, "url string, html binary")
+    import hashlib
+    bl = spark.createDataFrame(
+        # uppercase hex: the gate must canonicalize list-side case
+        [(hashlib.sha256(b"payload zero").hexdigest().upper(),)],
+        "sha256 string",
+    )
+    out = {r.url: r for r in media_hash_gate(df, bl).collect()}
+    assert len(out) == 4                       # never-drop
+    assert out["u0"].blocked and out["u2"].blocked   # both copies flagged
+    assert not out["u1"].blocked and not out["u3"].blocked
+    assert out["u0"].sha256 == hashlib.sha256(b"payload zero").hexdigest()
+
+    plan = media_hash_gate(df, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "Python" not in plan
