@@ -1117,8 +1117,9 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     RefinedWeb line cleaning): documents are assembled into 20 synthetic
     hosts, each page carrying its host's welcome + footer chrome (100% of
     the host's pages — must be dropped), a host promo on 1/3 of pages and
-    a cross-host 'powered by' line on 1/4 (both BELOW the 0.5 host ratio —
-    must stay, which a corpus-global cutoff would get wrong). Exact
+    a cross-host 'powered by' line on ~1/7 (both BELOW the 0.5 host ratio —
+    must stay, which a corpus-global cutoff would get wrong; the modulus
+    is coprime to the host count so every host sees the survival case). Exact
     DuckDB twin."""
     from ocr_spark.operators.dedup import host_line_dedup
 
@@ -1137,7 +1138,12 @@ def q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("\n"), host, F.lit(" promo of the week")),
             ).otherwise(F.lit("")),
             F.when(
-                F.col("doc_id") % 4 == 0, F.lit("\npowered by examplecms")
+                # modulus COPRIME to the 20-host assignment (ADVICE r3): with
+                # %4 the line landed on 100% of pages for 5 hosts (dropped as
+                # chrome) and 0% elsewhere, so the below-ratio survival path
+                # was never exercised; %7 puts it on ~1/7 of EVERY host's
+                # pages — genuinely below the 0.5 cutoff, must stay
+                F.col("doc_id") % 7 == 0, F.lit("\npowered by examplecms")
             ).otherwise(F.lit("")),
             F.lit("\nall rights reserved "), host,
         ).alias("text"),
@@ -1852,39 +1858,39 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Round-4 window ROTATION (VERDICT r3 item 5): the driver witnesses at most
+# 50 registry entries per round, so entries rotate through the window across
+# rounds until every query has a driver-green CORRECTNESS row. This round the
+# ten highest-value never-witnessed queries moved IN (pagerank_hosts, bm25,
+# signals, bpe_tokens, dsir_sample, token_budget_mix, page_meta,
+# semantic_dedup, decontam_spans, latest_capture) and ten long-green r1/r2
+# entries moved OUT to pytest-oracle-only evidence, each with the in-window
+# witness for its machinery noted below.
 _EXTRA_KEYS = frozenset(
     "lang_distribution "  # groupBy-count-share witnessed by host_stats +
     # lang_id; its window slot went to extract_spans (the north-rule
     # text/spans contract, hash-checked against template offset arithmetic)
     "simhash fingerprint token_jaccard cosine_topk union_branches "
     "rollup_events moving_avg epoch_parse semi_join "
-    "agg_pricing events_hourly set_ops image_resize pagerank_hosts "
+    "agg_pricing events_hourly set_ops image_resize "
     "anchor_terms canonical_groups "
     "url_parts media_meta error_top_fields outer_join "
-    "top_events_per_user token_budget_mix host_quality bloom_gate "
-    "semantic_dedup bm25 train_eval_split within_doc_dedup "
-    "latest_capture page_meta knn pivot_events grouping_sets "
+    "top_events_per_user host_quality bloom_gate "
+    "train_eval_split within_doc_dedup "
+    "knn pivot_events grouping_sets "
     "soft_sample cdx_fetch_plan "
     # host_boilerplate: the line-dedup family's host-conditional variant
-    # (in-window witness: line_dedup); dsir_sample: the mixing/classifier
-    # family's importance-resampling variant (in-window witness:
-    # quality_classifier); blockwords: the quality family's C4 wordlist
-    # gate (witness: quality_filter) — all oracle-checked by
+    # (in-window witness: line_dedup); blockwords: the quality family's C4
+    # wordlist gate (witness: quality_filter) — all oracle-checked by
     # test_oracle_parity
-    "host_boilerplate dsir_sample blockwords "
+    "host_boilerplate blockwords "
     # cluster_sample: the embedding-curation family's cluster-balanced
     # selection (in-window witness: semantic_dedup / ivf_topk share its
     # seeded-Lloyd core); script_stats / code_detect: the quality family's
     # character-class profile gates (witness: quality_filter / lang_id) —
     # all oracle-checked by test_oracle_parity
-    # bpe_tokens: real BPE apply with a shipped fitted encoder (witness:
-    # token_stats / pack_sequences share the tokenization family);
-    # signals: the fused one-pass signal table (witness: each constituent
-    # family's own in-window query)
     # ivf_assign: incremental ANN maintenance on frozen committed
     # centroids (witness: ivf_topk shares the quantizer + argmax core)
-    # decontam_spans: surgical span-level decontamination (witness:
-    # contamination + dup_span_removal share its gram/excise machinery)
     # host_quality_eb: the floor-free Beta-Binomial smoothing variant of
     # host_quality (same witness)
     # paragraph_dedup / common_ngrams: the dedup family's paragraph
@@ -1892,9 +1898,30 @@ _EXTRA_KEYS = frozenset(
     # / dup_spans share the machinery)
     # media_hash_gate: the multimodal family's known-bad digest gate
     # (witness: media_meta replays the same payload digest)
-    "cluster_sample script_stats code_detect bpe_tokens signals "
-    "ivf_assign decontam_spans host_quality_eb paragraph_dedup "
-    "common_ngrams media_hash_gate".split()
+    "cluster_sample script_stats code_detect "
+    "ivf_assign host_quality_eb paragraph_dedup "
+    "common_ngrams media_hash_gate "
+    # --- round-4 demotions (driver-green in r1-r3; machinery witnesses) ---
+    # top_customers: broadcast equi-join + deterministic top-N — witnessed
+    #   by validate_docs' broadcast rules join (J3) + inverted_index's
+    #   ranked top-N; asof_join: join family — resume_antijoin (anti) stays
+    #   in-window, as-of keeps its exact DuckDB twin here
+    "top_customers asof_join "
+    # frame_sample: Arrow mapInPandas 1:N segment sink — media plumbing
+    #   stays pinned by test_multimodal + streaming gates; group_quantiles:
+    #   distributed quantiles — perplexity_buckets (in-window) is the same
+    #   family at production shape
+    "frame_sample group_quantiles "
+    # tfidf_terms -> bm25 (promoted; tf-idf weighting is bm25's core);
+    # stratified_sample -> dsir_sample (promoted; importance sampling) +
+    #   host_cap stays in-window; winnow_pairs: fingerprint-pair machinery
+    #   witnessed by dup_spans + lsh_recall; lm_score: scoring family
+    #   witnessed by perplexity_buckets + quality_classifier
+    "tfidf_terms stratified_sample winnow_pairs lm_score "
+    # shard_assignment: hash-bucket assignment witnessed by host_cap +
+    #   token_budget_mix (promoted); corpus_report: K5 report aggs
+    #   witnessed by validate_docs (in-window) + clean_corpus's audit
+    "shard_assignment corpus_report".split()
 )
 
 _QUERIES = {
@@ -2676,19 +2703,23 @@ def _host_degree_oracle() -> str:
             GROUP BY 1, 2
         ),
         outs AS (
-            SELECT src_host AS host, sum(n_links) AS out_links,
+            -- CAST: DuckDB sum() yields HUGEINT -> pandas float64, which
+            -- hash-mismatches Spark's int64 despite identical values (the
+            -- one red driver row in round 3); same convention as every
+            -- other sum-oracle in this file
+            SELECT src_host AS host, CAST(sum(n_links) AS BIGINT) AS out_links,
                    count(*) AS out_hosts
             FROM hg GROUP BY 1
         ),
         ins AS (
-            SELECT dst_host AS host, sum(n_links) AS in_links,
+            SELECT dst_host AS host, CAST(sum(n_links) AS BIGINT) AS in_links,
                    count(*) AS in_hosts
             FROM hg GROUP BY 1
         )
         SELECT coalesce(o.host, i.host) AS host,
-               coalesce(out_links, 0) AS out_links,
+               CAST(coalesce(out_links, 0) AS BIGINT) AS out_links,
                coalesce(out_hosts, 0) AS out_hosts,
-               coalesce(in_links, 0) AS in_links,
+               CAST(coalesce(in_links, 0) AS BIGINT) AS in_links,
                coalesce(in_hosts, 0) AS in_hosts
         FROM outs o FULL OUTER JOIN ins i ON o.host = i.host
     """
@@ -3997,7 +4028,7 @@ def _host_line_dedup_oracle() -> str:
                         THEN chr(10) || 'h' || (doc_id % 20)
                              || '.example.com promo of the week'
                         ELSE '' END ||
-                   CASE WHEN doc_id % 4 = 0
+                   CASE WHEN doc_id % 7 = 0
                         THEN chr(10) || 'powered by examplecms'
                         ELSE '' END ||
                    chr(10) || 'all rights reserved h' || (doc_id % 20)

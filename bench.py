@@ -1,7 +1,25 @@
 #!/usr/bin/env python
-"""Benchmark harness. Prints ONE JSON line to stdout:
+"""Benchmark harness. Prints a JSON result line to stdout:
   {"metric": ..., "value": <headline extract wall sec>, "unit": "sec",
    "queries": {name: sec}, "sf": ..., "extract": {...}, "scaling": {...}}
+
+Timeout-proof emission (the r3 lesson — rc=124 zeroed the whole artifact
+because JSON printed only once, at the very end): the SAME accumulating
+result object is re-emitted as a fresh complete JSON line after EVERY
+phase (headline -> each scaling pair -> sustained -> pipeline ->
+query-suite checkpoints -> final). A consumer that takes the LAST
+complete JSON line therefore always sees every phase that finished,
+no matter where a timeout lands. ``phases_done`` records which phases
+a given line already carries.
+
+Wall-budget discipline: OCR_BENCH_TOTAL_BUDGET_S (default 3000 s) is a
+hard plan for the whole run. Phase order puts the BASELINE.json contract
+metric (the two N->4N scaling pairs) right after the short headline, and
+the per-level burst budgets shrink to fit the remaining wall (divided
+across remaining levels, reserving a tail for sustained+pipeline). The
+103-query suite runs LAST and is time-boxed — on a slow box it degrades
+to "skipped queries recorded in queries_skipped", never to a lost
+artifact.
 
 Headline: documents/sec of the distributed extraction stage (the BASELINE.md
 throughput metric) over a deterministic synthetic pages table, including the
@@ -162,6 +180,17 @@ SCALE_GAP_S = int(os.environ.get("OCR_BENCH_SCALE_GAP_S", "30"))
 MIN_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_MIN_BURSTS", "2"))
 MAX_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_BURSTS", "8"))
 LEVEL_BUDGET_S = int(os.environ.get("OCR_BENCH_SCALE_LEVEL_BUDGET_S", "1200"))
+# Total-wall plan for the WHOLE bench run (r3 postmortem: 4 x 1200 s level
+# budgets + headline + 103-query suite + sustained exceeded the driver
+# timeout by construction). Per-level scaling budgets are dynamically
+# shrunk to fit what's left of this after earlier phases, reserving
+# RESERVE_TAIL_S for the sustained/pipeline blocks; the query suite gets
+# whatever remains and drops (recorded) queries past its box.
+TOTAL_BUDGET_S = int(os.environ.get("OCR_BENCH_TOTAL_BUDGET_S", "3000"))
+RESERVE_TAIL_S = int(os.environ.get("OCR_BENCH_RESERVE_TAIL_S", "420"))
+# one full-pipeline run (chunked snapshot commits + metrics table — the
+# north_rule resume/lineage path) recorded as 'pipeline_sustained'
+DO_PIPELINE = os.environ.get("OCR_BENCH_PIPELINE", "1") == "1"
 AGREE_TOL = float(os.environ.get("OCR_BENCH_SCALE_AGREE_TOL", "0.05"))
 # a burst is climate-valid only if its memory-stream calibration ran
 # within this factor of the session's best calibration — the detector
@@ -408,7 +437,7 @@ def scale_worker(cores: int) -> None:
     )
 
 
-def run_scale_level(cores: int, pages: int) -> dict:
+def run_scale_level(cores: int, pages: int, budget_s: int | None = None) -> dict:
     cpu_list = f"0-{cores - 1}"
     out = subprocess.run(
         ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
@@ -419,24 +448,67 @@ def run_scale_level(cores: int, pages: int) -> dict:
         env={**os.environ, "OCR_BENCH_SCALING": "0",
              "OCR_BENCH_PAGES": str(pages),
              "OCR_BENCH_PAGES_DIR": f"{SHM_DIR}/pages_{pages}",
-             "OCR_BENCH_REPS": str(SCALE_REPS)},
+             "OCR_BENCH_REPS": str(SCALE_REPS),
+             "OCR_BENCH_SCALE_LEVEL_BUDGET_S":
+                 str(budget_s if budget_s is not None else LEVEL_BUDGET_S)},
     )
     level = json.loads(out.stdout.strip().splitlines()[-1])
     log(
         f"bench: scale level {cores}c @{pages}p: min={level['min_wall']}s "
         f"walls={level['walls']} converged={level['converged']} "
-        f"elapsed={level.get('level_elapsed_s')}s "
+        f"elapsed={level.get('level_elapsed_s')}s budget={budget_s}s "
         f"bursts={len(level.get('bursts', []))}"
     )
     return level
 
 
+def _make_pair(n: int, n4: int, pages: int, ln: dict, l4: dict) -> dict:
+    import statistics
+
+    wn, w4 = ln["walls"], l4["walls"]
+    mn, m4 = min(wn), min(w4)
+    dn, d4 = statistics.median(wn), statistics.median(w4)
+    return {
+        "n_cores": n,
+        "4n_cores": n4,
+        "pages": pages,
+        "t_n": round(mn, 3),
+        "t_4n": round(m4, 3),
+        "t_n_median": round(dn, 3),
+        "t_4n_median": round(d4, 3),
+        "docs_per_sec_n": round(pages / mn, 1),
+        "docs_per_sec_4n": round(pages / m4, 1),
+        "efficiency": round(mn / (4 * m4), 3),
+        "efficiency_median": round(dn / (4 * d4), 3),
+        "converged": bool(ln.get("converged") and l4.get("converged")),
+        "guard": {f"{n}c": ln.get("bursts"), f"{n4}c": l4.get("bursts")},
+    }
+
+
 def main() -> None:
+    t_run0 = time.time()
+
+    def left() -> float:
+        return TOTAL_BUDGET_S - (time.time() - t_run0)
+
     result: dict = {
         "metric": "extraction wall sec (headline); docs/sec in extract.docs_per_sec",
         "unit": "sec",
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
+        "value": None,
+        "queries": {},
+        "total_budget_s": TOTAL_BUDGET_S,
+        "phases_done": [],
+        "phases_skipped": [],
     }
+
+    def emit(phase: str) -> None:
+        # one COMPLETE JSON line per call; a last-line consumer always gets
+        # every phase finished so far even if the process is killed next
+        if phase not in result["phases_done"]:
+            result["phases_done"].append(phase)
+        result["elapsed_s"] = round(time.time() - t_run0, 1)
+        print(json.dumps(result), flush=True)
 
     spark = get_spark(master=f"local[{CPUS}]", app_name="ocr-spark-bench")
     materialize_pages(spark, N_PAGES)
@@ -456,6 +528,7 @@ def main() -> None:
     # warmup: spin up python workers + JIT before any measurement
     run_extract_job(spark, PAGES_DIR, "/tmp/ocr_spark_bench/warmup_out")
 
+    # ---- headline (short; gives every later partial line a real `value`) ---
     walls, steals, n_clean = run_reps_clean(
         lambda: run_extract_job(spark, PAGES_DIR, "/tmp/ocr_spark_bench/out"),
         REPS,
@@ -473,73 +546,13 @@ def main() -> None:
     }
     log(f"bench: extract {N_PAGES} pages in {wall:.1f}s "
         f"({N_PAGES / wall:.0f} docs/s at local[{CPUS}])")
-
-    # ---- query suite over the shared testdata ------------------------------
-    import __spark_entry__ as entrymod
-
-    queries = {**entrymod.queries(), **entrymod.extra_queries()}
-    qtimes: dict[str, float] = {}
-    q_dirty: list[str] = []
-    for name in BENCH_QUERIES if DO_QUERIES else ():
-        fn = queries[name]
-        rows_box = [0]
-
-        def one_rep():
-            t0 = time.time()
-            rows_box[0] = fn(spark, SF_DIR).count()
-            return time.time() - t0
-
-        walls, steals, n_clean = run_reps_clean(one_rep, REPS, extra=2)
-        qtimes[name] = round(min_clean(walls, steals), 3)
-        if n_clean == 0:
-            q_dirty.append(name)
-        log(f"bench: {name}: {rows_box[0]} rows in {qtimes[name]}s"
-            + ("" if n_clean else " (no steal-clean rep)"))
-    result["queries"] = qtimes
-    if q_dirty:
-        result["queries_no_clean_rep"] = q_dirty
-
-    # long-session hygiene: drop the scoped signature caches the dedup/
-    # similarity queries persist, so repeated bench loops stay memory-flat
-    from ocr_spark.operators.dedup import release_cached
-
-    release_cached()
-
-    # ---- sustained throughput: one 1M-page job at full width ---------------
-    if os.environ.get("OCR_BENCH_SUSTAINED", "1") == "1":
-        sus_pages = int(os.environ.get("OCR_BENCH_SUSTAINED_PAGES", "1000000"))
-        sus_dir = materialize_pages(spark, sus_pages)
-        sus_out = "/tmp/ocr_spark_bench/sustained_out"
-        # min-of-N with quiet-start + steal tagging: a single rep can eat a
-        # whole hypervisor-steal episode (56.9s vs 24s observed for the
-        # same job); reps retry until one runs steal-clean
-        sus_reps = int(os.environ.get("OCR_BENCH_SUSTAINED_REPS", "2"))
-        sus_walls, sus_steals, _ = run_reps_clean(
-            lambda: run_extract_job(spark, sus_dir, sus_out), sus_reps
-        )
-        sus_wall = min_clean(sus_walls, sus_steals)
-        from pyspark.sql import functions as F
-
-        status_counts = {
-            r["extract_status"]: r["n"]
-            for r in spark.read.parquet(sus_out)
-            .groupBy("extract_status").agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        result["sustained"] = {
-            "pages": sus_pages,
-            "cores": CPUS,
-            "wall_sec": round(sus_wall, 3),
-            "walls": [round(w, 3) for w in sus_walls],
-            "steal_fracs": sus_steals,
-            "docs_per_sec": round(sus_pages / sus_wall, 1),
-            "status_counts": status_counts,
-        }
-        log(f"bench: sustained {sus_pages} pages in {sus_wall:.1f}s "
-            f"({sus_pages / sus_wall:.0f} docs/s), statuses {status_counts}")
-    spark.stop()
+    emit("extract")
 
     # ---- two-level scaling evidence (taskset-pinned subprocesses) ----------
+    # The BASELINE.json contract metric runs FIRST among the long phases —
+    # the query suite is the droppable tail. The full-width session is
+    # stopped so the pinned levels own the box.
+    spark.stop()
     if DO_SCALING:
         # Each level samples adaptive measurement bursts separated by idle
         # gaps inside one warm pinned JVM (scale_worker): bursts are
@@ -550,43 +563,15 @@ def main() -> None:
         # AGREE_TOL — so the recorded efficiency is computed from walls
         # measured while the box was demonstrably quiet (inside AND
         # outside the VM), with the guard decisions in the artifact.
-        import statistics
-
         pair_specs = ((2, 8, SCALE_PAGES), (4, 16, SCALE_PAGES_4N))
-        levels: dict[tuple[int, int], dict] = {}
+        level_order: list[tuple[int, int]] = []
         for n, n4, pages in pair_specs:
             for cores in (n, n4):
-                if (cores, pages) not in levels:
-                    levels[(cores, pages)] = run_scale_level(cores, pages)
-        pairs = []
-        for n, n4, pages in pair_specs:
-            ln, l4 = levels[(n, pages)], levels[(n4, pages)]
-            wn, w4 = ln["walls"], l4["walls"]
-            mn, m4 = min(wn), min(w4)
-            dn, d4 = statistics.median(wn), statistics.median(w4)
-            pairs.append(
-                {
-                    "n_cores": n,
-                    "4n_cores": n4,
-                    "pages": pages,
-                    "t_n": round(mn, 3),
-                    "t_4n": round(m4, 3),
-                    "t_n_median": round(dn, 3),
-                    "t_4n_median": round(d4, 3),
-                    "docs_per_sec_n": round(pages / mn, 1),
-                    "docs_per_sec_4n": round(pages / m4, 1),
-                    "efficiency": round(mn / (4 * m4), 3),
-                    "efficiency_median": round(dn / (4 * d4), 3),
-                    "converged": bool(ln.get("converged") and l4.get("converged")),
-                    "guard": {
-                        f"{n}c": ln.get("bursts"),
-                        f"{n4}c": l4.get("bursts"),
-                    },
-                }
-            )
-        best = max(pairs, key=lambda p: p["efficiency"])
+                if (cores, pages) not in level_order:
+                    level_order.append((cores, pages))
+        levels: dict[tuple[int, int], dict] = {}
+        pairs: list[dict] = []
         result["scaling"] = {
-            **{k: v for k, v in best.items() if k != "guard"},
             "pinned": True,
             "load_guard": {
                 "ext_busy_max": EXT_BUSY_MAX,
@@ -595,13 +580,171 @@ def main() -> None:
             },
             "pairs": pairs,
         }
-        for p in pairs:
-            log(f"bench: scaling (pinned) {p['n_cores']}->{p['4n_cores']} "
-                f"@{p['pages']}p: t_n={p['t_n']}s t_4n={p['t_4n']}s "
-                f"eff_min={p['efficiency']} eff_median={p['efficiency_median']} "
-                f"converged={p['converged']}")
+        done_pairs: set[int] = set()
+        for i, (cores, pages) in enumerate(level_order):
+            # divide the remaining wall (minus the tail reserve) across the
+            # levels still to run; never let a single level eat the run
+            n_levels_left = len(level_order) - i
+            budget = max(
+                120,
+                min(LEVEL_BUDGET_S,
+                    int((left() - RESERVE_TAIL_S) / n_levels_left)),
+            )
+            levels[(cores, pages)] = run_scale_level(cores, pages, budget)
+            for j, (n, n4, ppages) in enumerate(pair_specs):
+                if j in done_pairs:
+                    continue
+                ln = levels.get((n, ppages))
+                l4 = levels.get((n4, ppages))
+                if ln and l4:
+                    p = _make_pair(n, n4, ppages, ln, l4)
+                    pairs.append(p)
+                    done_pairs.add(j)
+                    log(f"bench: scaling (pinned) {p['n_cores']}->{p['4n_cores']} "
+                        f"@{p['pages']}p: t_n={p['t_n']}s t_4n={p['t_4n']}s "
+                        f"eff_min={p['efficiency']} "
+                        f"eff_median={p['efficiency_median']} "
+                        f"converged={p['converged']}")
+            # re-emit after EVERY level so a timeout can never zero the
+            # scaling evidence gathered so far
+            emit(f"scale_{cores}c_{pages}p")
+        if pairs:
+            best = max(pairs, key=lambda p: p["efficiency"])
+            result["scaling"].update(
+                {k: v for k, v in best.items() if k != "guard"})
+        emit("scaling")
 
-    print(json.dumps(result), flush=True)
+    # ---- tail phases on a fresh full-width session --------------------------
+    spark = get_spark(master=f"local[{CPUS}]", app_name="ocr-spark-bench-tail")
+
+    # sustained throughput: one 1M-page extract job at full width
+    if os.environ.get("OCR_BENCH_SUSTAINED", "1") == "1":
+        if left() < 120:
+            result["phases_skipped"].append("sustained")
+        else:
+            sus_pages = int(os.environ.get("OCR_BENCH_SUSTAINED_PAGES", "1000000"))
+            sus_dir = materialize_pages(spark, sus_pages)
+            sus_out = "/tmp/ocr_spark_bench/sustained_out"
+            # min-of-N with quiet-start + steal tagging: a single rep can eat
+            # a whole hypervisor-steal episode (56.9s vs 24s observed for the
+            # same job); reps retry until one runs steal-clean
+            sus_reps = int(os.environ.get("OCR_BENCH_SUSTAINED_REPS", "2"))
+            sus_walls, sus_steals, _ = run_reps_clean(
+                lambda: run_extract_job(spark, sus_dir, sus_out), sus_reps
+            )
+            sus_wall = min_clean(sus_walls, sus_steals)
+            from pyspark.sql import functions as F
+
+            status_counts = {
+                r["extract_status"]: r["n"]
+                for r in spark.read.parquet(sus_out)
+                .groupBy("extract_status").agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            result["sustained"] = {
+                "pages": sus_pages,
+                "cores": CPUS,
+                "wall_sec": round(sus_wall, 3),
+                "walls": [round(w, 3) for w in sus_walls],
+                "steal_fracs": sus_steals,
+                "docs_per_sec": round(sus_pages / sus_wall, 1),
+                "status_counts": status_counts,
+            }
+            log(f"bench: sustained {sus_pages} pages in {sus_wall:.1f}s "
+                f"({sus_pages / sus_wall:.0f} docs/s), statuses {status_counts}")
+            emit("sustained")
+
+    # full-pipeline sustained: chunked snapshot commits + per-partition
+    # metrics + resume anti-join — the north_rule lineage path, end to end
+    if DO_PIPELINE:
+        if left() < 150:
+            result["phases_skipped"].append("pipeline_sustained")
+        else:
+            import shutil
+
+            from ocr_spark.pipeline import read_metrics, run_extract
+
+            pipe_pages = int(os.environ.get(
+                "OCR_BENCH_PIPELINE_PAGES",
+                os.environ.get("OCR_BENCH_SUSTAINED_PAGES", "1000000")))
+            pipe_dir = materialize_pages(spark, pipe_pages)
+            pipe_root = "/tmp/ocr_spark_bench/pipeline_table"
+            shutil.rmtree(pipe_root, ignore_errors=True)
+            _wait_quiet()
+            t_cpu0 = _cpu_ticks()
+            t0 = time.time()
+            res = run_extract(
+                spark, spark.read.parquet(pipe_dir), pipe_root,
+                run_id="bench-pipeline", chunks=4,
+            )
+            pipe_wall = time.time() - t0
+            pipe_steal = _pin_steal(t_cpu0, _cpu_ticks(), set(range(CPUS)))
+            m = read_metrics(spark, pipe_root)
+            result["pipeline_sustained"] = {
+                "pages": pipe_pages,
+                "cores": CPUS,
+                "chunks": res.chunks_done,
+                "snapshots": len(res.snapshots),
+                "docs": res.docs,
+                "metrics_rows": m.count() if m is not None else 0,
+                "wall_sec": round(pipe_wall, 3),
+                "steal_frac": pipe_steal,
+                "docs_per_sec": round(pipe_pages / pipe_wall, 1),
+            }
+            log(f"bench: pipeline_sustained {pipe_pages} pages in "
+                f"{pipe_wall:.1f}s ({pipe_pages / pipe_wall:.0f} docs/s, "
+                f"{res.chunks_done} chunks, "
+                f"{result['pipeline_sustained']['metrics_rows']} metrics rows)")
+            emit("pipeline_sustained")
+
+    # ---- query suite over the shared testdata (the droppable tail) ---------
+    if DO_QUERIES:
+        import __spark_entry__ as entrymod
+
+        queries = {**entrymod.queries(), **entrymod.extra_queries()}
+        qtimes: dict[str, float] = result["queries"]
+        q_dirty: list[str] = []
+        suite_t0 = time.time()
+        suite_box = max(60.0, left() - 30)
+        for qi, name in enumerate(BENCH_QUERIES):
+            if time.time() - suite_t0 > suite_box:
+                result["queries_skipped"] = BENCH_QUERIES[qi:]
+                log(f"bench: query suite time-boxed after {qi} queries "
+                    f"({suite_box:.0f}s); skipping {len(BENCH_QUERIES) - qi}")
+                break
+            fn = queries[name]
+            rows_box = [0]
+
+            def one_rep():
+                t0 = time.time()
+                rows_box[0] = fn(spark, SF_DIR).count()
+                return time.time() - t0
+
+            # on a tight budget drop to single-rep, no-retry measurements:
+            # coverage of the suite beats min-of-3 precision here
+            tight = left() < 180
+            walls, steals, n_clean = run_reps_clean(
+                one_rep, 1 if tight else REPS, extra=0 if tight else 2)
+            qtimes[name] = round(min_clean(walls, steals), 3)
+            if n_clean == 0:
+                q_dirty.append(name)
+            log(f"bench: {name}: {rows_box[0]} rows in {qtimes[name]}s"
+                + ("" if n_clean else " (no steal-clean rep)"))
+            if (qi + 1) % 15 == 0:
+                emit("queries_partial")
+        result["queries_elapsed_s"] = round(time.time() - suite_t0, 1)
+        if q_dirty:
+            result["queries_no_clean_rep"] = q_dirty
+        emit("queries")
+
+        # long-session hygiene: drop the scoped signature caches the dedup/
+        # similarity queries persist, so repeated bench loops stay memory-flat
+        from ocr_spark.operators.dedup import release_cached
+
+        release_cached()
+
+    spark.stop()
+    emit("final")
 
 
 if __name__ == "__main__":

@@ -103,11 +103,25 @@ def cmd_signals(args: argparse.Namespace) -> int:
     if ext is None:
         print("no committed snapshots", file=sys.stderr)
         return 1
-    sig = quality_signals(ext, id_col="url")
     t = IcebergLiteTable(f"{args.table_root}/signals")
-    sid = t.append(sig)
+    # resume-aware like cmd_extract: append only docs not yet signalled, so
+    # re-running the job is a no-op instead of duplicating every row in the
+    # latest snapshot (a snapshot append = parent entries + new entries)
+    if t.exists():
+        done = t.read(spark).select("url")
+        ext = ext.join(done, "url", "left_anti")
+    sig = quality_signals(ext, id_col="url").persist()
+    n_new = sig.count()
+    if n_new == 0:
+        sig.unpersist()
+        out = t.read(spark)
+        print(f"signals up to date ({out.count()} rows, "
+              f"{len(out.columns)} columns)")
+        return 0
+    sid = t.append(sig, properties={"rows": n_new})
+    sig.unpersist()
     out = t.read(spark)
-    print(f"signals snapshot {sid} ({out.count()} rows, "
+    print(f"signals snapshot {sid} (+{n_new} rows, {out.count()} total, "
           f"{len(out.columns)} columns)")
     return 0
 

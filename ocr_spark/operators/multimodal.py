@@ -7,11 +7,14 @@ optimized_ocr_processor.py:91-115).
 
 The Spark-side plumbing here is REAL and tested: schemas, Arrow batch shape,
 partition-parallel ``mapInPandas``, magic-byte sniffing, byte accounting,
-content hashing. The actual media DECODE is a clearly marked STUB: the
-sandbox has no PIL/ffmpeg, so ``decode_image`` raises ``NotImplementedError``
-unless Pillow is importable, and the feature extractor falls back to a
-deterministic fake (documented) so the pipeline shape is exercisable
-end-to-end. Swapping in a real decoder changes ONE function.
+content hashing. Image DIMENSIONS are real too: ``parse_image_header``
+reads PNG IHDR / JPEG SOF / GIF LSD headers in pure Python (no decode
+library), so ``media_features``/``image_resize`` report header-true
+width/height for actual image payloads on any box. Only PIXEL work —
+resampling bytes, video frame extraction — remains a clearly marked STUB
+(the sandbox has no PIL/ffmpeg): those paths fall back to a deterministic
+fake (documented) so the pipeline shape is exercisable end-to-end.
+Swapping in a real decoder changes ONE function.
 """
 
 from __future__ import annotations
@@ -50,19 +53,85 @@ def sniff_kind(data: bytes) -> str:
     return "unknown"
 
 
-def decode_image(data: bytes) -> tuple[int, int]:
-    """Real decode path — requires Pillow. STUB in this environment."""
+def parse_image_header(data: bytes) -> tuple[int, int] | None:
+    """Pure-Python image dimension extraction from container headers —
+    no decode library needed, works on any box. Handles PNG (IHDR),
+    JPEG (first SOF0/1/2/... frame header), and GIF (logical screen
+    descriptor). Returns None when the payload is not a recognized
+    image or the header is truncated/corrupt.
+
+    This is the production metadata fast path regardless of decoder
+    availability: at crawl scale you want width/height without
+    decompressing pixels, exactly like parquet footer stats vs a full
+    scan. Full pixel decode (resampling, frame extraction) still
+    requires Pillow/ffmpeg and stays behind the disclosed stub."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        # 8-byte signature, 4-byte chunk length, b"IHDR", then w/h u32be
+        if len(data) >= 24 and data[12:16] == b"IHDR":
+            w = int.from_bytes(data[16:20], "big")
+            h = int.from_bytes(data[20:24], "big")
+            return (w, h) if w > 0 and h > 0 else None
+        return None
+    if data[:4] in (b"GIF8", b"GIF9") and len(data) >= 10:
+        w = int.from_bytes(data[6:8], "little")
+        h = int.from_bytes(data[8:10], "little")
+        return (w, h) if w > 0 and h > 0 else None
+    if data[:3] == b"\xff\xd8\xff":
+        # walk marker segments to the first start-of-frame header
+        i, n = 2, len(data)
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                return None
+            marker = data[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone marker, no length field
+                continue
+            seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+            if seg_len < 2:
+                return None
+            # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC): [prec, h u16, w u16]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(data[i + 5:i + 7], "big")
+                w = int.from_bytes(data[i + 7:i + 9], "big")
+                return (w, h) if w > 0 and h > 0 else None
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def decode_image_tagged(data: bytes) -> tuple[int, int, str]:
+    """Image dimensions + the path that produced them: ("pillow" — full
+    decode when importable; "header" — the pure-Python container-header
+    parse, real dimensions with no pixel decode). Raises
+    NotImplementedError only for payloads that are not parseable images —
+    callers fall back to the deterministic fake so batch shape/typing
+    never changes."""
     try:
         import io
 
         from PIL import Image  # noqa: F401  (absent in this sandbox)
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires Pillow; sandbox has none — "
-            "media_features falls back to the deterministic fake decoder"
-        ) from e
-    img = Image.open(io.BytesIO(data))
-    return img.size
+
+        w, h = Image.open(io.BytesIO(data)).size
+        return w, h, "pillow"
+    except ImportError:
+        pass
+    dims = parse_image_header(data)
+    if dims is not None:
+        return dims[0], dims[1], "header"
+    raise NotImplementedError(
+        "payload is not a parseable PNG/JPEG/GIF and no Pillow available — "
+        "media_features falls back to the deterministic fake decoder"
+    )
+
+
+def decode_image(data: bytes) -> tuple[int, int]:
+    w, h, _ = decode_image_tagged(data)
+    return w, h
 
 
 def _fake_dimensions(digest: bytes) -> tuple[int, int]:
@@ -108,8 +177,7 @@ def image_resize(df: DataFrame, binary_col: str = "html", id_col: str = "url",
                 b = blob if blob is not None else b""
                 digest = hashlib.sha256(b).digest()
                 try:
-                    w, h = decode_image(b)
-                    decoder = "pillow"
+                    w, h, decoder = decode_image_tagged(b)
                 except NotImplementedError:
                     w, h = _fake_dimensions(digest)
                     decoder = "stub"
@@ -202,8 +270,7 @@ def media_features(df: DataFrame, binary_col: str = "html",
                 b = blob if blob is not None else b""
                 digest = hashlib.sha256(b).digest()
                 try:
-                    w, h = decode_image(b)
-                    decoder = "pillow"
+                    w, h, decoder = decode_image_tagged(b)
                 except NotImplementedError:
                     w, h = _fake_dimensions(digest)
                     decoder = "stub"

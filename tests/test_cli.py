@@ -43,6 +43,13 @@ def test_cli_signals_commits_beside_output(roots, spark, capsys):
     sig = IcebergLiteTable(f"{table_root}/signals").read(spark)
     assert sig.count() == 400
     assert {"url", "n_tokens", "dominant_script", "is_code"} <= set(sig.columns)
+    # re-running is a no-op, not a row-duplicating re-append (resume-aware
+    # like extract): the latest snapshot still carries exactly 400 rows
+    assert jobs.main(["signals", "--table-root", table_root]) == 0
+    assert "signals up to date" in capsys.readouterr().out
+    sig2 = IcebergLiteTable(f"{table_root}/signals").read(spark)
+    assert sig2.count() == 400
+    assert sig2.select("url").distinct().count() == 400
 
 
 def test_cli_validate_compact_expire(roots, capsys):

@@ -25,14 +25,22 @@ def duck():
 
 
 def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Width/order normalization ONLY — int widths collapse to int64 and
+    datetimes to [us], but float-vs-int is deliberately PRESERVED: the
+    driver's value-hash sees `455.0` != `455`, so an uncast DuckDB sum()
+    (HUGEINT -> pandas float64) must fail here with check_dtype=True
+    before it can fail the driver (the r3 `host_degree` defect class)."""
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].astype(str)
         elif str(pdf[c].dtype).startswith(("float", "Float")):
-            pdf[c] = pdf[c].round(4)
+            pdf[c] = pdf[c].astype("float64").round(4)
         elif str(pdf[c].dtype).startswith(("int", "Int", "uint", "bool")):
             pdf[c] = pdf[c].astype("int64")
+        elif str(pdf[c].dtype).startswith("datetime"):
+            # Arrow-vs-DuckDB ns/us unit drift is representation, not value
+            pdf[c] = pdf[c].astype("datetime64[us]")
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
@@ -61,13 +69,33 @@ def test_oracle_parity(spark, duck, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, atol=0, rtol=0)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0 and len(df.schema) > 0
+def test_uncast_sum_oracle_is_caught(duck):
+    """Regression meta-test for the r3 `host_degree` defect class: a DuckDB
+    sum() left uncast comes back HUGEINT -> pandas float64, and the strict
+    gate must reject it against an integral Spark result even though the
+    values are numerically identical (the driver's value-hash would)."""
+    want = _canon(duck.execute(
+        "SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x)").df())
+    got = _canon(pd.DataFrame({"s": pd.Series([3], dtype="int64")}))
+    assert str(want["s"].dtype) == "float64"  # the drift actually occurs
+    with pytest.raises(AssertionError):
+        pd.testing.assert_frame_equal(got, want, check_dtype=True, atol=0, rtol=0)
+
+
+def test_no_rows_only_queries_remain():
+    """Every registered query (window + extras) has an exact DuckDB oracle —
+    the weaker rows-only evidence tier is empty by construction. This was a
+    parametrized runner over set(QUERIES)-set(ORACLES); once that set
+    emptied, pytest reported it as a perpetual unexplained 'skipped', so it
+    is now the explicit invariant. If a genuinely non-SQL-expressible query
+    ever lands, reintroduce the runner for it (and document why)."""
+    assert set(QUERIES) == set(ORACLES), (
+        f"queries without oracles: {sorted(set(QUERIES) - set(ORACLES))}; "
+        f"oracles without queries: {sorted(set(ORACLES) - set(QUERIES))}"
+    )
 
 
 def test_entry_smoke(spark):
@@ -85,6 +113,6 @@ def test_queries_are_session_default_proof(spark, duck):
         for name in ("events_hourly", "epoch_parse", "asof_join"):
             got = _canon(QUERIES[name](spark, SF_DIR).toPandas())
             want = _canon(duck.execute(ORACLES[name]).df())
-            pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=0, rtol=0)
+            pd.testing.assert_frame_equal(got, want, check_dtype=True, atol=0, rtol=0)
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)

@@ -100,6 +100,55 @@ class TestMultimodal:
         assert (out["decoder"] == "stub").all()  # sandbox has no Pillow
         assert (out["width"] >= 160).all() and (out["height"] >= 120).all()
 
+    # minimal real container headers with known dimensions (hand-built —
+    # the dimensions live in the header, no pixel data needed)
+    PNG_800x600 = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+                   + (800).to_bytes(4, "big") + (600).to_bytes(4, "big")
+                   + b"\x08\x02\x00\x00\x00" + b"\x00" * 8)
+    JPEG_640x480 = (b"\xff\xd8"
+                    + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+                    + b"\xff\xc4" + (4).to_bytes(2, "big") + b"\x00\x00"  # DHT: skipped
+                    + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+                    + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+                    + b"\x03" + b"\x00" * 9)
+    GIF_320x240 = (b"GIF89a" + (320).to_bytes(2, "little")
+                   + (240).to_bytes(2, "little") + b"\x00" * 6)
+
+    def test_parse_image_header_true_dimensions(self):
+        from ocr_spark.operators.multimodal import parse_image_header
+
+        assert parse_image_header(self.PNG_800x600) == (800, 600)
+        assert parse_image_header(self.JPEG_640x480) == (640, 480)
+        assert parse_image_header(self.GIF_320x240) == (320, 240)
+        # truncation / corruption / non-images -> None, never a throw
+        assert parse_image_header(self.PNG_800x600[:20]) is None
+        assert parse_image_header(b"\xff\xd8\xff" + b"x" * 100) is None
+        assert parse_image_header(b"<html><body>hi</body></html>") is None
+        assert parse_image_header(b"") is None
+
+    def test_media_features_header_decoder(self, spark):
+        """Real image payloads get header-true dimensions (decoder='header');
+        non-image payloads keep the disclosed deterministic stub."""
+        rows = [("png", self.PNG_800x600), ("jpg", self.JPEG_640x480),
+                ("gif", self.GIF_320x240), ("doc", b"<html><body>x</body></html>")]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        out = media_features(df).toPandas().set_index("id")
+        assert out.loc["png", "decoder"] == "header"
+        assert (int(out.loc["png", "width"]), int(out.loc["png", "height"])) == (800, 600)
+        assert (int(out.loc["jpg", "width"]), int(out.loc["jpg", "height"])) == (640, 480)
+        assert (int(out.loc["gif", "width"]), int(out.loc["gif", "height"])) == (320, 240)
+        assert out.loc["doc", "decoder"] == "stub"
+
+    def test_image_resize_header_geometry(self, spark):
+        from ocr_spark.operators.multimodal import image_resize
+
+        df = spark.createDataFrame(
+            [("png", self.PNG_800x600)], "url string, html binary")
+        out = image_resize(df, max_side=400).toPandas().iloc[0]
+        assert out.decoder == "header"
+        assert (out.width, out.height) == (800, 600)
+        assert (out.resized_w, out.resized_h) == (400, 300)
+
     def test_media_features_deterministic(self, spark):
         df = synth_pages(spark, 60)
         a = media_features(df).toPandas().sort_values("id").reset_index(drop=True)
