@@ -91,6 +91,43 @@ def test_dsir_ratio_table_bounded(spark, dsir_corpus):
     assert ratios.count() <= 64
 
 
+def test_dsir_apply_with_persisted_ratios_matches_one_shot(spark, dsir_corpus):
+    """The deploy seam: a fitted log-ratio table written to disk and read
+    back (the cross-batch persistence path) selects EXACTLY what the
+    one-shot fit+apply selects — so batches can reuse the frozen artifact
+    with one corpus scan instead of two."""
+    import pandas as pd
+
+    from ocr_spark.operators.dsir import dsir_apply
+
+    target = dsir_corpus.where(F.col("doc_id") < 8)
+    one_shot = dsir_sample(
+        dsir_corpus, target, k=12, n_buckets=256, seed="t-1"
+    ).toPandas()
+
+    ratios = dsir_log_ratios(dsir_corpus, target, n_buckets=256, seed="t-1")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ratios.write.mode("overwrite").parquet(d)
+        frozen = spark.read.parquet(d)
+        applied = dsir_apply(
+            dsir_corpus, frozen, k=12, n_buckets=256, seed="t-1"
+        ).toPandas()
+        # and a NEW disjoint batch resamples against the same frozen table
+        batch2 = dsir_corpus.select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+        rows2 = dsir_apply(
+            batch2, frozen, k=5, n_buckets=256, seed="t-1"
+        ).collect()
+    pd.testing.assert_frame_equal(
+        one_shot.reset_index(drop=True), applied.reset_index(drop=True)
+    )
+    assert len(rows2) == 5
+    assert all(r.doc_id >= 1000 for r in rows2)
+
+
 def test_dsir_empty_text_survives(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta useful"), (2, None), (3, "")],
