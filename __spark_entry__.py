@@ -1800,6 +1800,154 @@ def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probed.join(gated, "doc_id")
 
 
+def q_pub_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publication-date extraction with precedence (meta article:published_time
+    > <time datetime> > /YYYY/MM/DD/ URL path) over pages whose date
+    carriers are pure functions of doc_id — the oracle computes the GROUND
+    TRUTH from doc_id arithmetic, so the regex layer must actually recover
+    the planted dates. Traps exercised: precedence overlap (doc_id % 12 == 1
+    carries meta AND time -> meta wins; % 12 == 2 carries time AND url ->
+    time wins), calendar-validity fall-through (% 24 == 0 plants an
+    impossible month-13 meta date that must LOSE to the time tag), and the
+    all-absent NULL row (% 4 == 3)."""
+    from ocr_spark.operators.pagemeta import pub_date
+
+    d = F.col("doc_id")
+
+    def pad2(c):
+        return F.lpad(c.cast("string"), 2, "0")
+
+    meta_date = F.concat(
+        (d % 5 + 2020).cast("string"), F.lit("-"),
+        pad2(d % 12 + 1), F.lit("-"), pad2(d % 28 + 1),
+    )
+    time_date = F.concat(
+        (d % 7 + 2015).cast("string"), F.lit("-"),
+        pad2((d + 3) % 12 + 1), F.lit("-"), pad2((d + 5) % 28 + 1),
+    )
+    url_y = (d % 20 + 2000).cast("string")
+    url_m = pad2((d + 5) % 12 + 1)
+    url_d = pad2((d + 7) % 28 + 1)
+    has_meta = (d % 4 == 0) | (d % 12 == 1)
+    meta_invalid = d % 24 == 0
+    has_time = (d % 4 == 1) | (d % 12 == 2) | (d % 24 == 0)
+    has_url = d % 4 == 2
+    meta_content = F.when(meta_invalid, F.lit("2020-13-05T08:30:00Z")).otherwise(
+        F.concat(meta_date, F.lit("T08:30:00Z"))
+    )
+    head = F.concat(
+        F.lit("<html><head><title>d</title>"),
+        F.when(
+            has_meta,
+            F.concat(
+                F.lit('<meta property="article:published_time" content="'),
+                meta_content,
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            has_time,
+            F.concat(F.lit('<time datetime="'), time_date, F.lit('">then</time>')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://h"),
+        (d % 23).cast("string"),
+        F.lit(".example.org"),
+        F.when(
+            has_url,
+            F.concat(F.lit("/"), url_y, F.lit("/"), url_m, F.lit("/"), url_d),
+        ).otherwise(F.lit("")),
+        F.lit("/p/"),
+        d.cast("string"),
+    )
+    pages = _t(spark, sf_dir, "documents").select(url.alias("url"), head.alias("html"))
+    return pub_date(pages)
+
+
+def q_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (UTF-8-as-cp1252, ftfy-style closed form): garble is
+    planted as literal garbled suffixes (doc_id % 3 == 0 gets a 4-sequence
+    tail, % 3 == 2 a 2-sequence tail, % 3 == 1 stays clean — the
+    idempotence case), repaired by the generated 105-entry replace chain
+    (functions/encoding.py), scored by length shrinkage, and witnessed by
+    the canonical md5 of the FULL repaired text. The oracle replays the
+    identical chain generated from the same MOJIBAKE_MAP."""
+    from ocr_spark.functions.encoding import fix_mojibake, mojibake_score
+    from ocr_spark.functions.text import fingerprint_md5
+
+    d = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    raw = (
+        F.when(d % 3 == 0, F.concat(t, F.lit(" cafÃ© â€” rÃ©sumÃ© â€¦ Ã¼ber")))
+        .when(d % 3 == 2, F.concat(t, F.lit(" naÃ¯ve Â© 2024")))
+        .otherwise(t)
+    )
+    g = _t(spark, sf_dir, "documents").select("doc_id", raw.alias("raw"))
+    f = g.select("doc_id", "raw", fix_mojibake("raw").alias("fixed"))
+    return f.select(
+        "doc_id",
+        (F.length("raw") - F.length("fixed")).cast("long").alias("mojibake_score"),
+        (F.length("raw") > F.length("fixed")).alias("was_garbled"),
+        fingerprint_md5("fixed").alias("fixed_fp"),
+    )
+
+
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (explode to one row per sentence with index and
+    word count). documents.text carries no punctuation, so terminators are
+    planted first: every 5-word run gains the doc's terminator ('.', '!' or
+    '?' by doc_id % 3) via the same RE2-safe regexp_replace in both engines;
+    the splitter (functions/text.py SENTENCE_PATTERN) must then recover the
+    runs. Zero-shuffle: plant, split, posexplode are all one projection."""
+    from ocr_spark.functions.text import split_sentences
+
+    d = F.col("doc_id")
+    term = (
+        F.when(d % 3 == 0, F.lit("."))
+        .when(d % 3 == 1, F.lit("!"))
+        .otherwise(F.lit("?"))
+    )
+    planted = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(r"((?:\w+ ){4}\w+) "),
+        F.concat(F.lit("$1"), term, F.lit(" ")),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", split_sentences(planted).alias("arr")
+    )
+    return docs.select(
+        "doc_id", F.posexplode("arr").alias("sent_idx", "sentence")
+    ).select(
+        "doc_id",
+        F.col("sent_idx").cast("long").alias("sent_idx"),
+        "sentence",
+        F.size(F.split("sentence", " ")).cast("long").alias("n_words"),
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff by content fingerprint: old = docs with
+    doc_id % 7 != 1, new = docs with doc_id % 11 != 3 where % 5 == 0 rows
+    carry an edit — so all four statuses (added / removed / changed /
+    unchanged) are non-vacuously planted, and rows in NEITHER snapshot
+    (% 7 == 1 AND % 11 == 3) are correctly absent. The operator
+    (operators/incremental.py:snapshot_diff) joins fingerprints, never
+    text — the recrawl-planning shape that reads ~16 B/doc at 100 TB."""
+    from ocr_spark.operators.incremental import snapshot_diff
+
+    d0 = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    old = d0.where(did % 7 != 1).select("doc_id", t.alias("text"))
+    new = d0.where(did % 11 != 3).select(
+        "doc_id",
+        F.when(did % 5 == 0, F.concat(t, F.lit(" v2 edit"))).otherwise(t).alias("text"),
+    )
+    return snapshot_diff(old, new)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _with_engine_conf(q_flagship_extract)(spark, SF0001)
@@ -1921,7 +2069,15 @@ _EXTRA_KEYS = frozenset(
     # shard_assignment: hash-bucket assignment witnessed by host_cap +
     #   token_budget_mix (promoted); corpus_report: K5 report aggs
     #   witnessed by validate_docs (in-window) + clean_corpus's audit
-    "shard_assignment corpus_report".split()
+    "shard_assignment corpus_report "
+    # --- round-4 additions (born out-of-window; rotate in next round) ---
+    # pub_date: head-regex machinery witnessed in-window by page_meta;
+    # fix_encoding: projection-layer normalization witnessed by
+    #   flagship_extract's normalize stage + token_stats; sentences:
+    #   regexp split/explode witnessed by token_stats + extract_spans;
+    # snapshot_diff: fp full-outer machinery witnessed by exact_dedup +
+    #   resume_antijoin — all oracle-checked by test_oracle_parity
+    "pub_date fix_encoding sentences snapshot_diff".split()
 )
 
 _QUERIES = {
@@ -2025,6 +2181,10 @@ _QUERIES = {
         "within_doc_dedup": q_within_doc_dedup,
         "latest_capture": q_latest_capture,
         "page_meta": q_page_meta,
+        "pub_date": q_pub_date,
+        "fix_encoding": q_fix_encoding,
+        "sentences": q_sentences,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -4454,6 +4614,134 @@ def extra_oracle_sql() -> dict[str, str]:
     return {k: v for k, v in _oracle_sql_all().items() if k in _EXTRA_KEYS}
 
 
+def _pub_date_oracle() -> str:
+    """DuckDB twin of q_pub_date — deliberately NOT a regex replay: it
+    computes the planted ground truth straight from doc_id arithmetic
+    (presence flags, precedence, the month-13 invalidity fall-through), so
+    the engine's regex+try_to_date layer is tested against construction
+    truth rather than against a second regex."""
+    return """
+        WITH d AS (
+            SELECT doc_id,
+                   (2020 + doc_id % 5) || '-'
+                     || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-'
+                     || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS meta_date,
+                   (2015 + doc_id % 7) || '-'
+                     || lpad(CAST(1 + (doc_id + 3) % 12 AS VARCHAR), 2, '0') || '-'
+                     || lpad(CAST(1 + (doc_id + 5) % 28 AS VARCHAR), 2, '0') AS time_date,
+                   (2000 + doc_id % 20) AS uy,
+                   lpad(CAST(1 + (doc_id + 5) % 12 AS VARCHAR), 2, '0') AS um,
+                   lpad(CAST(1 + (doc_id + 7) % 28 AS VARCHAR), 2, '0') AS ud,
+                   (doc_id % 4 = 0 OR doc_id % 12 = 1) AS has_meta,
+                   (doc_id % 24 = 0) AS meta_invalid,
+                   (doc_id % 4 = 1 OR doc_id % 12 = 2 OR doc_id % 24 = 0) AS has_time,
+                   (doc_id % 4 = 2) AS has_url
+            FROM documents
+        )
+        SELECT 'https://h' || (doc_id % 23) || '.example.org'
+                 || CASE WHEN has_url THEN '/' || uy || '/' || um || '/' || ud
+                         ELSE '' END
+                 || '/p/' || doc_id AS url,
+               CASE WHEN has_meta AND NOT meta_invalid THEN meta_date
+                    WHEN has_time THEN time_date
+                    WHEN has_url THEN uy || '-' || um || '-' || ud
+               END AS pub_date,
+               CASE WHEN has_meta AND NOT meta_invalid THEN 'meta'
+                    WHEN has_time THEN 'time'
+                    WHEN has_url THEN 'url'
+               END AS pub_source
+        FROM d
+    """
+
+
+def _fix_encoding_oracle() -> str:
+    """DuckDB twin of q_fix_encoding: same planted garbled suffixes, then
+    the IDENTICAL repair chain generated from MOJIBAKE_MAP by
+    sql_fix_mojibake — engine and oracle share the chain's source of truth
+    so the 105 replace pairs cannot drift."""
+    from ocr_spark.functions.encoding import sql_fix_mojibake
+
+    fixed = sql_fix_mojibake("raw")
+    return f"""
+        WITH g AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN coalesce(text, '') || ' cafÃ© â€” rÃ©sumÃ© â€¦ Ã¼ber'
+                        WHEN doc_id % 3 = 2
+                        THEN coalesce(text, '') || ' naÃ¯ve Â© 2024'
+                        ELSE coalesce(text, '') END AS raw
+            FROM documents
+        ), f AS (
+            SELECT doc_id, raw, {fixed} AS fixed FROM g
+        )
+        SELECT doc_id,
+               CAST(length(raw) - length(fixed) AS BIGINT) AS mojibake_score,
+               (length(raw) > length(fixed)) AS was_garbled,
+               md5(trim(regexp_replace(lower(fixed), '[ \t\n]+', ' ', 'g')))
+                   AS fixed_fp
+        FROM f
+    """
+
+
+def _sentences_oracle() -> str:
+    """DuckDB twin of q_sentences: same terminator plant (RE2 regexp_replace
+    with the per-doc terminator), same SENTENCE_PATTERN split, trim+filter,
+    and an unnest(range) index replay of posexplode."""
+    from ocr_spark.functions.text import SENTENCE_PATTERN
+
+    return rf"""
+        WITH p AS (
+            SELECT doc_id,
+                   regexp_replace(coalesce(text, ''),
+                       '((?:\w+ ){{4}}\w+) ',
+                       '\1' || CASE WHEN doc_id % 3 = 0 THEN '.'
+                                    WHEN doc_id % 3 = 1 THEN '!'
+                                    ELSE '?' END || ' ',
+                       'g') AS t
+            FROM documents
+        ), a AS (
+            SELECT doc_id,
+                   [trim(x) for x in regexp_extract_all(t, '{SENTENCE_PATTERN}')
+                    if trim(x) <> ''] AS arr
+            FROM p
+        )
+        SELECT doc_id,
+               CAST(pos AS BIGINT) AS sent_idx,
+               arr[pos + 1] AS sentence,
+               CAST(len(string_split(arr[pos + 1], ' ')) AS BIGINT) AS n_words
+        FROM a, unnest(range(0, len(arr))) AS u(pos)
+    """
+
+
+def _snapshot_diff_oracle() -> str:
+    """DuckDB twin of q_snapshot_diff: same snapshot predicates and edit
+    plant, canonical-md5 fingerprints, full outer join, fp-null status."""
+    canon_of = (
+        "md5(trim(regexp_replace(lower({t}), '[ \t\n]+', ' ', 'g')))"
+    )
+    old_fp = canon_of.format(t="coalesce(text, '')")
+    new_fp = canon_of.format(
+        t="CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '') || ' v2 edit' "
+          "ELSE coalesce(text, '') END"
+    )
+    return f"""
+        WITH old AS (
+            SELECT doc_id, {old_fp} AS old_fp
+            FROM documents WHERE doc_id % 7 <> 1
+        ), new AS (
+            SELECT doc_id, {new_fp} AS new_fp
+            FROM documents WHERE doc_id % 11 <> 3
+        )
+        SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+               CASE WHEN old_fp IS NULL THEN 'added'
+                    WHEN new_fp IS NULL THEN 'removed'
+                    WHEN old_fp = new_fp THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               old_fp, new_fp
+        FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """
+
+
 def _oracle_sql_all() -> dict[str, str]:
     d = {
         "minhash_pairs": _minhash_oracle(),
@@ -4583,6 +4871,10 @@ def _oracle_sql_all() -> dict[str, str]:
                    lang AS html_lang
             FROM documents
         """,
+        "pub_date": _pub_date_oracle(),
+        "fix_encoding": _fix_encoding_oracle(),
+        "sentences": _sentences_oracle(),
+        "snapshot_diff": _snapshot_diff_oracle(),
         "lm_score": _lm_score_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),

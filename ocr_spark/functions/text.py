@@ -103,6 +103,27 @@ def fingerprint_md5(c) -> Column:
     return F.md5(F.encode(normalized_for_fingerprint(c), "UTF-8"))
 
 
+# Sentence = a maximal run of non-terminators plus its trailing
+# terminator run. RE2-safe (no lookaround — RE2 has none), so Java regex
+# and DuckDB agree byte-for-byte. Deliberately simple: abbreviation
+# handling ("e.g.") is a wordlist policy layered on top, not a regex
+# property, and is out of scope for the splitter itself.
+SENTENCE_PATTERN = "[^.!?]+[.!?]*"
+
+
+def split_sentences(c) -> Column:
+    """Array of trimmed, non-empty sentences in document order.
+
+    Sentence-granular work (sentence dedup, bitext mining, quote
+    filtering) keys on this split; it stays a zero-shuffle projection
+    (regexp_extract_all -> transform -> filter, all codegen)."""
+    parts = F.regexp_extract_all(_col(c), F.lit(SENTENCE_PATTERN), F.lit(0))
+    # single-arg lambda on purpose: transform() treats a two-parameter
+    # callable as (element, index), and F.trim's optional second parameter
+    # would silently become "trim these characters: the index digits"
+    return F.filter(F.transform(parts, lambda s: F.trim(s)), lambda s: s != "")
+
+
 # --- exact SQL twins (kept adjacent so drift is visible in review) ----------
 
 SQL_TOKEN_COUNT = f"length(regexp_extract_all({{c}}, '{TOKEN_PATTERN}'))"

@@ -190,3 +190,41 @@ def incremental_status(
         id_col=id_col,
         threshold=threshold,
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diff two crawl snapshots by content fingerprint: one row per key
+    in either snapshot with status added / removed / changed / unchanged.
+
+    The comparison joins FINGERPRINTS, never text: each side collapses
+    to (key, md5) in its own map pass, then a single full-outer shuffle
+    on the key decides the status. At 100 TB both sides should be the
+    persisted state tables (:func:`committed_state`'s ``fp`` column) so
+    the diff reads ~16 bytes per document and no payload at all — the
+    recrawl-planning primitive (fetch only added/changed, tombstone
+    removed) for incremental corpus maintenance.
+    """
+    old_fp = old_df.select(
+        F.col(key_col).alias("k"), fingerprint_md5(text_col).alias("old_fp")
+    )
+    new_fp = new_df.select(
+        F.col(key_col).alias("k"), fingerprint_md5(text_col).alias("new_fp")
+    )
+    return (
+        old_fp.join(new_fp, "k", "full_outer")
+        .select(
+            F.col("k").alias(key_col),
+            F.when(F.col("old_fp").isNull(), F.lit("added"))
+            .when(F.col("new_fp").isNull(), F.lit("removed"))
+            .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+            "old_fp",
+            "new_fp",
+        )
+    )

@@ -112,3 +112,55 @@ def page_meta(
             "html_lang"
         ),
     )
+
+
+# --- publication-date extraction --------------------------------------------
+
+# Candidate carriers in precedence order (the trafilatura convention):
+# explicit article metadata beats markup beats URL-path inference.
+_PUBTIME_META = _meta_content_res("property", "article:published_time")
+_TIME_RE = r"""(?is)<time[^>]*\sdatetime=["'](\d{4}-\d{2}-\d{2})"""
+_URL_DATE_RE = r"/((?:19|20)\d{2})/(\d{2})/(\d{2})/"
+
+
+def _valid_date(s: Column) -> Column:
+    """NULL unless s is a real calendar date — try_to_date rejects
+    2024-13-01 / 2024-02-30 in both engines (DuckDB twin: try_cast AS
+    DATE), so a regex-shaped-but-impossible date never wins precedence."""
+    return F.when(F.try_to_date(s).isNotNull(), s)
+
+
+def pub_date(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    head_bytes: int = HEAD_BYTES,
+) -> DataFrame:
+    """(url, pub_date, pub_source) — publication date per page, or NULLs.
+
+    Precedence: ``article:published_time`` meta > ``<time datetime=>`` >
+    a ``/YYYY/MM/DD/`` URL path segment; each candidate must survive a
+    calendar-validity gate before it can win. ``pub_date`` is emitted as
+    a 'YYYY-MM-DD' string (not DATE) so engine/oracle dtype parity is
+    exact. Zero shuffle, zero Python — head-bounded JVM regex like the
+    rest of this module.
+    """
+    head = F.substring(F.col(html_col).cast("string"), 1, head_bytes)
+    meta_d = _valid_date(F.substring(_first_match(head, _PUBTIME_META), 1, 10))
+    time_d = _valid_date(F.nullif(F.regexp_extract(head, _TIME_RE, 1), F.lit("")))
+    u = F.col(url_col)
+    url_raw = F.concat_ws(
+        "-",
+        F.regexp_extract(u, _URL_DATE_RE, 1),
+        F.regexp_extract(u, _URL_DATE_RE, 2),
+        F.regexp_extract(u, _URL_DATE_RE, 3),
+    )
+    url_d = _valid_date(F.nullif(url_raw, F.lit("")))
+    return df.select(
+        F.col(url_col).alias("url"),
+        F.coalesce(meta_d, time_d, url_d).alias("pub_date"),
+        F.when(meta_d.isNotNull(), F.lit("meta"))
+        .when(time_d.isNotNull(), F.lit("time"))
+        .when(url_d.isNotNull(), F.lit("url"))
+        .alias("pub_source"),
+    )
