@@ -1331,6 +1331,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d, minhash_lsh_pairs(d, threshold=0.5))
 
 
+def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection over the near-dup clusters: the same
+    MinHash-LSH -> connected-components assignment as dedup_clusters, but
+    the keeper is each cluster's LONGEST member (ties -> lowest id) — the
+    RefinedWeb/FineWeb convention of keeping the best cluster member
+    rather than the arbitrary min-id one. Exact DuckDB twin: the cluster
+    CTE plus the same row_number window."""
+    from ocr_spark.operators.cc import cluster_representatives, dedup_clusters
+    from ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(d, minhash_lsh_pairs(d, threshold=0.5)).select(
+        "doc_id", "component"
+    )
+    scores = d.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("score"),
+    )
+    return cluster_representatives(clusters, scores)
+
+
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming path: the same extraction core as a file-source
     micro-batch stream with checkpointed exactly-once parquet sink
@@ -1948,6 +1969,111 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new)
 
 
+def q_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-driven recrawl planning: per-host sitemap XML is assembled
+    deterministically from documents (23 hosts; every %17==0 block is
+    malformed — no <loc> — and must parse to sitemap_ok=false, not a plan
+    row; each host also carries one <sitemapindex> member that must stay
+    out of the plan), captures exist for %3!=0 urls at a date decoupled
+    from lastmod — so the plan is a non-vacuous mix of 'new' (never
+    captured) and 'stale' (lastmod after the newest capture) with
+    up-to-date urls absent. The ENGINE parses real XML
+    (sources/sitemap.py); the DuckDB twin computes the expected plan
+    straight from the doc_id construction arithmetic, so the regex layer
+    is tested against ground truth, not against a second regex."""
+    from ocr_spark.sources.sitemap import parse_sitemap_entries, recrawl_plan
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 23).cast("string"), F.lit(".example.org"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), did.cast("string"))
+    lastmod = F.date_format(
+        F.date_add(F.to_date(F.lit("2024-01-01")), ((did * 13) % 365).cast("int")),
+        "yyyy-MM-dd",
+    )
+    changefreq = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly"), F.lit("yearly")),
+        (did % 4 + 1).cast("int"),
+    )
+    priority = ((did % 10).cast("double") / 10.0).cast("string")
+    block = F.when(
+        did % 17 == 0,
+        # protocol violation: no <loc> — the P7 path, sitemap_ok=false
+        F.concat(F.lit("<url><lastmod>"), lastmod, F.lit("</lastmod></url>")),
+    ).otherwise(
+        F.concat(
+            F.lit("<url><loc> "), url, F.lit(" </loc><lastmod>"), lastmod,
+            F.lit("</lastmod><changefreq>"), changefreq,
+            F.lit("</changefreq><priority>"), priority,
+            F.lit("</priority></url>"),
+        )
+    )
+    sitemaps = (
+        d.select(host.alias("host"), F.struct(did.alias("doc_id"), block.alias("b")).alias("s"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda s: s["b"]
+                    ),
+                    "",
+                ),
+                F.lit("</urlset><sitemapindex><sitemap><loc>https://"),
+                F.col("host"),
+                F.lit("/sitemap2.xml</loc></sitemap></sitemapindex>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    captures = d.where(did % 3 != 0).select(
+        url.alias("url"),
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")), ((did * 7) % 365).cast("int")
+        ).alias("capture_date"),
+    )
+    entries = parse_sitemap_entries(sitemaps)
+    return recrawl_plan(entries, captures)
+
+
+def q_spam_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level spam/SEO-farm detection (operators/spam.py) with planted
+    offenders: documents are spread over 20 hosts plus 'farm.example.com'
+    (every %50==0 page); host h0 serves ONE template on all its pages
+    (intra-host duplication -> spam_dup), every %40==2 page of h2 shares a
+    'seasonal template' (borderline, below the 0.5 cutoff at this sf), the
+    ring edges h(k) -> h(k+3) give every normal host a balanced link shape,
+    and the farm fans out to 17 distinct hosts with zero in-links
+    (link_ratio -> spam_farm). Exact DuckDB twin replays the same
+    construction arithmetic."""
+    from ocr_spark.operators.spam import spam_host_signals
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def h(expr):
+        return F.concat(F.lit("h"), expr.cast("string"), F.lit(".example.com"))
+
+    docs = d.select(
+        F.when(did % 50 == 0, F.lit("farm.example.com"))
+        .otherwise(h(did % 20))
+        .alias("host"),
+        F.when(did % 50 == 0, F.coalesce(F.col("text"), F.lit("")))
+        .when(did % 20 == 0, F.lit("template farm page"))
+        .when(did % 40 == 2, F.lit("seasonal template"))
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    ring = d.select(
+        h(did % 20).alias("src_host"), h((did + 3) % 20).alias("dst_host")
+    )
+    farm = d.where(did % 3 == 0).select(
+        F.lit("farm.example.com").alias("src_host"),
+        h(did % 17).alias("dst_host"),
+    )
+    return spam_host_signals(docs, ring.unionByName(farm))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _with_engine_conf(q_flagship_extract)(spark, SF0001)
@@ -2076,8 +2202,16 @@ _EXTRA_KEYS = frozenset(
     #   flagship_extract's normalize stage + token_stats; sentences:
     #   regexp split/explode witnessed by token_stats + extract_spans;
     # snapshot_diff: fp full-outer machinery witnessed by exact_dedup +
-    #   resume_antijoin — all oracle-checked by test_oracle_parity
-    "pub_date fix_encoding sentences snapshot_diff".split()
+    #   resume_antijoin — all oracle-checked by test_oracle_parity;
+    # sitemap_recrawl: JVM-regex block parsing witnessed by page_meta +
+    #   cdx_fetch_plan (same extract-typed-rows-from-markup machinery),
+    #   max-per-key + equi-join by latest_capture;
+    # cluster_reps: the quality-aware keeper variant of dedup_clusters
+    #   (in-window witness: dedup_clusters shares the pair graph + CC core);
+    # spam_hosts: host-grain agg + full-outer merge witnessed by
+    #   host_stats + host_degree (same shuffle shapes over fp/edge keys)
+    "pub_date fix_encoding sentences snapshot_diff sitemap_recrawl "
+    "cluster_reps spam_hosts".split()
 )
 
 _QUERIES = {
@@ -2185,6 +2319,9 @@ _QUERIES = {
         "fix_encoding": q_fix_encoding,
         "sentences": q_sentences,
         "snapshot_diff": q_snapshot_diff,
+        "sitemap_recrawl": q_sitemap_recrawl,
+        "cluster_reps": q_cluster_reps,
+        "spam_hosts": q_spam_hosts,
     }
 
 
@@ -2739,6 +2876,112 @@ def _dedup_clusters_oracle() -> str:
                coalesce(c.component, d.doc_id) AS component,
                (d.doc_id = coalesce(c.component, d.doc_id)) AS is_keeper
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    """
+
+
+def _cluster_reps_oracle() -> str:
+    """DuckDB twin of q_cluster_reps: the dedup_clusters component CTE
+    (same verbatim minhash pair SQL) joined to text lengths, keeper =
+    row_number()==1 over (component ORDER BY score DESC, doc_id)."""
+    return f"""
+        WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+        cc_e AS (
+            SELECT id_a AS u, id_b AS v FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(u, lbl) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM cc_e) t(u)
+            UNION
+            SELECT cc_e.u, r.lbl FROM cc_e JOIN reach r ON cc_e.v = r.u
+        ),
+        comp AS (
+            SELECT u AS id, min(lbl) AS component FROM reach GROUP BY u
+        ),
+        assigned AS (
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   CAST(length(coalesce(d.text, '')) AS BIGINT) AS score
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT doc_id, component, score,
+               (row_number() OVER (
+                    PARTITION BY component ORDER BY score DESC, doc_id
+                ) = 1) AS is_rep
+        FROM assigned
+    """
+
+
+def _spam_hosts_oracle() -> str:
+    """DuckDB twin of q_spam_hosts: replays the planted-host synthesis
+    (farm %50, template host h0, seasonal %40==2, ring + farm fan-out
+    edges) and the spam_host_signals aggregation — fingerprint counting,
+    distinct out/in hosts, full-outer merge, threshold flags. md5 of the
+    canonical form is engine-portable, so the fingerprint agg is exact."""
+    return f"""
+        WITH docs AS (
+            SELECT CASE WHEN doc_id % 50 = 0 THEN 'farm.example.com'
+                        ELSE 'h' || CAST(doc_id % 20 AS VARCHAR)
+                             || '.example.com' END AS host,
+                   md5(trim(regexp_replace(lower(
+                       CASE WHEN doc_id % 50 = 0 THEN coalesce(text, '')
+                            WHEN doc_id % 20 = 0 THEN 'template farm page'
+                            WHEN doc_id % 40 = 2 THEN 'seasonal template'
+                            ELSE coalesce(text, '') END),
+                       '[ \t\n]+', ' ', 'g'))) AS fp
+            FROM documents
+        ),
+        edges AS (
+            SELECT 'h' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example.com' AS src_host,
+                   'h' || CAST((doc_id + 3) % 20 AS VARCHAR)
+                       || '.example.com' AS dst_host
+            FROM documents
+            UNION ALL
+            SELECT 'farm.example.com',
+                   'h' || CAST(doc_id % 17 AS VARCHAR) || '.example.com'
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        content AS (
+            SELECT host, count(*) AS n_pages,
+                   count(*) - count(DISTINCT fp) AS dup_pages
+            FROM docs GROUP BY host
+        ),
+        outs AS (
+            SELECT src_host AS host, count(DISTINCT dst_host) AS out_hosts
+            FROM edges GROUP BY 1
+        ),
+        ins AS (
+            SELECT dst_host AS host, count(DISTINCT src_host) AS in_hosts
+            FROM edges GROUP BY 1
+        ),
+        merged AS (
+            SELECT host,
+                   CAST(coalesce(n_pages, 0) AS BIGINT) AS n_pages,
+                   CAST(coalesce(dup_pages, 0) AS BIGINT) AS dup_pages,
+                   CAST(coalesce(out_hosts, 0) AS BIGINT) AS out_hosts,
+                   CAST(coalesce(in_hosts, 0) AS BIGINT) AS in_hosts
+            FROM content
+            FULL OUTER JOIN outs USING (host)
+            FULL OUTER JOIN ins USING (host)
+        ),
+        ratios AS (
+            SELECT *,
+                   CASE WHEN n_pages > 0
+                        THEN dup_pages / CAST(n_pages AS DOUBLE)
+                        ELSE 0.0 END AS dup_ratio,
+                   out_hosts / CAST(greatest(in_hosts, 1) AS DOUBLE)
+                       AS link_ratio,
+                   n_pages >= 3 AS eligible
+            FROM merged
+        )
+        SELECT host, n_pages, dup_pages, dup_ratio, out_hosts, in_hosts,
+               link_ratio,
+               (eligible AND dup_ratio > 0.5) AS spam_dup,
+               (eligible AND link_ratio > 5.0) AS spam_farm,
+               ((eligible AND dup_ratio > 0.5)
+                OR (eligible AND link_ratio > 5.0)) AS is_spam
+        FROM ratios
     """
 
 
@@ -4791,6 +5034,7 @@ def _oracle_sql_all() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars FROM src
         """,
         "dedup_clusters": _dedup_clusters_oracle(),
+        "cluster_reps": _cluster_reps_oracle(),
         "clean_corpus": _clean_corpus_oracle(),
         "corpus_report": _corpus_report_oracle(),
         "dedup_increment": _dedup_increment_oracle(),
@@ -4875,6 +5119,29 @@ def _oracle_sql_all() -> dict[str, str]:
         "fix_encoding": _fix_encoding_oracle(),
         "sentences": _sentences_oracle(),
         "snapshot_diff": _snapshot_diff_oracle(),
+        # construction-truth twin of q_sitemap_recrawl: the expected plan
+        # computed from the doc_id arithmetic, never by re-parsing the XML
+        # (same principle as _pub_date_oracle)
+        "sitemap_recrawl": """
+            WITH d AS (
+                SELECT doc_id,
+                       'https://h' || (doc_id % 23) || '.example.org/p/'
+                         || doc_id AS url,
+                       DATE '2024-01-01'
+                         + CAST((doc_id * 13) % 365 AS INTEGER) AS lastmod,
+                       (doc_id % 10) / 10.0 AS priority,
+                       (doc_id % 3 <> 0) AS captured,
+                       DATE '2024-01-01'
+                         + CAST((doc_id * 7) % 365 AS INTEGER) AS cap_date
+                FROM documents
+                WHERE doc_id % 17 <> 0  -- malformed blocks never plan
+            )
+            SELECT url, strftime(lastmod, '%Y-%m-%d') AS lastmod, priority,
+                   CASE WHEN NOT captured THEN 'new' ELSE 'stale' END AS reason
+            FROM d
+            WHERE NOT captured OR lastmod > cap_date
+        """,
+        "spam_hosts": _spam_hosts_oracle(),
         "lm_score": _lm_score_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),

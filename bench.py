@@ -143,7 +143,8 @@ BENCH_QUERIES = (
     "pivot_events rollup_events grouping_sets moving_avg top_events_per_user "
     "epoch_parse error_top_fields frame_sample media_meta image_resize knn "
     "token_jaccard semi_join outer_join set_ops union_branches stream_extract "
-    "pub_date fix_encoding sentences snapshot_diff"
+    "pub_date fix_encoding sentences snapshot_diff sitemap_recrawl "
+    "cluster_reps spam_hosts"
 ).split()
 
 

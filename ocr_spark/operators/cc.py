@@ -230,3 +230,39 @@ def dedup_clusters(
         )
         .withColumn("is_keeper", (F.col(id_col) == F.col("component")))
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical-document selection: ``dedup_clusters``
+    keeps each component's MINIMUM id — deterministic, but arbitrary with
+    respect to content. Production dedup passes keep the BEST member of
+    each near-dup cluster (longest text, highest quality score: the
+    RefinedWeb / FineWeb convention), so this re-labels keepers as the
+    component's argmax-score member, ties broken by lowest id.
+
+    ``clusters`` is (id_col, component) — typically ``dedup_clusters``
+    output; ``scores`` is (id_col, score_col). Returns every cluster row
+    with (id_col, component, score_col, is_rep).
+
+    Scale shape: one equi-join on id, then a single hash shuffle on
+    component with a partition-local sort (``row_number`` over
+    component); near-dup components are small by construction (the pair
+    generators cap bucket width), so there is no per-key skew — never a
+    corpus-wide sort."""
+    from pyspark.sql.window import Window
+
+    scored = clusters.join(scores.select(id_col, score_col), id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return scored.select(
+        id_col,
+        "component",
+        score_col,
+        (F.row_number().over(w) == 1).alias("is_rep"),
+    )

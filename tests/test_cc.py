@@ -3,7 +3,11 @@ adversarial components, partitioning invariance, and keeper selection."""
 
 import pytest
 
-from ocr_spark.operators.cc import connected_components, dedup_clusters
+from ocr_spark.operators.cc import (
+    cluster_representatives,
+    connected_components,
+    dedup_clusters,
+)
 
 
 def _edges(spark, pairs):
@@ -82,4 +86,27 @@ def test_dedup_clusters_singletons_and_keepers(spark):
     by_comp = {}
     for doc, (comp, keep) in out.items():
         by_comp.setdefault(comp, []).append(keep)
+    assert all(sum(ks) == 1 for ks in by_comp.values())
+
+
+def test_cluster_representatives_argmax_with_tiebreak(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = _edges(spark, [(0, 1), (1, 4), (2, 3)])
+    clusters = dedup_clusters(docs, pairs).select("doc_id", "component")
+    # cluster {0,1,4}: 4 has the best score; cluster {2,3}: tie -> lower id
+    scores = spark.createDataFrame(
+        [(0, 10), (1, 30), (4, 50), (2, 7), (3, 7), (5, 1)],
+        "doc_id long, score long",
+    )
+    out = {
+        r["doc_id"]: (r["component"], r["score"], r["is_rep"])
+        for r in cluster_representatives(clusters, scores).collect()
+    }
+    assert out[4] == (0, 50, True)      # argmax beats the min-id keeper
+    assert out[0] == (0, 10, False) and out[1] == (0, 30, False)
+    assert out[2] == (2, 7, True) and out[3] == (2, 7, False)  # tie -> min id
+    assert out[5] == (5, 1, True)       # singleton is its own rep
+    by_comp = {}
+    for _, (comp, _, rep) in out.items():
+        by_comp.setdefault(comp, []).append(rep)
     assert all(sum(ks) == 1 for ks in by_comp.values())
