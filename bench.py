@@ -347,6 +347,109 @@ def min_clean(walls: list[float], steals: list[float]) -> float:
     return min(basis)
 
 
+def _hw_worker(core: int, seconds: float, start_evt, q) -> None:
+    """One pinned pure-Python worker for the per-core host calibration:
+    a string-heavy loop (regex strip + split over a ~4 KB payload — the
+    same shape of work as the parse stage) run for ``seconds`` after a
+    synchronized start; reports its own iterations/sec."""
+    import re
+
+    os.sched_setaffinity(0, {core})
+    payload = ("<p>" + "lorem ipsum dolor sit amet " * 20 + "</p>") * 8
+    pat = re.compile(r"<[^>]+>")
+    start_evt.wait()
+    t0 = time.time()
+    iters = 0
+    while time.time() - t0 < seconds:
+        s = pat.sub(" ", payload)
+        len(s.split())
+        iters += 1
+    q.put(iters / (time.time() - t0))
+
+
+def _hw_percore(workers: int, seconds: float = 3.0) -> float:
+    """Mean per-core throughput (iterations/s/core) of ``workers``
+    identical pure-Python workers pinned to cores 0..workers-1, all
+    running simultaneously. No Spark, no JVM — this measures the HOST:
+    how much slower one core gets when 4 vs 16 siblings are busy
+    (shared turbo budget / memory bandwidth on a single box)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    evt = ctx.Event()
+    procs = [
+        ctx.Process(target=_hw_worker, args=(i, seconds, evt, q))
+        for i in range(workers)
+    ]
+    for p in procs:
+        p.start()
+    time.sleep(0.3)  # let every worker reach the start barrier
+    evt.set()
+    rates = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    return sum(rates) / len(rates)
+
+
+def hw_calib_worker(reps: int = 2) -> None:
+    """Subprocess mode (clean process, no JVM — forking the bench's own
+    pyspark driver would be unsafe): measure host per-core throughput at
+    each scaling level's core count and print one JSON line with the
+    N->4N per-core ratios. A ratio < 1 is host-level contention (shared
+    frequency/memory across one socket) that the identical job on a real
+    multi-machine cluster would NOT see — each executor there brings its
+    own socket. Best-of-``reps`` per level (quietest window)."""
+    per: dict[str, float] = {}
+    for m in (2, 8, 4, 16):
+        per[str(m)] = max(_hw_percore(m) for _ in range(reps))
+    print(
+        json.dumps(
+            {
+                "per_core_iters_s": {k: round(v, 1) for k, v in per.items()},
+                "percore_ratio": {
+                    "2->8": round(per["8"] / per["2"], 3),
+                    "4->16": round(per["16"] / per["4"], 3),
+                },
+            }
+        )
+    )
+
+
+def run_hw_calibration() -> dict | None:
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--hw-calib"],
+            capture_output=True, text=True, check=True, timeout=300,
+        )
+        hw = json.loads(out.stdout.strip().splitlines()[-1])
+        log(f"bench: hw per-core calibration: {hw['percore_ratio']} "
+            f"(per-core iters/s {hw['per_core_iters_s']})")
+        return hw
+    except Exception as exc:  # calibration is disclosure, never a blocker
+        log(f"bench: hw calibration failed: {exc}")
+        return None
+
+
+def _annotate_hw(pairs: list[dict], hw: dict | None) -> None:
+    """Attach the measured host per-core contention ratio to each pair and
+    derive ``efficiency_hw_adj = efficiency / ratio`` — the efficiency the
+    same job would show if per-core speed were flat across levels, which
+    is exactly what separate cluster machines provide. DISCLOSURE ONLY:
+    the raw ``efficiency`` stays the contract number; the adjusted field
+    quantifies how much of any shortfall is the shared box, not the job."""
+    if not hw:
+        return
+    ratios = hw.get("percore_ratio", {})
+    for p in pairs:
+        r = ratios.get(f"{p['n_cores']}->{p['4n_cores']}")
+        if not r or r <= 0:
+            continue
+        p["hw_percore_ratio"] = r
+        p["efficiency_hw_adj"] = round(p["efficiency"] / r, 3)
+        p["efficiency_median_hw_adj"] = round(p["efficiency_median"] / r, 3)
+
+
 def scale_worker(cores: int) -> None:
     """Subprocess mode (pinned via taskset by the parent): warmup, then
     adaptive measurement bursts separated by idle gaps — time-diversified
@@ -609,6 +712,11 @@ def main() -> None:
         # AGREE_TOL — so the recorded efficiency is computed from walls
         # measured while the box was demonstrably quiet (inside AND
         # outside the VM), with the guard decisions in the artifact.
+        # host per-core calibration first (clean subprocess, ~30 s): the
+        # denominator for the hw-adjusted efficiency disclosure on every
+        # pair measured below
+        _wait_quiet()
+        hw = run_hw_calibration()
         pair_specs = ((2, 8, SCALE_PAGES), (4, 16, SCALE_PAGES_4N))
         level_order: list[tuple[int, int]] = []
         for n, n4, pages in pair_specs:
@@ -626,6 +734,8 @@ def main() -> None:
             },
             "pairs": pairs,
         }
+        if hw:
+            result["scaling"]["hw_percore"] = hw
         done_pairs: set[int] = set()
         for i, (cores, pages) in enumerate(level_order):
             # divide the remaining wall (minus the tail reserve) across the
@@ -644,6 +754,7 @@ def main() -> None:
                 l4 = levels.get((n4, ppages))
                 if ln and l4:
                     p = _make_pair(n, n4, ppages, ln, l4)
+                    _annotate_hw([p], hw)
                     pairs.append(p)
                     done_pairs.add(j)
                     log(f"bench: scaling (pinned) {p['n_cores']}->{p['4n_cores']} "
@@ -675,6 +786,7 @@ def main() -> None:
                 levels[target] = _merge_levels(levels[target], extra)
                 newp = _make_pair(n, n4, ppages,
                                   levels[(n, ppages)], levels[(n4, ppages)])
+                _annotate_hw([newp], hw)
                 newp["salvaged"] = True
                 pairs[j] = newp
                 log(f"bench: salvage {n}->{n4} @{ppages}p re-measured "
@@ -824,5 +936,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--scale-worker":
         scale_worker(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--hw-calib":
+        hw_calib_worker()
     else:
         main()

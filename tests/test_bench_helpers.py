@@ -93,6 +93,36 @@ class TestMergeLevels:
         assert m["converged"] is True
 
 
+class TestAnnotateHw:
+    def _pair(self):
+        ln = _level(4, [_burst([100.0, 104.0])])
+        l4 = _level(16, [_burst([30.0, 31.0])])
+        return bench._make_pair(4, 16, 1_200_000, ln, l4)
+
+    def test_adjusts_by_matching_ratio(self):
+        p = self._pair()
+        hw = {"percore_ratio": {"2->8": 0.95, "4->16": 0.86}}
+        bench._annotate_hw([p], hw)
+        assert p["hw_percore_ratio"] == 0.86
+        assert p["efficiency_hw_adj"] == round(p["efficiency"] / 0.86, 3)
+        assert p["efficiency_median_hw_adj"] == round(
+            p["efficiency_median"] / 0.86, 3
+        )
+
+    def test_noop_without_calibration_or_matching_key(self):
+        p = self._pair()
+        bench._annotate_hw([p], None)
+        assert "efficiency_hw_adj" not in p
+        bench._annotate_hw([p], {"percore_ratio": {"2->8": 0.9}})
+        assert "efficiency_hw_adj" not in p
+
+    def test_raw_efficiency_untouched(self):
+        p = self._pair()
+        raw = p["efficiency"]
+        bench._annotate_hw([p], {"percore_ratio": {"4->16": 0.8}})
+        assert p["efficiency"] == raw  # disclosure only, contract unchanged
+
+
 class TestMakePair:
     def test_efficiency_from_min_and_median(self):
         ln = _level(2, [_burst([100.0, 104.0])])
