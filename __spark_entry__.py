@@ -2074,6 +2074,183 @@ def q_spam_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spam_host_signals(docs, ring.unionByName(farm))
 
 
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured table extraction (functions/markup.py): pages planted
+    with a 3-row header table (th detection + inner-tag stripping +
+    whitespace collapse across a literal newline), a second table for
+    doc_id % 3 == 0 (table_idx ordering), and an UNCLOSED <table> for
+    doc_id % 11 == 0 that must contribute zero rows (lazy block regex
+    finds no close — malformed markup is silent, identical in both
+    engines). Three nested posexplodes, zero shuffle, zero Python."""
+    from ocr_spark.functions.markup import extract_tables
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><h2> Doc "), did.cast("string"), F.lit(" </h2>"),
+        F.lit('<table id="t1"><tr><th> Key </th><th>Val</th></tr>'),
+        F.lit("<tr><td> <b>lang</b> </td><td>"), F.col("lang"),
+        F.lit("</td></tr><tr><td>mod7</td><td> "),
+        (did % 7).cast("string"), F.lit(" </td></tr></table>"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<table class="x"><tr><td>a '), did.cast("string"),
+                F.lit("</td><td>b\n c</td></tr></table>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("<table><tr><td>orphan"))
+        .otherwise(F.lit("")),
+        F.lit("<p>tail</p></body></html>"),
+    )
+    return extract_tables(d.select("doc_id", html.alias("html")))
+
+
+def q_headings_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document outline extraction (functions/markup.py): every doc gets an
+    <h1>; doc_id % 2 == 0 adds an <h2> with an inner <em> (tag strip);
+    doc_id % 4 == 1 adds an out-of-order <h3> then <h2> (document-order
+    pos, not level order); doc_id % 9 == 0 adds an EMPTY <h6> that must
+    survive as heading='' / n_chars=0 (the outline keeps structure even
+    when the text is empty). One posexplode projection, zero shuffle."""
+    from ocr_spark.functions.markup import extract_headings
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><h1> Doc "), did.cast("string"),
+        F.lit(" </h1><p>intro</p>"),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit('<h2 class="s">Sec <em>'), F.col("lang"),
+                F.lit("</em></h2><p>body</p>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 1,
+            F.concat(
+                F.lit("<h3>Deep "), (did % 5).cast("string"),
+                F.lit("</h3><h2>After</h2>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 9 == 0, F.lit("<h6></h6>")).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return extract_headings(d.select("doc_id", html.alias("html")))
+
+
+def q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (sources/feed.py): 10 per-host feeds are
+    assembled deterministically from documents — even hosts publish RSS
+    <item> blocks (RFC-822 pubDate round-trip through the day-name strip,
+    guid falling back to link for doc_id % 5 == 0), odd hosts publish
+    Atom <entry> blocks (ISO-8601 <updated>, href-attribute links); every
+    doc_id % 13 == 0 item omits its link and must come back
+    feed_ok=false with NULL fields, never dropped (P7). item_ts is
+    emitted as a formatted UTC string so both engines hash the same
+    bytes. The DuckDB twin replays the construction arithmetic — the
+    regex+timestamp layer is tested against ground truth."""
+    from ocr_spark.sources.feed import parse_feed_items
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hid = did % 10
+    host = F.concat(F.lit("h"), hid.cast("string"), F.lit(".example.net"))
+    link = F.concat(F.lit("https://"), host, F.lit("/a/"), did.cast("string"))
+    ts = F.timestamp_seconds(F.lit(1706745600) + (did % 97) * 3600)
+    rss_block = F.concat(
+        F.lit("<item><title> T"), did.cast("string"), F.lit(" </title>"),
+        F.when(did % 13 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("<link>"), link, F.lit("</link>"))
+        ),
+        F.lit("<pubDate>"),
+        F.date_format(ts, "EEE, dd MMM yyyy HH:mm:ss Z"),
+        F.lit("</pubDate>"),
+        F.when(did % 5 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit('<guid isPermaLink="false">g-'), did.cast("string"),
+                F.lit("</guid>"),
+            )
+        ),
+        F.lit("</item>"),
+    )
+    atom_block = F.concat(
+        F.lit("<entry><title>A"), did.cast("string"), F.lit("</title>"),
+        F.when(did % 13 == 0, F.lit("")).otherwise(
+            F.concat(F.lit('<link rel="alternate" href="'), link, F.lit('"/>'))
+        ),
+        F.lit("<updated>"),
+        F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("</updated><id>tag:h"), hid.cast("string"),
+        F.lit(",2024:"), did.cast("string"), F.lit("</id></entry>"),
+    )
+    block = F.when(hid % 2 == 0, rss_block).otherwise(atom_block)
+    feeds = (
+        d.select(
+            host.alias("host"),
+            F.struct(did.alias("doc_id"), block.alias("b")).alias("s"),
+        )
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><rss><channel>'),
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("s")), lambda s: s["b"]),
+                    "",
+                ),
+                F.lit("</channel></rss>"),
+            ).alias("feed_xml")
+        )
+    )
+    items = parse_feed_items(feeds)
+    return items.select(
+        "host",
+        "dialect",
+        "link",
+        "title",
+        F.date_format("item_ts", "yyyy-MM-dd HH:mm:ss").alias("item_ts_s"),
+        "guid",
+        "feed_ok",
+    )
+
+
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier (operators/frontier.py): 23
+    hosts x ~22 candidate urls each, priority (doc_id*7)%10, per-host
+    crawl delays declared only for host_id % 4 != 0 (the rest take the
+    2.0 s default via the never-drop left join), max_per_host=15 so the
+    budget cap genuinely truncates every host. Slot order is priority
+    DESC with url as the deterministic tie-break; scheduled_at_s =
+    slot * delay. One bounded per-host window + one broadcast-size
+    join."""
+    from ocr_spark.operators.frontier import fetch_schedule
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hid = did % 23
+    host = F.concat(F.lit("h"), hid.cast("string"))
+    cands = d.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"), host, F.lit(".example.org/p/"), did.cast("string")
+        ).alias("url"),
+        ((did * 7) % 10).cast("long").alias("priority"),
+    )
+    delays = (
+        d.select(hid.alias("hid"))
+        .distinct()
+        .where(F.col("hid") % 4 != 0)
+        .select(
+            F.concat(F.lit("h"), F.col("hid").cast("string")).alias("host"),
+            (F.lit(1.0) + (F.col("hid") % 5).cast("double")).alias("crawl_delay_s"),
+        )
+    )
+    return fetch_schedule(
+        cands, delays, default_delay_s=2.0, max_per_host=15
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _with_engine_conf(q_flagship_extract)(spark, SF0001)
@@ -2211,7 +2388,14 @@ _EXTRA_KEYS = frozenset(
     # spam_hosts: host-grain agg + full-outer merge witnessed by
     #   host_stats + host_degree (same shuffle shapes over fp/edge keys)
     "pub_date fix_encoding sentences snapshot_diff sitemap_recrawl "
-    "cluster_reps spam_hosts".split()
+    "cluster_reps spam_hosts "
+    # html_tables / headings_outline: structured-markup 1:N extraction
+    #   (in-window witnesses: extract_spans shares the offset/explode
+    #   contract, page_meta the head-regex machinery); feed_items: the
+    #   push-side frontier source (witness: cdx_fetch_plan + page_meta —
+    #   typed rows from markup); fetch_schedule: per-host politeness
+    #   window (witness: host_cap shares the bounded per-host ranking)
+    "html_tables headings_outline feed_items fetch_schedule".split()
 )
 
 _QUERIES = {
@@ -2322,6 +2506,10 @@ _QUERIES = {
         "sitemap_recrawl": q_sitemap_recrawl,
         "cluster_reps": q_cluster_reps,
         "spam_hosts": q_spam_hosts,
+        "html_tables": q_html_tables,
+        "headings_outline": q_headings_outline,
+        "feed_items": q_feed_items,
+        "fetch_schedule": q_fetch_schedule,
     }
 
 
@@ -5142,6 +5330,152 @@ def _oracle_sql_all() -> dict[str, str]:
             WHERE NOT captured OR lastmod > cap_date
         """,
         "spam_hosts": _spam_hosts_oracle(),
+        # triple-unnest twin of q_html_tables (same plant, same lazy block
+        # regexes, same tag-strip + whitespace-collapse cell cleanup)
+        "html_tables": """
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><body><h2> Doc ' || doc_id || ' </h2>'
+                       || '<table id="t1"><tr><th> Key </th><th>Val</th></tr>'
+                       || '<tr><td> <b>lang</b> </td><td>' || lang
+                       || '</td></tr><tr><td>mod7</td><td> ' || (doc_id % 7)
+                       || ' </td></tr></table>'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '<table class="x"><tr><td>a ' || doc_id
+                                    || '</td><td>b' || chr(10)
+                                    || ' c</td></tr></table>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN '<table><tr><td>orphan' ELSE '' END
+                       || '<p>tail</p></body></html>' AS html
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       regexp_extract_all(html,
+                           '(?s)<table[^>]*>(.*?)</table>', 1) AS tbls
+                FROM h
+            ), tt AS (
+                SELECT doc_id, CAST(p AS BIGINT) AS table_idx,
+                       tbls[p + 1] AS tbl
+                FROM t, unnest(range(0, len(tbls))) AS u(p)
+            ), rr AS (
+                SELECT doc_id, table_idx, CAST(p AS BIGINT) AS row_idx,
+                       trows[p + 1] AS trow
+                FROM (SELECT doc_id, table_idx,
+                             regexp_extract_all(tbl,
+                                 '(?s)<tr[^>]*>(.*?)</tr>', 1) AS trows
+                      FROM tt),
+                     unnest(range(0, len(trows))) AS u(p)
+            ), cc AS (
+                SELECT doc_id, table_idx, row_idx,
+                       CAST(p AS BIGINT) AS col_idx, cells[p + 1] AS cell_raw
+                FROM (SELECT doc_id, table_idx, row_idx,
+                             regexp_extract_all(trow,
+                                 '(?s)<t[dh][^>]*>(.*?)</t[dh]>', 0) AS cells
+                      FROM rr),
+                     unnest(range(0, len(cells))) AS u(p)
+            )
+            SELECT doc_id, table_idx, row_idx, col_idx,
+                   trim(regexp_replace(regexp_replace(
+                       regexp_extract(cell_raw,
+                           '(?s)<t[dh][^>]*>(.*?)</t[dh]>', 1),
+                       '<[^>]*>', '', 'g'), '[ \t\n\r]+', ' ', 'g')) AS cell,
+                   (cell_raw LIKE '<th%') AS is_header
+            FROM cc
+        """,
+        "headings_outline": """
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><body><h1> Doc ' || doc_id
+                       || ' </h1><p>intro</p>'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '<h2 class="s">Sec <em>' || lang
+                                    || '</em></h2><p>body</p>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 1
+                               THEN '<h3>Deep ' || (doc_id % 5)
+                                    || '</h3><h2>After</h2>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 9 = 0
+                               THEN '<h6></h6>' ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents
+            ), a AS (
+                SELECT doc_id,
+                       regexp_extract_all(html,
+                           '(?s)<h[1-6][^>]*>.*?</h[1-6]>', 0) AS hs
+                FROM h
+            ), e AS (
+                SELECT doc_id, CAST(p AS BIGINT) AS pos,
+                       CAST(regexp_extract(hs[p + 1], '<h([1-6])', 1)
+                            AS BIGINT) AS level,
+                       trim(regexp_replace(regexp_replace(
+                           regexp_extract(hs[p + 1],
+                               '(?s)<h[1-6][^>]*>(.*?)</h[1-6]>', 1),
+                           '<[^>]*>', '', 'g'),
+                           '[ \t\n\r]+', ' ', 'g')) AS heading
+                FROM a, unnest(range(0, len(hs))) AS u(p)
+            )
+            SELECT doc_id, pos, level, heading,
+                   CAST(length(heading) AS BIGINT) AS n_chars
+            FROM e
+        """,
+        # construction-truth twin of q_feed_items: expected typed rows
+        # straight from the doc_id arithmetic — the regex + RFC-822/ISO
+        # timestamp layer is tested against ground truth, never a second
+        # regex (same principle as the sitemap_recrawl twin)
+        "feed_items": """
+            WITH d AS (
+                SELECT doc_id, doc_id % 10 AS hid,
+                       TIMESTAMP '2024-02-01 00:00:00'
+                         + (doc_id % 97) * INTERVAL 1 HOUR AS ts
+                FROM documents
+            )
+            SELECT 'h' || hid || '.example.net' AS host,
+                   CASE WHEN hid % 2 = 0 THEN 'rss' ELSE 'atom' END
+                       AS dialect,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE 'https://h' || hid || '.example.net/a/'
+                             || doc_id END AS link,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN hid % 2 = 0 THEN 'T' || doc_id
+                        ELSE 'A' || doc_id END AS title,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END
+                       AS item_ts_s,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        WHEN hid % 2 = 1
+                            THEN 'tag:h' || hid || ',2024:' || doc_id
+                        WHEN doc_id % 5 = 0
+                            THEN 'https://h' || hid || '.example.net/a/'
+                                 || doc_id
+                        ELSE 'g-' || doc_id END AS guid,
+                   (doc_id % 13 <> 0) AS feed_ok
+            FROM d
+        """,
+        "fetch_schedule": """
+            WITH c AS (
+                SELECT 'h' || (doc_id % 23) AS host,
+                       'https://h' || (doc_id % 23) || '.example.org/p/'
+                         || doc_id AS url,
+                       CAST((doc_id * 7) % 10 AS BIGINT) AS priority,
+                       doc_id % 23 AS hid
+                FROM documents
+            ), r AS (
+                SELECT host, url, priority, hid,
+                       CAST(row_number() OVER (
+                           PARTITION BY host
+                           ORDER BY priority DESC, url ASC) - 1
+                           AS BIGINT) AS slot
+                FROM c
+            )
+            SELECT host, url, priority, slot,
+                   CAST(slot * (CASE WHEN hid % 4 <> 0
+                                     THEN 1.0 + (hid % 5)
+                                     ELSE 2.0 END) AS DOUBLE)
+                       AS scheduled_at_s
+            FROM r WHERE slot < 15
+        """,
         "lm_score": _lm_score_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),

@@ -144,7 +144,8 @@ BENCH_QUERIES = (
     "epoch_parse error_top_fields frame_sample media_meta image_resize knn "
     "token_jaccard semi_join outer_join set_ops union_branches stream_extract "
     "pub_date fix_encoding sentences snapshot_diff sitemap_recrawl "
-    "cluster_reps spam_hosts"
+    "cluster_reps spam_hosts html_tables headings_outline feed_items "
+    "fetch_schedule"
 ).split()
 
 
