@@ -49,8 +49,11 @@ Env knobs:
   OCR_BENCH_SCALE_REPS (default 2; reps per burst)
   OCR_BENCH_SCALE_MIN_BURSTS / OCR_BENCH_SCALE_BURSTS (default 2 / 5):
                         adaptive burst count per level — keep sampling
-                        until the contention-valid walls' min and median
-                        agree within OCR_BENCH_SCALE_AGREE_TOL (0.05)
+                        until the contention-valid walls converge: min &
+                        median agree within OCR_BENCH_SCALE_AGREE_TOL
+                        (0.05), OR the two smallest of >=4 valid walls
+                        agree within half that (the reproduced-floor
+                        route for noise the guards cannot attribute)
   OCR_BENCH_EXT_BUSY_MAX (default 0.25; a burst only counts as valid when
                         the non-pinned cores were at most this busy; the
                         same signal gates burst START via a 3s live probe,
@@ -207,6 +210,30 @@ AGREE_TOL = float(os.environ.get("OCR_BENCH_SCALE_AGREE_TOL", "0.05"))
 # for contention that steal/busy probes CANNOT see (other-VM memory-
 # bandwidth pressure: observed 30% wall degradation with zero steal)
 CALIB_TOL = float(os.environ.get("OCR_BENCH_CALIB_TOL", "1.07"))
+
+
+def _converged(valid: list[float]) -> dict:
+    """Two routes to level convergence over the contention-valid walls.
+
+    (a) median route — min and median agree within AGREE_TOL: the whole
+    valid sample saw a quiet machine. (b) floor route — the two SMALLEST
+    walls agree within AGREE_TOL/2 across >=4 valid walls: the quiet-
+    machine floor is reproduced even when neighbor episodes the guards
+    cannot attribute (observed: 25->33 s wall spread at 16 pinned cores
+    with zero steal, zero external busy, clean calibration) inflate the
+    median. Every wall is an UPPER bound on the quiet-machine time, so
+    two independent samples agreeing at the bottom — at half the
+    tolerance — is reproduction, not a fluke; the median route stays
+    reported alongside so the artifact discloses which route fired."""
+    import statistics
+
+    out = {"converged_median": False, "converged_floor": False}
+    if len(valid) >= 2:
+        s = sorted(valid)
+        out["converged_median"] = statistics.median(s) / s[0] - 1 <= AGREE_TOL
+        out["converged_floor"] = len(s) >= 4 and s[1] / s[0] - 1 <= AGREE_TOL / 2
+    out["converged"] = out["converged_median"] or out["converged_floor"]
+    return out
 # contention guard: the pre-burst wait loop uses the direct _probe_quiet
 # signals (the r2 1-min-loadavg guard conflated our own decaying bursts
 # with tenants and wasted up to 5 min/burst waiting out self-load);
@@ -460,12 +487,11 @@ def scale_worker(cores: int) -> None:
     cores busy (in-VM tenants) or pinned-core steal (other-VM tenants)
     above threshold (up to GUARD_WAIT_MAX_S, decisions recorded),
     (b) TAGGED with the burst-window ext_busy AND pin_steal fractions
-    (either above threshold => burst invalid), and (c) bursts keep coming
-    until the valid walls' min and median agree within AGREE_TOL or
-    MAX_BURSTS is exhausted. Prints one JSON line with walls + guard
-    evidence."""
-    import statistics
-
+    plus memory-stream calibrations run BOTH before and after the burst
+    (any above threshold => burst invalid), and (c) bursts keep coming
+    until the valid walls converge (_converged: median route or
+    reproduced-floor route) or MAX_BURSTS is exhausted. Prints one JSON
+    line with walls + guard evidence."""
     pinned = set(range(cores))
     os.makedirs(SHM_DIR, exist_ok=True)
     spark = get_spark(
@@ -481,8 +507,14 @@ def scale_worker(cores: int) -> None:
 
     def _valid_walls() -> list[float]:
         # climate validity is RELATIVE to the best calibration seen, so
-        # it is recomputed as the session discovers quieter windows
-        best_cal = min(b["calib"] for b in burst_info)
+        # it is recomputed as the session discovers quieter windows; the
+        # best is taken over pre- AND post-burst samples (the quietest
+        # moment observed), while a burst is judged by its WORST of the
+        # two — contention arriving mid-burst shows up in the post sample
+        best_cal = min(
+            min(b.get("calib_pre", b["calib"]), b.get("calib_post", b["calib"]))
+            for b in burst_info
+        )
         for b in burst_info:
             b["valid"] = (
                 b["ext_busy"] <= EXT_BUSY_MAX
@@ -505,13 +537,17 @@ def scale_worker(cores: int) -> None:
             time.sleep(15)
             waited += 15
             p_ext, p_steal = _probe_quiet(pinned)
-        cal = _calibrate()
+        cal_pre = _calibrate()
         t_before = _cpu_ticks()
         burst_walls = [
             run_extract_job(spark, PAGES_DIR, f"{SHM_DIR}/out_{cores}")
             for _ in range(REPS)
         ]
         t_after = _cpu_ticks()
+        # a second calibration AFTER the burst: minutes-long contention
+        # episodes that began mid-burst are still present now, so the
+        # worst of (pre, post) is the burst's climate tag
+        cal_post = _calibrate()
         burst_info.append(
             {
                 "walls": [round(w, 3) for w in burst_walls],
@@ -520,15 +556,16 @@ def scale_worker(cores: int) -> None:
                 "guard_waited_s": waited,
                 "ext_busy": _ext_busy(t_before, t_after, pinned),
                 "pin_steal": _pin_steal(t_before, t_after, pinned),
-                "calib": cal,
+                "calib": max(cal_pre, cal_post),
+                "calib_pre": cal_pre,
+                "calib_post": cal_post,
             }
         )
         walls += burst_walls
         valid = _valid_walls()
         n = len(burst_info)
-        if n >= MIN_BURSTS and len(valid) >= 2:
-            if statistics.median(valid) / min(valid) - 1 <= AGREE_TOL:
-                break
+        if n >= MIN_BURSTS and _converged(valid)["converged"]:
+            break
         if n >= MAX_BURSTS:
             break
     spark.stop()
@@ -543,8 +580,7 @@ def scale_worker(cores: int) -> None:
                 "bursts": burst_info,
                 "level_elapsed_s": round(time.time() - level_t0, 1),
                 "level_budget_s": LEVEL_BUDGET_S,
-                "converged": len(valid) >= 2
-                and statistics.median(valid) / min(valid) - 1 <= AGREE_TOL,
+                **_converged(valid),
             }
         )
     )
@@ -583,10 +619,11 @@ def _merge_levels(l1: dict, l2: dict) -> dict:
     merged level can only tighten the estimate — every wall is an upper
     bound on the quiet-machine time, so more samples move min toward
     truth, never past it."""
-    import statistics
-
     bursts = list(l1.get("bursts", [])) + list(l2.get("bursts", []))
-    best_cal = min(b["calib"] for b in bursts)
+    best_cal = min(
+        min(b.get("calib_pre", b["calib"]), b.get("calib_post", b["calib"]))
+        for b in bursts
+    )
     for b in bursts:
         b["valid"] = (
             b["ext_busy"] <= EXT_BUSY_MAX
@@ -606,8 +643,7 @@ def _merge_levels(l1: dict, l2: dict) -> dict:
             (l1.get("level_elapsed_s") or 0) + (l2.get("level_elapsed_s") or 0), 1
         ),
         "level_budget_s": l1.get("level_budget_s"),
-        "converged": len(valid) >= 2
-        and statistics.median(valid) / min(valid) - 1 <= AGREE_TOL,
+        **_converged(valid),
         "merged": True,
     }
 
@@ -631,6 +667,12 @@ def _make_pair(n: int, n4: int, pages: int, ln: dict, l4: dict) -> dict:
         "efficiency": round(mn / (4 * m4), 3),
         "efficiency_median": round(dn / (4 * d4), 3),
         "converged": bool(ln.get("converged") and l4.get("converged")),
+        # which route fired per level (median = quiet whole-sample;
+        # floor = reproduced two-best walls under undetectable noise)
+        "converged_routes": {
+            f"{n}c": {k: ln.get(k) for k in ("converged_median", "converged_floor")},
+            f"{n4}c": {k: l4.get(k) for k in ("converged_median", "converged_floor")},
+        },
         "guard": {f"{n}c": ln.get("bursts"), f"{n4}c": l4.get("bursts")},
     }
 

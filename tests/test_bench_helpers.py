@@ -11,17 +11,26 @@ import statistics
 import bench
 
 
-def _burst(walls, ext_busy=0.0, pin_steal=0.0, calib=0.5):
+def _burst(walls, ext_busy=0.0, pin_steal=0.0, calib=0.5, calib_pre=None,
+           calib_post=None):
+    if calib_pre is not None or calib_post is not None:
+        calib_pre = calib if calib_pre is None else calib_pre
+        calib_post = calib if calib_post is None else calib_post
+        calib = max(calib_pre, calib_post)
+    else:
+        calib_pre = calib_post = calib
     return {
         "walls": list(walls),
         "ext_busy": ext_busy,
         "pin_steal": pin_steal,
         "calib": calib,
+        "calib_pre": calib_pre,
+        "calib_post": calib_post,
     }
 
 
 def _level(cores, bursts, elapsed=100.0):
-    best_cal = min(b["calib"] for b in bursts)
+    best_cal = min(min(b["calib_pre"], b["calib_post"]) for b in bursts)
     for b in bursts:
         b["valid"] = (
             b["ext_busy"] <= bench.EXT_BUSY_MAX
@@ -39,8 +48,7 @@ def _level(cores, bursts, elapsed=100.0):
         "bursts": bursts,
         "level_elapsed_s": elapsed,
         "level_budget_s": 600,
-        "converged": len(valid) >= 2
-        and statistics.median(valid) / min(valid) - 1 <= bench.AGREE_TOL,
+        **bench._converged(valid),
     }
 
 
@@ -91,6 +99,39 @@ class TestMergeLevels:
         assert [b["valid"] for b in m["bursts"]] == [False, True]
         assert m["min_wall"] == 10.0
         assert m["converged"] is True
+
+
+class TestConverged:
+    def test_median_route(self):
+        c = bench._converged([10.0, 10.2])
+        assert c["converged"] and c["converged_median"]
+        assert not bench._converged([10.0, 12.0])["converged"]
+        assert not bench._converged([10.0])["converged"]
+
+    def test_floor_route_survives_inflated_median(self):
+        # the observed 16c pattern: a reproduced floor + undetectable
+        # neighbor episodes inflating half the walls -> median route
+        # fails, floor route (two best within AGREE_TOL/2, >=4 walls)
+        # converges
+        walls = [25.38, 25.77, 30.64, 32.50]
+        c = bench._converged(walls)
+        assert not c["converged_median"]
+        assert c["converged_floor"] and c["converged"]
+        # 3 walls are not enough evidence for the floor route (and here
+        # the median — the middle wall — disagrees with the min)
+        assert not bench._converged([25.38, 30.64, 32.50])["converged"]
+        # nor is a non-reproduced floor (gap > AGREE_TOL/2)
+        assert not bench._converged([25.0, 26.5, 30.0, 32.0])["converged"]
+
+    def test_post_burst_calibration_invalidates_midburst_noise(self):
+        # burst 2's walls are slow with a clean PRE calibration — only the
+        # POST sample sees the episode; its walls must leave the basis
+        clean = _burst([10.0, 10.1])
+        dirty = _burst([13.0, 13.4], calib_pre=0.5, calib_post=0.9)
+        lvl = _level(8, [clean, dirty])
+        assert [b["valid"] for b in lvl["bursts"]] == [True, False]
+        assert lvl["walls"] == [10.0, 10.1]
+        assert lvl["converged"]
 
 
 class TestAnnotateHw:
