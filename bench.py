@@ -508,11 +508,11 @@ def scale_worker(cores: int) -> None:
     def _valid_walls() -> list[float]:
         # climate validity is RELATIVE to the best calibration seen, so
         # it is recomputed as the session discovers quieter windows; the
-        # best is taken over pre- AND post-burst samples (the quietest
-        # moment observed), while a burst is judged by its WORST of the
-        # two — contention arriving mid-burst shows up in the post sample
+        # best is taken over every sample (the quietest moment observed),
+        # while a burst is judged by the WORST of its pre/post brackets —
+        # contention arriving mid-burst shows up in the post sample
         best_cal = min(
-            min(b.get("calib_pre", b["calib"]), b.get("calib_post", b["calib"]))
+            min(b["calib_pre"], b["calib_post"] or b["calib_pre"])
             for b in burst_info
         )
         for b in burst_info:
@@ -528,8 +528,11 @@ def scale_worker(cores: int) -> None:
     while True:
         if burst_info and time.time() - level_t0 > LEVEL_BUDGET_S:
             break  # budget exhausted: report what we have (see LEVEL_BUDGET_S)
-        if burst_info:
-            time.sleep(SCALE_GAP_S)  # idle: pinned cores released to the OS
+        # idle gap: pinned cores released to the OS AND the JVM's
+        # background threads (GC, shuffle cleanup) drain before the next
+        # calibration — measuring immediately after a burst reads the
+        # JVM's own settling as "contention" and invalidates clean bursts
+        time.sleep(SCALE_GAP_S if burst_info else 5)
         waited = 0
         p_ext, p_steal = _probe_quiet(pinned)
         while (p_ext > EXT_BUSY_MAX or p_steal > STEAL_MAX) \
@@ -538,16 +541,19 @@ def scale_worker(cores: int) -> None:
             waited += 15
             p_ext, p_steal = _probe_quiet(pinned)
         cal_pre = _calibrate()
+        if burst_info:
+            # this idle-window sample doubles as the PREVIOUS burst's
+            # post-bracket: a minutes-long contention episode that began
+            # mid-burst is still visible now, with no JVM-settle bias
+            prev = burst_info[-1]
+            prev["calib_post"] = cal_pre
+            prev["calib"] = max(prev["calib_pre"], cal_pre)
         t_before = _cpu_ticks()
         burst_walls = [
             run_extract_job(spark, PAGES_DIR, f"{SHM_DIR}/out_{cores}")
             for _ in range(REPS)
         ]
         t_after = _cpu_ticks()
-        # a second calibration AFTER the burst: minutes-long contention
-        # episodes that began mid-burst are still present now, so the
-        # worst of (pre, post) is the burst's climate tag
-        cal_post = _calibrate()
         burst_info.append(
             {
                 "walls": [round(w, 3) for w in burst_walls],
@@ -556,9 +562,9 @@ def scale_worker(cores: int) -> None:
                 "guard_waited_s": waited,
                 "ext_busy": _ext_busy(t_before, t_after, pinned),
                 "pin_steal": _pin_steal(t_before, t_after, pinned),
-                "calib": max(cal_pre, cal_post),
+                "calib": cal_pre,
                 "calib_pre": cal_pre,
-                "calib_post": cal_post,
+                "calib_post": None,  # filled by the next idle window
             }
         )
         walls += burst_walls
@@ -569,6 +575,13 @@ def scale_worker(cores: int) -> None:
         if n >= MAX_BURSTS:
             break
     spark.stop()
+    # close the last burst's post-bracket from a JVM-quiet window
+    time.sleep(min(SCALE_GAP_S, 10))
+    cal_final = _calibrate()
+    last = burst_info[-1]
+    last["calib_post"] = cal_final
+    last["calib"] = max(last["calib_pre"], cal_final)
+    valid = _valid_walls()
     basis = valid if len(valid) >= 2 else walls
     print(
         json.dumps(
@@ -621,7 +634,7 @@ def _merge_levels(l1: dict, l2: dict) -> dict:
     truth, never past it."""
     bursts = list(l1.get("bursts", [])) + list(l2.get("bursts", []))
     best_cal = min(
-        min(b.get("calib_pre", b["calib"]), b.get("calib_post", b["calib"]))
+        min(b.get("calib_pre") or b["calib"], b.get("calib_post") or b["calib"])
         for b in bursts
     )
     for b in bursts:

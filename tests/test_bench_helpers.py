@@ -30,7 +30,9 @@ def _burst(walls, ext_busy=0.0, pin_steal=0.0, calib=0.5, calib_pre=None,
 
 
 def _level(cores, bursts, elapsed=100.0):
-    best_cal = min(min(b["calib_pre"], b["calib_post"]) for b in bursts)
+    best_cal = min(
+        min(b["calib_pre"], b["calib_post"] or b["calib_pre"]) for b in bursts
+    )
     for b in bursts:
         b["valid"] = (
             b["ext_busy"] <= bench.EXT_BUSY_MAX
@@ -125,13 +127,25 @@ class TestConverged:
 
     def test_post_burst_calibration_invalidates_midburst_noise(self):
         # burst 2's walls are slow with a clean PRE calibration — only the
-        # POST sample sees the episode; its walls must leave the basis
+        # POST bracket (the next idle window's sample) sees the episode;
+        # its walls must leave the basis
         clean = _burst([10.0, 10.1])
         dirty = _burst([13.0, 13.4], calib_pre=0.5, calib_post=0.9)
         lvl = _level(8, [clean, dirty])
         assert [b["valid"] for b in lvl["bursts"]] == [True, False]
         assert lvl["walls"] == [10.0, 10.1]
         assert lvl["converged"]
+
+    def test_merge_tolerates_open_post_bracket(self):
+        # a burst whose post-bracket never closed (level ended on budget)
+        # merges on its pre sample alone
+        open_b = _burst([10.0, 10.2])
+        open_b["calib_post"] = None
+        l1 = _level(8, [open_b])
+        l2 = _level(8, [_burst([10.1, 10.3])])
+        m = bench._merge_levels(l1, l2)
+        assert all(b["valid"] for b in m["bursts"])
+        assert m["converged"] and m["min_wall"] == 10.0
 
 
 class TestAnnotateHw:
