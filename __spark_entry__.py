@@ -2251,6 +2251,124 @@ def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots politeness directives per host (operators/robots.py:
+    robots_crawl_delays + robots_sitemaps): 23 hosts whose robots.txt
+    plants, as pure functions of the host number, (a) a badbot group with
+    Crawl-delay: 60 that must NOT leak into '*' traffic, (b) a '*'-group
+    delay of (hid%7+1) seconds only for hid % 3 == 0, (c) an invalid
+    'Crawl-delay: soon' for hid % 5 == 0 (dropped, not zeroed), (d) an
+    UNGROUPED Sitemap line for even hids plus an in-group one for
+    hid % 4 == 0 (both count — Sitemap is a global directive) and a
+    relative one for hid % 6 == 0 (dropped). Output is host-grain:
+    (host, crawl_delay_s NULL when undeclared, n_sitemaps coalesced 0).
+    The DuckDB twin is construction truth — arithmetic on hid, no second
+    regex/fold — so the group fold itself is what's under test."""
+    from ocr_spark.operators.robots import robots_crawl_delays, robots_sitemaps
+
+    hid = F.col("hid")
+    host = F.concat(F.lit("h"), hid.cast("string"), F.lit(".example.org"))
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 23).alias("hid"))
+        .distinct()
+    )
+    robots = hosts.select(
+        host.alias("host"),
+        F.concat(
+            F.when(
+                hid % 2 == 0,
+                F.concat(F.lit("Sitemap: https://"), host, F.lit("/news.xml\n")),
+            ).otherwise(F.lit("")),
+            F.lit("User-agent: badbot\nCrawl-delay: 60\nDisallow: /\n\n"),
+            F.lit("User-agent: *\nDisallow: /p/1"),
+            F.when(
+                hid % 3 == 0,
+                F.concat(F.lit("\nCrawl-delay: "), (hid % 7 + 1).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(hid % 5 == 0, F.lit("\nCrawl-delay: soon")).otherwise(F.lit("")),
+            F.when(
+                hid % 4 == 0,
+                F.concat(F.lit("\nSitemap: https://"), host, F.lit("/map.xml")),
+            ).otherwise(F.lit("")),
+            F.when(hid % 6 == 0, F.lit("\nSitemap: /relative.xml")).otherwise(
+                F.lit("")
+            ),
+        ).alias("robots_txt"),
+    )
+    delays = robots_crawl_delays(robots)
+    smaps = (
+        robots_sitemaps(robots)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_sitemaps"))
+    )
+    return (
+        robots.select("host")
+        .join(delays, "host", "left")
+        .join(smaps, "host", "left")
+        .select(
+            "host",
+            "crawl_delay_s",
+            F.coalesce("n_sitemaps", F.lit(0)).alias("n_sitemaps"),
+        )
+    )
+
+
+def q_jsonld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD extraction (operators/pagemeta.py: jsonld_meta)
+    over pages whose ld+json block is a pure function of doc_id % 5:
+    0 = no block; 1 = NewsArticle object (headline + datePublished +
+    author object); 2 = top-level ARRAY whose first node is a Product
+    with a bare-string author (name fallback for headline); 3 = Recipe
+    with name only + author array-of-objects; 4 = malformed JSON
+    (has_jsonld true, every field NULL). The DuckDB twin is construction
+    truth from the same arithmetic — the regex + JsonPath layer is what's
+    under test."""
+    from ocr_spark.operators.pagemeta import jsonld_meta
+
+    did = F.col("doc_id")
+    v = did % 5
+    s = did.cast("string")
+    block = (
+        F.when(v == 1, F.concat(
+            F.lit('{"@context":"https://schema.org","@type":"NewsArticle",'
+                  '"headline":"Story '), s,
+            F.lit('","datePublished":"2024-03-'),
+            F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+            F.lit('T10:00:00Z","author":{"@type":"Person","name":"Reporter '),
+            (did % 7).cast("string"), F.lit('"}}'),
+        ))
+        .when(v == 2, F.concat(
+            F.lit('[{"@type":"Product","name":"Widget '), s,
+            F.lit('","author":"House '), (did % 3).cast("string"),
+            F.lit('"},{"@type":"Ignored","name":"Second"}]'),
+        ))
+        .when(v == 3, F.concat(
+            F.lit('{"@type":"Recipe","name":"Dish '), s,
+            F.lit('","author":[{"name":"Chef '), (did % 5).cast("string"),
+            F.lit('"},{"name":"Sous"}]}'),
+        ))
+        .when(v == 4, F.lit('{"@type":"Broken",'))
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://h"), (did % 23).cast("string"),
+                 F.lit(".example.org/p/"), s).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>t</title>"),
+            F.when(
+                block.isNotNull(),
+                F.concat(
+                    F.lit('<script type="application/ld+json">'),
+                    block,
+                    F.lit("</script>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</head><body>page body</body></html>"),
+        ).alias("html"),
+    )
+    return jsonld_meta(pages)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _with_engine_conf(q_flagship_extract)(spark, SF0001)
@@ -2395,7 +2513,13 @@ _EXTRA_KEYS = frozenset(
     #   push-side frontier source (witness: cdx_fetch_plan + page_meta —
     #   typed rows from markup); fetch_schedule: per-host politeness
     #   window (witness: host_cap shares the bounded per-host ranking)
-    "html_tables headings_outline feed_items fetch_schedule".split()
+    "html_tables headings_outline feed_items fetch_schedule "
+    # crawl_delays: the robots politeness directives (Crawl-delay group
+    #   fold + global Sitemap discovery) — in-window witness: robots_filter
+    #   shares the identical RFC 9309 group fold; jsonld: schema.org
+    #   structured-data extraction via JVM regex + get_json_object
+    #   (witness: page_meta shares the bounded-regex markup machinery)
+    "crawl_delays jsonld".split()
 )
 
 _QUERIES = {
@@ -2510,6 +2634,8 @@ _QUERIES = {
         "headings_outline": q_headings_outline,
         "feed_items": q_feed_items,
         "fetch_schedule": q_fetch_schedule,
+        "crawl_delays": q_crawl_delays,
+        "jsonld": q_jsonld,
     }
 
 
@@ -5475,6 +5601,39 @@ def _oracle_sql_all() -> dict[str, str]:
                                      ELSE 2.0 END) AS DOUBLE)
                        AS scheduled_at_s
             FROM r WHERE slot < 15
+        """,
+        # construction-truth twins of q_crawl_delays / q_jsonld: expected
+        # output straight from hid/doc_id arithmetic — the group fold and
+        # the regex+JsonPath layer are tested against ground truth, never
+        # a second fold/regex
+        "crawl_delays": """
+            WITH h AS (SELECT DISTINCT doc_id % 23 AS hid FROM documents)
+            SELECT 'h' || hid || '.example.org' AS host,
+                   CASE WHEN hid % 3 = 0
+                        THEN CAST(hid % 7 + 1 AS DOUBLE) END AS crawl_delay_s,
+                   CAST((CASE WHEN hid % 2 = 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN hid % 4 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sitemaps
+            FROM h
+        """,
+        "jsonld": """
+            WITH d AS (SELECT doc_id, doc_id % 5 AS v FROM documents)
+            SELECT 'https://h' || (doc_id % 23) || '.example.org/p/'
+                     || doc_id AS url,
+                   (v <> 0) AS has_jsonld,
+                   CASE v WHEN 1 THEN 'NewsArticle' WHEN 2 THEN 'Product'
+                          WHEN 3 THEN 'Recipe' END AS jsonld_type,
+                   CASE v WHEN 1 THEN 'Story ' || doc_id
+                          WHEN 2 THEN 'Widget ' || doc_id
+                          WHEN 3 THEN 'Dish ' || doc_id END AS headline,
+                   CASE WHEN v = 1
+                        THEN '2024-03-'
+                             || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                             || 'T10:00:00Z' END AS date_published,
+                   CASE v WHEN 1 THEN 'Reporter ' || (doc_id % 7)
+                          WHEN 2 THEN 'House ' || (doc_id % 3)
+                          WHEN 3 THEN 'Chef ' || (doc_id % 5) END AS author
+            FROM d
         """,
         "lm_score": _lm_score_oracle(),
         "repetition_stats": _repetition_stats_oracle(),

