@@ -384,6 +384,20 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(pages, binary_col="html", id_col="url")
 
 
+def q_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video CONTAINER-header metadata (duration / sample rate /
+    channels) over deterministic WAV / MP4 / MP3 payloads built from the
+    documents table — header-true parsing, no decode libs (the A/V twin of
+    media_meta's image-header path; operators/multimodal.py:parse_av_header).
+    Every fourth payload is deliberately unparseable to witness the
+    disclosed deterministic-stub fallback."""
+    from ocr_spark.operators.multimodal import av_features
+    from ocr_spark.sources.pages import av_pages_from_documents
+
+    pages = av_pages_from_documents(spark, sf_dir)
+    return av_features(pages, binary_col="payload", id_col="url")
+
+
 def q_media_hash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Known-bad media hash gate: the blocklist is the sha256 set of every
     11th page's payload (self-derived plant, the bloom_gate pattern), so
@@ -2519,7 +2533,12 @@ _EXTRA_KEYS = frozenset(
     #   shares the identical RFC 9309 group fold; jsonld: schema.org
     #   structured-data extraction via JVM regex + get_json_object
     #   (witness: page_meta shares the bounded-regex markup machinery)
-    "crawl_delays jsonld".split()
+    "crawl_delays jsonld "
+    # av_meta: audio/video container-header metadata (WAV/MP4/MP3) — the
+    #   A/V twin of media_meta's image-header path; in-window witnesses:
+    #   frame_sample + media_meta share the Arrow mapInPandas multimodal
+    #   plumbing and the deterministic-stub fallback contract
+    "av_meta".split()
 )
 
 _QUERIES = {
@@ -2556,6 +2575,7 @@ _QUERIES = {
         "blocklist": q_blocklist,
         "cdx_fetch_plan": q_cdx_fetch_plan,
         "media_meta": q_media_meta,
+        "av_meta": q_av_meta,
         "pdf_extract": q_pdf_extract,
         "union_branches": q_union_branches,
         "rollup_events": q_rollup_events,
@@ -6229,6 +6249,76 @@ def _oracle_sql_all() -> dict[str, str]:
                    CAST(120 + ((b2 + b3 * 256) % 2161) AS INT) AS height,
                    'stub' AS decoder
             FROM b
+        """,
+        # av_meta: every payload parameter is integer arithmetic on
+        # q = doc_id // 4 (sources/pages.py:build_av_payload), so the oracle
+        # replays duration/sample-rate/channel/byte arithmetic directly; the
+        # unparseable k=3 branch replays the stub's sha256 digest-byte
+        # arithmetic exactly like the media_meta oracle above.
+        "av_meta": """
+            WITH base AS (
+                SELECT doc_id, lang, doc_id // 4 AS q, doc_id % 4 AS k,
+                       'https://media.example.com/' || doc_id AS id
+                FROM documents
+            ), wav AS (
+                SELECT id, 'wav' AS kind,
+                       CAST(44 + q % 32 AS BIGINT) AS n_bytes,
+                       CAST(((8000 + 4000 * (q % 3)) * (1 + q % 2) * 2
+                              * (1 + q % 5) + (q % 7) * 16) * 1000
+                            // ((8000 + 4000 * (q % 3)) * (1 + q % 2) * 2)
+                            AS BIGINT) AS duration_ms,
+                       CAST(8000 + 4000 * (q % 3) AS INT) AS sample_rate,
+                       CAST(1 + q % 2 AS INT) AS channels,
+                       'header' AS decoder
+                FROM base WHERE k = 0
+            ), mp4 AS (
+                SELECT id, 'mp4' AS kind,
+                       CAST(52 + q % 16 AS BIGINT) AS n_bytes,
+                       CAST((900 + (q * 37) % 100000) * 1000
+                            // (CASE WHEN q % 2 = 0 THEN 1000 ELSE 600 END)
+                            AS BIGINT) AS duration_ms,
+                       CAST(0 AS INT) AS sample_rate,
+                       CAST(0 AS INT) AS channels,
+                       'header' AS decoder
+                FROM base WHERE k = 1
+            ), mp3 AS (
+                SELECT id, 'mp3' AS kind,
+                       CAST((CASE WHEN q % 2 = 0 THEN 10 + q % 100 ELSE 0 END)
+                            + 4 + (q * 13) % 4000 AS BIGINT) AS n_bytes,
+                       CAST((4 + (q * 13) % 4000) * 8
+                            // list_extract([32, 40, 48, 56, 64, 80, 96, 112,
+                                             128, 160, 192, 224, 256, 320],
+                                            CAST(1 + q % 14 AS INT))
+                            AS BIGINT) AS duration_ms,
+                       CAST(list_extract([44100, 48000, 32000],
+                                         CAST(1 + q % 3 AS INT)) AS INT)
+                           AS sample_rate,
+                       CAST(CASE WHEN q % 4 = 0 THEN 1 ELSE 2 END AS INT)
+                           AS channels,
+                       'header' AS decoder
+                FROM base WHERE k = 2
+            ), unk AS (
+                SELECT id,
+                       sha256('unparseable media payload ' || doc_id
+                              || ' ' || lang) AS hx,
+                       octet_length(encode('unparseable media payload '
+                              || doc_id || ' ' || lang)) AS nb
+                FROM base WHERE k = 3
+            ), unk_out AS (
+                SELECT id, 'unknown' AS kind, CAST(nb AS BIGINT) AS n_bytes,
+                       CAST(1000 + (
+                           (strpos('0123456789abcdef', substr(hx, 13, 1)) - 1) * 16
+                           + strpos('0123456789abcdef', substr(hx, 14, 1)) - 1
+                           + ((strpos('0123456789abcdef', substr(hx, 15, 1)) - 1) * 16
+                              + strpos('0123456789abcdef', substr(hx, 16, 1)) - 1) * 256
+                       ) % 600000 AS BIGINT) AS duration_ms,
+                       CAST(16000 AS INT) AS sample_rate,
+                       CAST(1 AS INT) AS channels,
+                       'stub' AS decoder
+                FROM unk
+            )
+            SELECT * FROM wav UNION ALL SELECT * FROM mp4
+            UNION ALL SELECT * FROM mp3 UNION ALL SELECT * FROM unk_out
         """,
         # media_hash_gate: same deterministic page bytes as media_meta;
         # the blocklist is the digest set of every 11th page

@@ -189,3 +189,81 @@ def pdf_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame.from_records(rows)
 
     return docs.select("doc_id", "text", "lang").mapInPandas(to_pdf, schema=PAGES_SCHEMA)
+
+
+def build_av_payload(doc_id: int, lang: str) -> bytes:
+    """Deterministic A/V container payload for ``doc_id`` — the fixture twin
+    of ``operators.multimodal.parse_av_header``. Every parameter is integer
+    arithmetic on ``q = doc_id // 4`` so a SQL oracle can replay the expected
+    metadata without parsing bytes:
+
+    - ``doc_id % 4 == 0`` -> RIFF/WAVE: channels ``1+q%2``, sample_rate
+      ``8000+4000*(q%3)``, declared data size ``byte_rate*(1+q%5)+(q%7)*16``
+      (header-only fixture: the data chunk declares its size but carries only
+      ``q%32`` bytes — exactly the header-not-samples read path the operator
+      exists for); total bytes ``44 + q%32``.
+    - ``% 4 == 1`` -> ISO-BMFF: ftyp + moov/mvhd(v0), timescale 1000 (q even)
+      or 600 (q odd), duration units ``900+(q*37)%100000``, ``q%16`` trailing
+      pad; total bytes ``52 + q%16``.
+    - ``% 4 == 2`` -> MPEG-1 Layer III: bitrate index ``1+q%14``, sample-rate
+      index ``q%3``, mono when ``q%4==0``, optional ID3v2 tag of ``q%100``
+      bytes when q is even, ``(q*13)%4000`` frame-payload bytes.
+    - ``% 4 == 3`` -> an unparseable text payload (exercises the disclosed
+      deterministic-stub fallback, whose sha256 arithmetic SQL replays).
+    """
+    q, k = doc_id // 4, doc_id % 4
+    if k == 0:
+        channels = 1 + q % 2
+        sample_rate = 8000 + 4000 * (q % 3)
+        byte_rate = sample_rate * channels * 2
+        data_size = byte_rate * (1 + q % 5) + (q % 7) * 16
+        pad = q % 32
+        fmt = (
+            (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+            + (channels * 2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        return (b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+                + b"fmt " + (16).to_bytes(4, "little") + fmt
+                + b"data" + data_size.to_bytes(4, "little") + b"\x00" * pad)
+    if k == 1:
+        timescale = 1000 if q % 2 == 0 else 600
+        duration = 900 + (q * 37) % 100000
+        pad = q % 16
+        mvhd = ((28).to_bytes(4, "big") + b"mvhd" + b"\x00\x00\x00\x00"
+                + b"\x00" * 8 + timescale.to_bytes(4, "big")
+                + duration.to_bytes(4, "big"))
+        return ((16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00" * 4
+                + (36).to_bytes(4, "big") + b"moov" + mvhd + b"\x00" * pad)
+    if k == 2:
+        br_idx = 1 + q % 14
+        sr_idx = q % 3
+        mono = q % 4 == 0
+        pad = (q * 13) % 4000
+        frame = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2),
+                       0xC0 if mono else 0x00]) + b"\x00" * pad
+        if q % 2 == 0:
+            tagsize = q % 100
+            id3 = (b"ID3\x03\x00\x00" + b"\x00\x00\x00" + bytes([tagsize])
+                   + b"\x00" * tagsize)
+            return id3 + frame
+        return frame
+    return f"unparseable media payload {doc_id} {lang}".encode("utf-8")
+
+
+def av_pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap the documents table as binary A/V payloads (url, payload) — the
+    input for the av_features metadata operator. Pure function of
+    (doc_id, lang), distributed synthesis like the other wrappers."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def to_av(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame.from_records(
+                [{"url": f"https://media.example.com/{int(i)}",
+                  "payload": build_av_payload(int(i), str(lg))}
+                 for i, lg in zip(pdf["doc_id"], pdf["lang"])]
+            )
+
+    return docs.select("doc_id", "lang").mapInPandas(
+        to_av, schema="url string, payload binary")

@@ -305,3 +305,75 @@ def test_media_hash_gate_blocks_exact_digests(spark):
 
     plan = media_hash_gate(df, bl)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "Python" not in plan
+
+
+class TestAVHeaders:
+    """parse_av_header: container metadata from header bytes alone —
+    hand-built minimal WAV/MP4/MP3 fixtures with known parameters."""
+
+    # 2ch 16-bit 44.1kHz WAV declaring exactly 1s of samples (176400 bytes)
+    WAV_1S = (b"RIFF" + (36 + 176400).to_bytes(4, "little") + b"WAVE"
+              + b"fmt " + (16).to_bytes(4, "little")
+              + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+              + (44100).to_bytes(4, "little") + (176400).to_bytes(4, "little")
+              + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+              + b"data" + (176400).to_bytes(4, "little"))
+    # ISO-BMFF with mvhd v0: timescale 600, duration 1500 units -> 2500 ms
+    MP4_2500MS = ((16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00" * 4
+                  + (36).to_bytes(4, "big") + b"moov"
+                  + (28).to_bytes(4, "big") + b"mvhd" + b"\x00" * 12
+                  + (600).to_bytes(4, "big") + (1500).to_bytes(4, "big"))
+    # MPEG-1 Layer III, 128 kbps (idx 9), 44.1 kHz (idx 0), stereo,
+    # 1596 payload bytes after the 4-byte header -> 1600*8//128 = 100 ms
+    MP3_100MS = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2), 0x00]) + b"\x00" * 1596
+
+    def test_wav_header(self):
+        from ocr_spark.operators.multimodal import parse_av_header
+
+        assert parse_av_header(self.WAV_1S) == {
+            "kind": "wav", "duration_ms": 1000,
+            "sample_rate": 44100, "channels": 2}
+
+    def test_mp4_mvhd(self):
+        from ocr_spark.operators.multimodal import parse_av_header
+
+        assert parse_av_header(self.MP4_2500MS) == {
+            "kind": "mp4", "duration_ms": 2500,
+            "sample_rate": 0, "channels": 0}
+
+    def test_mp3_frame_and_id3_offset(self):
+        from ocr_spark.operators.multimodal import parse_av_header
+
+        got = parse_av_header(self.MP3_100MS)
+        assert got == {"kind": "mp3", "duration_ms": 100,
+                       "sample_rate": 44100, "channels": 2}
+        # an ID3v2 tag shifts the frame; duration excludes the tag bytes
+        tagged = (b"ID3\x03\x00\x00" + b"\x00\x00\x00\x14" + b"\x00" * 20
+                  + self.MP3_100MS)
+        assert parse_av_header(tagged) == got
+
+    def test_truncation_and_garbage_never_throw(self):
+        from ocr_spark.operators.multimodal import parse_av_header
+
+        for b in (b"", b"RIFF", self.WAV_1S[:20], self.MP4_2500MS[:12],
+                  b"ID3\x03\x00\x00\x00\x00\x00\x05", b"\xff\xfb",
+                  b"plain text", b"\x00" * 64):
+            assert parse_av_header(b) is None
+
+    def test_av_features_operator(self, spark):
+        from ocr_spark.operators.multimodal import av_features
+
+        rows = [("w", self.WAV_1S), ("v", self.MP4_2500MS),
+                ("m", self.MP3_100MS), ("x", b"not media"), ("n", None)]
+        df = spark.createDataFrame(rows, "url string, html binary")
+        out = av_features(df).toPandas().set_index("id")
+        assert out.loc["w", "decoder"] == "header"
+        assert int(out.loc["w", "duration_ms"]) == 1000
+        assert int(out.loc["v", "duration_ms"]) == 2500
+        assert int(out.loc["m", "sample_rate"]) == 44100
+        # unparseable -> disclosed deterministic stub, typing unchanged
+        assert out.loc["x", "decoder"] == "stub"
+        assert out.loc["n", "decoder"] == "stub"
+        assert int(out.loc["n", "n_bytes"]) == 0
+        plan = av_features(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # zero-shuffle projection
