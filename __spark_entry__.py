@@ -793,6 +793,25 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style conversion-record export (the Common-Crawl text-derivative
+    archive format) over documents wrapped as extracted pages — pure JVM
+    concat/digest/date_format projection, zero shuffle
+    (sources/warc.py:wet_records). The oracle replays the full record
+    string, digest included, byte-for-byte."""
+    from ocr_spark.sources.warc import wet_records
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("warc://docs.example.com/"), F.col("doc_id")).alias("url"),
+        F.expr(
+            "timestampadd(SECOND, doc_id, timestamp'2026-02-03 04:05:06')"
+        ).alias("warc_ts"),
+        "text",
+    )
+    return wet_records(pages)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style rule filter with first-failing-rule reason labels;
     every document survives to the output with its measurements (kept +
@@ -2538,7 +2557,12 @@ _EXTRA_KEYS = frozenset(
     #   A/V twin of media_meta's image-header path; in-window witnesses:
     #   frame_sample + media_meta share the Arrow mapInPandas multimodal
     #   plumbing and the deterministic-stub fallback contract
-    "av_meta".split()
+    "av_meta "
+    # wet_export: WET conversion-record formatting (the archive sink twin
+    #   of the warc_roundtrip ingest edge) — zero-shuffle JVM projection;
+    #   in-window witness: warc_roundtrip shares the record framing and
+    #   timestamp arithmetic
+    "wet_export".split()
 )
 
 _QUERIES = {
@@ -2609,6 +2633,7 @@ _QUERIES = {
         "host_cap": q_host_cap,
         "robots_filter": q_robots_filter,
         "warc_roundtrip": q_warc_roundtrip,
+        "wet_export": q_wet_export,
         "url_parts": q_url_parts,
         "host_stats": q_host_stats,
         "quality_filter": q_quality_filter,
@@ -5662,6 +5687,31 @@ def _oracle_sql_all() -> dict[str, str]:
             SELECT 'warc://docs.example.com/' || doc_id AS url, text,
                    strftime(TIMESTAMP '2026-02-03 04:05:06'
                             + to_seconds(doc_id), '%Y-%m-%d %H:%M:%S') AS ts
+            FROM documents
+        """,
+        # wet_export: the record string rebuilt verbatim — headers, sha256
+        # block digest, utf-8 byte length, and the doc_id-derived timestamp
+        "wet_export": """
+            SELECT 'warc://docs.example.com/' || doc_id AS url,
+                   'WARC/1.0' || chr(13) || chr(10)
+                   || 'WARC-Type: conversion' || chr(13) || chr(10)
+                   || 'WARC-Target-URI: warc://docs.example.com/' || doc_id
+                   || chr(13) || chr(10)
+                   || 'WARC-Date: '
+                   || strftime(TIMESTAMP '2026-02-03 04:05:06'
+                               + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ')
+                   || chr(13) || chr(10)
+                   || 'WARC-Block-Digest: sha256:'
+                   || sha256(coalesce(text, ''))
+                   || chr(13) || chr(10)
+                   || 'Content-Type: text/plain' || chr(13) || chr(10)
+                   || 'Content-Length: '
+                   || octet_length(encode(coalesce(text, '')))
+                   || chr(13) || chr(10) || chr(13) || chr(10)
+                   || coalesce(text, '') || chr(13) || chr(10)
+                   || chr(13) || chr(10) AS record,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                       AS content_length
             FROM documents
         """,
         "url_parts": _url_parts_oracle(),

@@ -155,3 +155,37 @@ def warc_segments_from_documents(
         .groupBy("seg")
         .applyInPandas(build, schema="segment_id long, data binary")
     )
+
+
+def wet_records(df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts",
+                text_col: str = "text") -> DataFrame:
+    """Format extracted pages as WET-style conversion records — the
+    text-derivative archive format Common Crawl publishes next to its WARCs
+    (WARC/1.0 ``conversion`` records: target URI, date, block digest,
+    text/plain payload). Output is one record string per page plus its
+    payload byte length.
+
+    Scale posture: pure JVM expressions (concat / date_format / sha2 /
+    octet_length) — zero shuffle, zero Python, streaming-safe; a sink
+    writes one WET segment per partition by concatenating ``record``
+    values in partition order. Digest is sha256 (labeled in the header)
+    rather than Common Crawl's sha1-base32 — same role, and portable to
+    the SQL twin. NULL text formats as an empty conversion record, so no
+    url ever disappears from the archive (the P7 never-drop contract)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    ts = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    nbytes = F.octet_length(txt)
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+        F.col(url_col),
+        F.lit("\r\nWARC-Date: "), ts,
+        F.lit("\r\nWARC-Block-Digest: sha256:"), F.lower(F.sha2(txt, 256)),
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        nbytes.cast("string"),
+        F.lit("\r\n\r\n"), txt, F.lit("\r\n\r\n"),
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        rec.alias("record"),
+        nbytes.cast("long").alias("content_length"),
+    )

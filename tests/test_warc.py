@@ -63,3 +63,38 @@ def test_distributed_round_trip_and_partitioning(spark):
 
     again = warc_pages(segs.repartition(5)).toPandas()
     assert sorted(again.url) == sorted(pages.url)
+
+
+def test_wet_records_roundtrip_and_plan(spark):
+    """WET conversion records re-parse through the same record splitter
+    (framing compatibility with the ingest edge), carry the exact utf-8
+    byte length, and the plan is a zero-shuffle, zero-Python projection."""
+    import datetime as dt
+    import hashlib
+
+    from ocr_spark.sources.warc import parse_warc_segment, wet_records
+
+    rows = [
+        ("u0", dt.datetime(2026, 2, 3, 4, 5, 6), "hello world"),
+        ("u1", dt.datetime(2026, 2, 3, 4, 5, 7), "héllo — ünïcode ©"),
+        ("u2", dt.datetime(2026, 2, 3, 4, 5, 8), None),  # never-drop
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = wet_records(df).toPandas().set_index("url").sort_index()
+
+    assert int(out.loc["u0", "content_length"]) == len(b"hello world")
+    assert int(out.loc["u1", "content_length"]) == len(
+        "héllo — ünïcode ©".encode("utf-8"))
+    assert int(out.loc["u2", "content_length"]) == 0
+    assert ("sha256:" + hashlib.sha256(b"hello world").hexdigest()
+            ) in out.loc["u0", "record"]
+
+    # the conversion records re-parse through the ingest-side splitter
+    segment = "".join(out["record"]).encode("utf-8")
+    parsed = {r["url"]: r["payload"] for r in parse_warc_segment(segment)}
+    assert parsed["u0"].decode("utf-8") == "hello world"
+    assert parsed["u1"].decode("utf-8") == "héllo — ünïcode ©"
+    assert parsed["u2"] == b""
+
+    plan = wet_records(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
