@@ -2468,6 +2468,41 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # semantic_dedup, decontam_spans, latest_capture) and ten long-green r1/r2
 # entries moved OUT to pytest-oracle-only evidence, each with the in-window
 # witness for its machinery noted below.
+def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN top-k vs the vec_id=0 query embedding,
+    with exact-cosine rescore disclosure per hit (operators/similarity.py:
+    sq_topk — two map-side-only corpus passes: per-dim bounds agg, then
+    asymmetric scoring + TakeOrderedAndProject). The 4x-smaller-codes scan
+    path a 100 TB ANN actually runs."""
+    from ocr_spark.operators.similarity import sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qvec = [float(x) for x in qvec]
+    return sq_topk(emb, qvec, k=10, dim=len(qvec))
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multinomial language-mixture weights (mT5/XLM-R
+    alpha-sampling, alpha=0.3): raw vs temperature share and the per-lang
+    boost factor (operators/mixing.py:temperature_mixture — one hash agg
+    over the corpus, then languages-sized arithmetic)."""
+    from ocr_spark.operators.mixing import temperature_mixture
+
+    return temperature_mixture(_t(spark, sf_dir, "documents"), alpha=0.3)
+
+
+def q_ip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join done scale-safe: per-user synthetic IPs routed to
+    network ranges via the prefix-bucketed equi-join (operators/iprange.py
+    — explode ranges into /8 prefixes, BroadcastHashJoin on prefix +
+    residual BETWEEN, never a BroadcastNestedLoopJoin), then a per-region
+    rollup with coverage gaps surfaced as 'unrouted'."""
+    from ocr_spark.operators.iprange import region_traffic
+
+    return region_traffic(_t(spark, sf_dir, "events"), spark)
+
+
 _EXTRA_KEYS = frozenset(
     "lang_distribution "  # groupBy-count-share witnessed by host_stats +
     # lang_id; its window slot went to extract_spans (the north-rule
@@ -2562,7 +2597,15 @@ _EXTRA_KEYS = frozenset(
     #   of the warc_roundtrip ingest edge) — zero-shuffle JVM projection;
     #   in-window witness: warc_roundtrip shares the record framing and
     #   timestamp arithmetic
-    "wet_export".split()
+    "wet_export "
+    # sq_topk: int8 scalar-quantized ANN with exact rescore (in-window
+    #   witness: ivf_topk shares the quantize-then-rank ANN family and the
+    #   TakeOrderedAndProject shape); mix_temperature: alpha-sampling
+    #   mixture weights (witness: token_budget_mix consumes exactly these
+    #   ratios as budgets); ip_range_join: prefix-bucketed interval join
+    #   (witness: asof_join covers the non-equi family, host_stats the
+    #   host-grain rollup) — all oracle-checked by test_oracle_parity
+    "sq_topk mix_temperature ip_range_join".split()
 )
 
 _QUERIES = {
@@ -2634,6 +2677,9 @@ _QUERIES = {
         "robots_filter": q_robots_filter,
         "warc_roundtrip": q_warc_roundtrip,
         "wet_export": q_wet_export,
+        "sq_topk": q_sq_topk,
+        "mix_temperature": q_mix_temperature,
+        "ip_range_join": q_ip_range_join,
         "url_parts": q_url_parts,
         "host_stats": q_host_stats,
         "quality_filter": q_quality_filter,
@@ -5344,6 +5390,100 @@ def _snapshot_diff_oracle() -> str:
     """
 
 
+def _sq_topk_oracle() -> str:
+    """DuckDB twin of q_sq_topk: per-dim (min, scale) bounds over the
+    unnested corpus, the same clamp(round((v-mn)/sc)) int8 code, the
+    asymmetric reconstruction dot against the vec_id=0 query, top-10 by
+    the 4dp-rounded quantized score, then the exact-cosine rescore join."""
+    return """
+        WITH flat AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ), bounds AS (
+            SELECT ord, min(val) AS mn, (max(val) - min(val)) / 255.0 AS sc
+            FROM flat GROUP BY ord
+        ), qf AS (
+            SELECT ord, val AS qval FROM flat WHERE vec_id = 0
+        ), scored AS (
+            SELECT f.vec_id,
+                   round(sum(q.qval * (b.mn
+                       + (CASE WHEN b.sc > 0
+                          THEN least(255.0, greatest(0.0,
+                                     round((f.val - b.mn) / b.sc, 0)))
+                          ELSE 0.0 END) * b.sc)), 4) AS score_sq
+            FROM flat f
+            JOIN bounds b USING (ord)
+            JOIN qf q USING (ord)
+            GROUP BY f.vec_id
+        ), topk AS (
+            SELECT vec_id, score_sq FROM scored
+            ORDER BY score_sq DESC, vec_id ASC LIMIT 10
+        ), q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT t.vec_id, t.score_sq,
+               round(
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(qv, qv))), 4) AS cosine_exact
+        FROM topk t JOIN embeddings e USING (vec_id), q
+        ORDER BY t.score_sq DESC, t.vec_id ASC
+    """
+
+
+def _mix_temperature_oracle() -> str:
+    """DuckDB twin of q_mix_temperature: same token regex, pow(n, 0.3)
+    weights, 6dp shares, 4dp boost."""
+    return f"""
+        WITH per AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len({_TOKENS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT CAST(sum(n_tokens) AS DOUBLE) AS tt,
+                   sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS tw
+            FROM per
+        )
+        SELECT lang, n_docs, n_tokens,
+               round(n_tokens / tt, 6) AS raw_share,
+               round(pow(CAST(n_tokens AS DOUBLE), 0.3) / tw, 6) AS temp_share,
+               round((pow(CAST(n_tokens AS DOUBLE), 0.3) / tw)
+                     / (n_tokens / tt), 4) AS boost
+        FROM per, tot ORDER BY lang
+    """
+
+
+def _ip_range_join_oracle() -> str:
+    """DuckDB twin of q_ip_range_join: the ranges come from the SAME
+    network_ranges() literal the Spark side builds its frame from (no
+    drift possible), the IP derivation is identical BIGINT arithmetic,
+    and the join is the plain BETWEEN formulation — the oracle states the
+    interval-join SEMANTICS; the Spark plan proves the prefix-bucketed
+    equi-join computes the same relation."""
+    from ocr_spark.operators.iprange import IP_HASH_A, IP_SPACE, network_ranges
+
+    vals = ", ".join(f"({lo}, {hi}, '{r}')" for lo, hi, r in network_ranges())
+    return f"""
+        WITH ev AS (
+            SELECT user_id, (user_id * {IP_HASH_A}) % {IP_SPACE} AS ip
+            FROM events
+        ), r(lo, hi, region) AS (VALUES {vals}),
+        routed AS (
+            SELECT ev.user_id, ev.ip, r.region
+            FROM ev LEFT JOIN r ON ev.ip BETWEEN r.lo AND r.hi
+        )
+        SELECT coalesce(region, 'unrouted') AS region,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(min(ip) AS BIGINT) AS min_ip,
+               CAST(max(ip) AS BIGINT) AS max_ip
+        FROM routed GROUP BY 1 ORDER BY 1
+    """
+
+
 def _oracle_sql_all() -> dict[str, str]:
     d = {
         "minhash_pairs": _minhash_oracle(),
@@ -5714,6 +5854,9 @@ def _oracle_sql_all() -> dict[str, str]:
                        AS content_length
             FROM documents
         """,
+        "sq_topk": _sq_topk_oracle(),
+        "mix_temperature": _mix_temperature_oracle(),
+        "ip_range_join": _ip_range_join_oracle(),
         "url_parts": _url_parts_oracle(),
         "host_stats": _host_stats_oracle(),
         "outlinks": _outlinks_oracle(),

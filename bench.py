@@ -148,7 +148,8 @@ BENCH_QUERIES = (
     "token_jaccard semi_join outer_join set_ops union_branches stream_extract "
     "pub_date fix_encoding sentences snapshot_diff sitemap_recrawl "
     "cluster_reps spam_hosts html_tables headings_outline feed_items "
-    "fetch_schedule crawl_delays jsonld"
+    "fetch_schedule crawl_delays jsonld av_meta wet_export sq_topk "
+    "mix_temperature ip_range_join"
 ).split()
 
 

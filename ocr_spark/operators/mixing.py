@@ -282,3 +282,53 @@ def apply_domain_blocklist(df: DataFrame, blocklist: DataFrame,
         url_host(url_col) == F.col("host"),
         "left_anti",
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.3,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Temperature-based multinomial mixture weights over languages (the
+    mT5/XLM-R sampling rule): ``p_l  ∝  n_l^alpha`` where ``n_l`` is the
+    language's token mass. ``alpha < 1`` flattens the natural distribution —
+    low-resource languages get upsampled relative to their raw share,
+    high-resource ones downsampled — the standard knob a multilingual
+    training mixture turns before ``token_budget_select`` applies the
+    resulting ratios as budgets.
+
+    Returns one row per language: (lang, n_docs, n_tokens, raw_share,
+    temp_share, boost) with boost = temp_share / raw_share (>1 means the
+    temperature upsampled the language), shares rounded to 6 dp.
+
+    Scale: one hash aggregation by language (partial map-side combine) to
+    a languages-sized frame, then a broadcast single-row total join — the
+    corpus is touched exactly once; everything after the agg is ~10 rows.
+    """
+    per_lang = df.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    powed = per_lang.withColumn(
+        "w", F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    totals = powed.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
+    )
+    return (
+        powed.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias("raw_share"),
+            F.round(F.col("w") / F.col("tot_w"), 6).alias("temp_share"),
+            F.round(
+                (F.col("w") / F.col("tot_w"))
+                / (F.col("n_tokens") / F.col("tot_tokens")),
+                4,
+            ).alias("boost"),
+        )
+        .orderBy("lang")
+    )
