@@ -2492,6 +2492,18 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(_t(spark, sf_dir, "documents"), alpha=0.3)
 
 
+def q_markdown_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown-structured extraction over the deterministic page template
+    (operators/extract_op.py:extract_page_markdown — identical keep/drop
+    decisions to flagship_extract, but the kept h2 renders as '## ' and
+    blocks join with blank lines). The oracle replays the template's
+    markdown arithmetic, so the structural rendering is hash-checked."""
+    from ocr_spark.operators.extract_op import extract_page_markdown
+
+    pages = pages_from_documents(spark, sf_dir)
+    return extract_page_markdown(pages, repartition=True)
+
+
 def q_ip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join done scale-safe: per-user synthetic IPs routed to
     network ranges via the prefix-bucketed equi-join (operators/iprange.py
@@ -2605,7 +2617,12 @@ _EXTRA_KEYS = frozenset(
     #   ratios as budgets); ip_range_join: prefix-bucketed interval join
     #   (witness: asof_join covers the non-equi family, host_stats the
     #   host-grain rollup) — all oracle-checked by test_oracle_parity
-    "sq_topk mix_temperature ip_range_join".split()
+    "sq_topk mix_temperature ip_range_join "
+    # markdown_render: the structured-output rendering of the SAME kept
+    #   blocks flagship_extract flattens (in-window witnesses:
+    #   flagship_extract for the cascade, extract_spans for per-block
+    #   structure) — oracle-checked by test_oracle_parity
+    "markdown_render".split()
 )
 
 _QUERIES = {
@@ -2680,6 +2697,7 @@ _QUERIES = {
         "sq_topk": q_sq_topk,
         "mix_temperature": q_mix_temperature,
         "ip_range_join": q_ip_range_join,
+        "markdown_render": q_markdown_render,
         "url_parts": q_url_parts,
         "host_stats": q_host_stats,
         "quality_filter": q_quality_filter,
@@ -5857,6 +5875,21 @@ def _oracle_sql_all() -> dict[str, str]:
         "sq_topk": _sq_topk_oracle(),
         "mix_temperature": _mix_temperature_oracle(),
         "ip_range_join": _ip_range_join_oracle(),
+        # markdown_render: the flagship template's markdown arithmetic —
+        # '## ' heading prefix, blank-line block separator, same >=25-char
+        # body keep rule as the flagship oracle
+        "markdown_render": f"""
+            SELECT 'https://docs.example.com/' || doc_id AS url,
+                   CASE WHEN length({_CANON_RAW}) >= 25
+                        THEN '## Document ' || doc_id || chr(10) || chr(10)
+                             || {_CANON_RAW}
+                        ELSE '## Document ' || doc_id END AS markdown,
+                   'ok' AS extract_status,
+                   'html' AS content_kind,
+                   CAST(CASE WHEN length({_CANON_RAW}) >= 25
+                        THEN 2 ELSE 1 END AS INT) AS n_blocks
+            FROM documents
+        """,
         "url_parts": _url_parts_oracle(),
         "host_stats": _host_stats_oracle(),
         "outlinks": _outlinks_oracle(),

@@ -149,7 +149,7 @@ BENCH_QUERIES = (
     "pub_date fix_encoding sentences snapshot_diff sitemap_recrawl "
     "cluster_reps spam_hosts html_tables headings_outline feed_items "
     "fetch_schedule crawl_delays jsonld av_meta wet_export sq_topk "
-    "mix_temperature ip_range_join"
+    "mix_temperature ip_range_join markdown_render"
 ).split()
 
 

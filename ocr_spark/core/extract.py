@@ -146,6 +146,45 @@ def extract_record(url: str, html: bytes | None, text: str | None, lang: str | N
     return result(out, status_ok, kind, n_blocks)
 
 
+MARKDOWN_COLUMNS = ("url", "markdown", "extract_status", "content_kind", "n_blocks")
+
+
+def extract_markdown_record(url: str, html: bytes | None, text: str | None,
+                            lang: str | None) -> dict:
+    """Extract one document as MARKDOWN (core.markdown rendering of the
+    kept blocks — headings/list items/quotes keep their structure instead
+    of flattening). Status/kind semantics mirror :func:`extract_record`
+    exactly: the HTML cascade's strict/lenient strategies map to
+    ok/ok_lenient; pdf/fallback/empty/error paths delegate to
+    ``extract_record`` and emit its plain text as paragraph-only markdown
+    (no structure is available there to render). Total, never raises,
+    never drops a row (P7)."""
+    from .markdown import blocks_to_markdown
+
+    if html is not None and len(html) > 0 and html[:4] != b"%PDF":
+        try:
+            kept, strategy = extract_kept_blocks_cascade(_decode(html))
+        except Exception:  # noqa: BLE001 — P7: fall through to the record path
+            kept = []
+        if kept:
+            return {
+                "url": url,
+                "markdown": blocks_to_markdown(kept),
+                "extract_status": STATUS_OK if strategy == "strict"
+                else STATUS_OK_LENIENT,
+                "content_kind": "html",
+                "n_blocks": len(kept),
+            }
+    r = extract_record(url, html, text, lang)
+    return {
+        "url": url,
+        "markdown": r["text"],
+        "extract_status": r["extract_status"],
+        "content_kind": r["content_kind"],
+        "n_blocks": r["n_blocks"],
+    }
+
+
 SPAN_COLUMNS = ("url", "block_idx", "span_start", "span_end", "block_text", "heading")
 
 

@@ -113,6 +113,12 @@ class Block:
     class_blocked: bool = False   # class/id blocklist hit (the heuristic part)
     src_start: int = -1           # span into the decoded html (char offsets)
     src_end: int = -1
+    # structural rendering context, stamped from the open-block stack at
+    # flush time (core.markdown consumes these; `heading` == `level > 0`
+    # by construction — asserted in tests)
+    level: int = 0                # h1..h6 -> 1..6, else 0
+    list_item: bool = False       # any <li> ancestor open
+    quote: bool = False           # any <blockquote> ancestor open
 
 
 def _attrs_blocked(attrs: str) -> bool:
@@ -153,6 +159,11 @@ def extract_blocks(html_text: str) -> list[Block]:
             text = normalize_inline("".join(parts))
             if text:
                 n = len(text)
+                # rendering context from the CURRENT stack top: every flush
+                # site runs before the stack transition it accompanies, so
+                # the top is the block the text was collected under (the
+                # same invariant cur_heading tracks incrementally)
+                top = block_stack[-1] if block_stack else ""
                 blocks.append(
                     Block(
                         text=text,
@@ -165,6 +176,9 @@ def extract_blocks(html_text: str) -> list[Block]:
                         class_blocked=class_depth > 0,
                         src_start=span_start,
                         src_end=span_end,
+                        level=int(top[1]) if top in HEADING_TAGS else 0,
+                        list_item="li" in block_stack,
+                        quote="blockquote" in block_stack,
                     )
                 )
             parts.clear()

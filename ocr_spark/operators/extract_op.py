@@ -26,7 +26,13 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..core.extract import SPAN_COLUMNS, extract_record, extract_span_rows
+from ..core.extract import (
+    MARKDOWN_COLUMNS,
+    extract_markdown_record,
+    extract_record,
+    extract_span_rows,
+    SPAN_COLUMNS,
+)
 from ..plans.partitioning import ranged_repartition, salted_repartition
 from ..session import EXTRACTED_SCHEMA
 
@@ -145,6 +151,50 @@ def extract_pages(
     elif repartition:
         pruned = salted_repartition(pruned, num_partitions, salt_buckets=salt_buckets)
     return pruned.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+MARKDOWN_SCHEMA = (
+    "url string, markdown string, extract_status string, "
+    "content_kind string, n_blocks int"
+)
+
+
+def _markdown_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        texts = pdf["text"].tolist()
+        rows = [
+            extract_markdown_record(
+                url, html, t if isinstance(t, str) else None, lang
+            )
+            for url, html, t, lang in zip(
+                pdf["url"].tolist(), pdf["html"].tolist(), texts,
+                pdf["lang"].tolist(),
+            )
+        ]
+        yield pd.DataFrame.from_records(rows, columns=list(MARKDOWN_COLUMNS))
+
+
+def extract_page_markdown(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    salt_buckets: int = 16,
+    repartition: bool | str = "auto",
+) -> DataFrame:
+    """pages -> markdown records (MARKDOWN_SCHEMA): the structured-output
+    twin of :func:`extract_pages` — identical keep/drop decisions and
+    partitioning policy, but headings/list items/quotes render as markdown
+    instead of flattening (core.markdown). One row per input row, P7."""
+    pruned = df.select(*INPUT_COLS)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if num_partitions is None:
+        num_partitions = parallelism * 2
+    if repartition == "auto":
+        repartition = _estimated_scan_partitions(df) < parallelism
+    if repartition == "range":
+        pruned = ranged_repartition(pruned, num_partitions)
+    elif repartition:
+        pruned = salted_repartition(pruned, num_partitions, salt_buckets=salt_buckets)
+    return pruned.mapInPandas(_markdown_batches, schema=MARKDOWN_SCHEMA)
 
 
 def _span_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

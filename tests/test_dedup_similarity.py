@@ -512,3 +512,58 @@ def test_common_ngrams_profile(spark):
     out = common_ngrams(df, w=8, k=3).collect()
     assert out[0].df_docs == 5 and out[0].example == shared
     assert out[0].df_docs >= out[1].df_docs >= out[2].df_docs
+
+
+def test_token_jaccard_prefix_filter_equals_naive(spark):
+    """The AllPairs prefix-filtered plan returns EXACTLY the naive
+    quadratic join's rows, across thresholds and adversarial shapes:
+    ubiquitous stopwords (the blowup driver), docs whose overlap lives
+    only in rare tokens, singleton-token docs, and just-below-threshold
+    pairs."""
+    from ocr_spark.operators.dedup import (
+        token_jaccard_pairs,
+        token_jaccard_pairs_naive,
+    )
+
+    stop = "the of and to in"
+    rows = [
+        (0, f"{stop} alpha beta gamma delta"),
+        (1, f"{stop} alpha beta gamma epsilon"),
+        (2, f"{stop} zeta eta theta iota"),
+        (3, "alpha beta gamma delta"),          # no stopwords at all
+        (4, f"{stop} completely different words here now"),
+        (5, "singleton"),
+        (6, "singleton"),                        # jaccard 1.0 on one token
+        (7, f"{stop}"),                          # stopwords only
+        (8, f"{stop} alpha beta gamma delta"),   # dup of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8, 1.0):
+        fast = sorted(
+            map(tuple, token_jaccard_pairs(docs, threshold=t)
+                .toPandas().itertuples(index=False))
+        )
+        naive = sorted(
+            map(tuple, token_jaccard_pairs_naive(docs, threshold=t)
+                .toPandas().itertuples(index=False))
+        )
+        assert fast == naive, t
+    # sanity: the interesting pairs actually appear at 0.8
+    got = {(a, b) for a, b, _ in token_jaccard_pairs(docs, threshold=0.8)
+           .toPandas().itertuples(index=False)}
+    assert (0, 8) in got and (5, 6) in got
+
+
+def test_token_jaccard_plan_joins_prefixes_not_all_tokens(spark):
+    """The candidate join's both sides are prefix-sliced (the plan carries
+    a slice over the sorted token array), so no full-token self-join node
+    exists: every shuffle key upstream of the pair join is prefix-bounded."""
+    from ocr_spark.operators.dedup import token_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b d")], "doc_id long, text string"
+    )
+    plan = token_jaccard_pairs(docs, threshold=0.8) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "slice(" in plan
+    assert "array_intersect" in plan
