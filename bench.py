@@ -756,9 +756,13 @@ def main() -> None:
     run_extract_job(spark, PAGES_DIR, "/tmp/ocr_spark_bench/warmup_out")
 
     # ---- headline (short; gives every later partial line a real `value`) ---
+    # more reps than the query suite: the headline is ~4 s/rep, so finding
+    # the quiet-box floor is cheap, and min-of-3 measurably under-reports
+    # (observed 27.4k vs 32.4k docs/s for the same build on the same day)
+    head_reps = int(os.environ.get("OCR_BENCH_HEAD_REPS", str(max(REPS, 5))))
     walls, steals, n_clean = run_reps_clean(
         lambda: run_extract_job(spark, PAGES_DIR, "/tmp/ocr_spark_bench/out"),
-        REPS,
+        head_reps,
     )
     wall = min_clean(walls, steals)
     result["value"] = round(wall, 3)
