@@ -2605,24 +2605,21 @@ _EXTRA_KEYS = frozenset(
     #   frame_sample + media_meta share the Arrow mapInPandas multimodal
     #   plumbing and the deterministic-stub fallback contract
     "av_meta "
-    # wet_export: WET conversion-record formatting (the archive sink twin
-    #   of the warc_roundtrip ingest edge) — zero-shuffle JVM projection;
-    #   in-window witness: warc_roundtrip shares the record framing and
-    #   timestamp arithmetic
-    "wet_export "
-    # sq_topk: int8 scalar-quantized ANN with exact rescore (in-window
-    #   witness: ivf_topk shares the quantize-then-rank ANN family and the
-    #   TakeOrderedAndProject shape); mix_temperature: alpha-sampling
-    #   mixture weights (witness: token_budget_mix consumes exactly these
-    #   ratios as budgets); ip_range_join: prefix-bucketed interval join
-    #   (witness: asof_join covers the non-equi family, host_stats the
-    #   host-grain rollup) — all oracle-checked by test_oracle_parity
-    "sq_topk mix_temperature ip_range_join "
-    # markdown_render: the structured-output rendering of the SAME kept
-    #   blocks flagship_extract flattens (in-window witnesses:
-    #   flagship_extract for the cascade, extract_spans for per-block
-    #   structure) — oracle-checked by test_oracle_parity
-    "markdown_render".split()
+    # --- round-4 MID-ROUND rotation: the five operators born this round
+    # take driver slots so CORRECTNESS_r04 witnesses them; each displaced
+    # entry was driver-green in r1-r3 and keeps an in-window machinery
+    # witness plus its own exact DuckDB twin in pytest.
+    # warc_roundtrip -> wet_export (same record framing + ts arithmetic;
+    #   wet records re-parse through warc's own splitter in test_warc);
+    # ivf_topk -> sq_topk (ANN quantize-then-rank family; embedding ops
+    #   stay in-window via embedding_neardup + semantic_dedup);
+    # token_budget_mix -> mix_temperature (the budgets token_budget_mix
+    #   consumes ARE these ratios; same token-mass agg core);
+    # sessionize -> ip_range_join (window family stays witnessed by
+    #   perplexity_buckets' frames; the new join shape earns the row);
+    # corr_flags -> markdown_render (V6 stays pytest-checked; validation
+    #   family in-window via validate_docs + doc_assessment)
+    "warc_roundtrip ivf_topk token_budget_mix sessionize corr_flags".split()
 )
 
 _QUERIES = {

@@ -283,3 +283,41 @@ def test_common_ngrams_topk_not_global_sort(spark):
     assert "TakeOrderedAndProject" in tree
     assert "partial_count" in plan or "partial_min" in plan
     assert "Python" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Two tables bucketed identically on the join key join with ZERO
+    Exchange — the pay-the-shuffle-once-at-ingest layout for repeated
+    joins at scale. Also pins that the UNBUCKETED control plan DOES
+    exchange, so the assertion can't pass vacuously."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.plans.partitioning import write_bucketed
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("feature")
+    )
+    sigs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("fp")
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the test tables are tiny, so the planner would (correctly)
+        # broadcast them and skip bucketing; at the sizes bucketing exists
+        # for, neither side is broadcastable — model that explicitly
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed(docs, "bkt_docs", str(tmp_path / "bd"), ["doc_id"], 8)
+        write_bucketed(sigs, "bkt_sigs", str(tmp_path / "bs"), ["doc_id"], 8)
+        joined = spark.table("bkt_docs").join(spark.table("bkt_sigs"), "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+        assert joined.count() == 1000
+        # control: the same join over the raw (unbucketed) frames shuffles
+        control = docs.join(sigs, "doc_id")
+        cplan = control._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in cplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
+        spark.sql("DROP TABLE IF EXISTS bkt_sigs")
