@@ -1806,6 +1806,54 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(_t(spark, sf_dir, "documents"), word_map)
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer audit of the fixed shipped encoder: doc/
+    word/token/unk/byte totals plus fertility (tokens per word),
+    bytes_per_token, and unk_rate at 4 dp — the table a multilingual
+    pipeline reads before committing to a tokenizer. One zero-shuffle
+    encode projection + one map-side-combined groupBy(lang). The DuckDB
+    twin replays the embedded word->tokens map and every ratio."""
+    from ocr_spark.core.bpe import build_word_map
+    from ocr_spark.operators.tokenizer import fertility_by_lang
+
+    word_map = build_word_map(BPE_TRAIN_COUNTS, BPE_N_MERGES)
+    return fertility_by_lang(_t(spark, sf_dir, "documents"), word_map)
+
+
+# Misra-Gries counter budget for q_heavy_hitters — part of the answer's
+# identity (threshold = n_total/(HH_M+1)), shared with the oracle
+HH_M = 32
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed heavy hitters: every token with frequency >
+    n_total/(HH_M+1), exact counts. The engine runs the two-pass
+    bounded-memory path (per-partition Misra-Gries summaries via
+    mapInPandas — no long-tail shuffle — then an exact recount of the
+    broadcast candidate set); the MG guarantee makes the output EQUAL the
+    exact one-pass SQL answer, which is exactly what the DuckDB twin
+    computes. The corpus is enriched so the sketch genuinely evicts: a
+    unique per-doc token (vocabulary ~540 >> 32 counters, churning every
+    partition table) plus planted ladder tokens straddling the threshold
+    (alpha x4/doc qualifies, beta x2/doc sits at the boundary, gamma on
+    even docs and the uniques fall below)."""
+    from ocr_spark.operators.heavyhitters import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    assembled = d.select(
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" u"),
+            F.col("doc_id").cast("string"),
+            F.lit(" alpha alpha alpha alpha beta beta"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" gamma")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text")
+    )
+    return heavy_hitters(assembled, m=HH_M)
+
+
 # block count for q_bloom_gate's filter — part of the filter's identity,
 # shared with the oracle so the bit layout cannot drift
 BLOOM_GATE_NB = 1024
@@ -2619,7 +2667,14 @@ _EXTRA_KEYS = frozenset(
     #   perplexity_buckets' frames; the new join shape earns the row);
     # corr_flags -> markdown_render (V6 stays pytest-checked; validation
     #   family in-window via validate_docs + doc_assessment)
-    "warc_roundtrip ivf_topk token_budget_mix sessionize corr_flags".split()
+    "warc_roundtrip ivf_topk token_budget_mix sessionize corr_flags "
+    # heavy_hitters: two-pass Misra-Gries summary + exact recount (born
+    #   out-of-window; in-window witnesses: common-token machinery by
+    #   token_stats, the mapInPandas Arrow path by flagship_extract);
+    # token_fertility: per-language audit over the bpe_tokens encode
+    #   (witness: bpe-apply arithmetic is driver-checked via the
+    #   mix_temperature/token-mass family; exact twin in pytest)
+    "heavy_hitters token_fertility".split()
 )
 
 _QUERIES = {
@@ -2724,6 +2779,8 @@ _QUERIES = {
         "code_detect": q_code_detect,
         "signals": q_signals,
         "bpe_tokens": q_bpe_tokens,
+        "token_fertility": q_token_fertility,
+        "heavy_hitters": q_heavy_hitters,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -5001,6 +5058,96 @@ def _bpe_tokens_oracle() -> str:
     """.replace("{VALS}", vals).replace("{TOK}", _TOKEN_SQL)
 
 
+def _token_fertility_oracle() -> str:
+    """DuckDB twin of q_token_fertility: the identical embedded
+    word->tokens map, per-word token counts summed per doc (a word's
+    token count = len(split(mapped, ' ')) — multi-token words carry
+    spaces), strlen() byte lengths, exact BIGINT sums per language, and
+    the same guarded 4-dp ratio arithmetic."""
+    from ocr_spark.core.bpe import build_word_map
+
+    word_map = build_word_map(BPE_TRAIN_COUNTS, BPE_N_MERGES)
+    vals = ", ".join(
+        "('{w}', '{t}')".format(w=w, t=t) for w, t in sorted(word_map.items())
+    )
+    return """
+        WITH wmap(w, t) AS (VALUES {VALS}),
+        toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')), '{TOK}') AS tk
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, tk[i] AS w
+            FROM toks, unnest(generate_series(1, len(tk))) AS u(i)
+        ), mt AS (
+            SELECT p.doc_id, coalesce(mp.t, '<unk>') AS t
+            FROM pos p LEFT JOIN wmap mp ON p.w = mp.w
+        ), perdoc AS (
+            SELECT doc_id, count(*) AS n_words,
+                   sum(len(string_split(t, ' '))) AS n_tokens,
+                   sum(CASE WHEN t = '<unk>' THEN 1 ELSE 0 END) AS n_unk
+            FROM mt GROUP BY doc_id
+        ), base AS (
+            SELECT d.lang,
+                   CAST(strlen(coalesce(d.text, '')) AS BIGINT) AS n_bytes,
+                   CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(p.n_unk, 0) AS BIGINT) AS n_unk
+            FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        ), agg AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_words) AS BIGINT) AS n_words,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(n_unk) AS BIGINT) AS n_unk,
+                   CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+            FROM base GROUP BY lang
+        )
+        SELECT lang, n_docs, n_words, n_tokens, n_unk, n_bytes,
+               CASE WHEN n_words > 0
+                    THEN round(n_tokens::DOUBLE / n_words, 4)
+                    ELSE 0.0 END AS fertility,
+               CASE WHEN n_tokens > 0
+                    THEN round(n_bytes::DOUBLE / n_tokens, 4)
+                    ELSE 0.0 END AS bytes_per_token,
+               CASE WHEN n_tokens > 0
+                    THEN round(n_unk::DOUBLE / n_tokens, 4)
+                    ELSE 0.0 END AS unk_rate
+        FROM agg ORDER BY lang
+    """.replace("{VALS}", vals).replace("{TOK}", _TOKEN_SQL)
+
+
+def _heavy_hitters_oracle() -> str:
+    """DuckDB twin of q_heavy_hitters — deliberately the EXACT one-pass
+    answer (GROUP BY token, integer-arithmetic threshold), with no model
+    of the sketch: the Misra-Gries guarantee says the engine's
+    bounded-memory two-pass path must produce exactly this set, so the
+    parity check is an end-to-end proof the summary pass lost nothing."""
+    return f"""
+        WITH asm AS (
+            SELECT coalesce(text, '') || ' u' || doc_id
+                   || ' alpha alpha alpha alpha beta beta'
+                   || CASE WHEN doc_id % 2 = 0 THEN ' gamma' ELSE '' END
+                   AS text
+            FROM documents
+        ), docs AS (
+            SELECT {_CANON} AS t FROM asm
+        ), toks AS (
+            SELECT unnest(string_split(t, ' ')) AS token
+            FROM docs WHERE t <> ''
+        ), tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks
+        ), freqs AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS freq
+            FROM toks GROUP BY token
+        )
+        SELECT f.token, f.freq, t.n_total
+        FROM freqs f CROSS JOIN tot t
+        WHERE f.freq * {HH_M + 1} > t.n_total
+        ORDER BY f.freq DESC, f.token ASC
+    """
+
+
 def _script_stats_oracle() -> str:
     """DuckDB twin of q_script_stats: same plants, same explicit
     code-point-range classes (imported from the operator module so the
@@ -5605,6 +5752,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "script_stats": _script_stats_oracle(),
         "code_detect": _code_detect_oracle(),
         "bpe_tokens": _bpe_tokens_oracle(),
+        "token_fertility": _token_fertility_oracle(),
+        "heavy_hitters": _heavy_hitters_oracle(),
         "signals": _signals_oracle(),
         "bm25": _bm25_oracle(),
         "train_eval_split": _train_eval_split_oracle(),

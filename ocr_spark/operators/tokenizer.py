@@ -81,12 +81,10 @@ def _map_literal(word_map: dict[str, str]) -> Column:
     )
 
 
-def bpe_encode(df: DataFrame, word_map: dict[str, str],
-               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Apply a fitted encoder corpus-wide. Returns one row per input row
-    (NULL text = empty): (id, n_words, n_tokens, n_unk, tokens_fp) with
-    tokens_fp = md5 over the space-joined token stream — the compact
-    value-identity the oracle compares."""
+def _encode_cols(word_map: dict[str, str],
+                 text_col: str) -> tuple[Column, Column, Column, Column, Column]:
+    """The shared apply expressions: (full token stream, n_words,
+    n_tokens, n_unk, n_bytes) for one document — all pure JVM."""
     toks = F.regexp_extract_all(
         F.lower(F.coalesce(F.col(text_col), F.lit(""))),
         F.lit(TOKEN_PATTERN), F.lit(0),
@@ -97,10 +95,68 @@ def bpe_encode(df: DataFrame, word_map: dict[str, str],
     n_tokens = F.when(full == "", F.lit(0)).otherwise(
         F.size(F.split(full, " "))
     ).cast("long")
+    n_words = F.size(toks).cast("long")
+    n_unk = F.size(F.filter(mapped, lambda x: x == UNK)).cast("long")
+    n_bytes = F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+    return full, n_words, n_tokens, n_unk, n_bytes
+
+
+def bpe_encode(df: DataFrame, word_map: dict[str, str],
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a fitted encoder corpus-wide. Returns one row per input row
+    (NULL text = empty): (id, n_words, n_tokens, n_unk, tokens_fp) with
+    tokens_fp = md5 over the space-joined token stream — the compact
+    value-identity the oracle compares."""
+    full, n_words, n_tokens, n_unk, _ = _encode_cols(word_map, text_col)
     return df.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("n_words"),
+        n_words.alias("n_words"),
         n_tokens.alias("n_tokens"),
-        F.size(F.filter(mapped, lambda x: x == UNK)).cast("long").alias("n_unk"),
+        n_unk.alias("n_unk"),
         F.md5(full).alias("tokens_fp"),
     )
+
+
+def fertility_by_lang(df: DataFrame, word_map: dict[str, str],
+                      text_col: str = "text",
+                      lang_col: str = "lang") -> DataFrame:
+    """Per-language tokenizer audit of a fitted encoder — the table a
+    multilingual curation pipeline reads before committing to a tokenizer
+    (mT5/XLM-R-style fertility comparison): for each language the doc
+    count, exact word/token/unk/byte totals, and the derived 4-dp ratios
+    **fertility** (tokens per word — how much the tokenizer fragments
+    this language), **bytes_per_token** (compression — how much raw text
+    one token buys), and **unk_rate** (vocabulary coverage).
+
+    Shape: the encode is the zero-shuffle ``bpe_encode`` projection; the
+    rollup is ONE map-side-combined groupBy on the language key (output
+    rows = languages, not documents). Ratios divide exact BIGINT sums and
+    round to 4 dp, so the DuckDB twin replays them bit-for-bit. Zero-word
+    or zero-token groups report 0.0 ratios (never a NULL/NaN division)."""
+    full, n_words, n_tokens, n_unk, n_bytes = _encode_cols(word_map, text_col)
+    per = df.select(
+        F.col(lang_col).alias("lang"),
+        n_words.alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        n_unk.alias("n_unk"),
+        n_bytes.alias("n_bytes"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_unk").alias("n_unk"),
+        F.sum("n_bytes").alias("n_bytes"),
+    )
+
+    def ratio(num: str, den: str) -> Column:
+        return F.when(
+            F.col(den) > 0, F.round(F.col(num) / F.col(den), 4)
+        ).otherwise(F.lit(0.0))
+
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_tokens", "n_unk", "n_bytes",
+        ratio("n_tokens", "n_words").alias("fertility"),
+        ratio("n_bytes", "n_tokens").alias("bytes_per_token"),
+        ratio("n_unk", "n_tokens").alias("unk_rate"),
+    ).orderBy("lang")
