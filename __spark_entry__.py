@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ocr_spark.functions.text import (
@@ -2187,18 +2187,14 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_tables(d.select("doc_id", html.alias("html")))
 
 
-def q_headings_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document outline extraction (functions/markup.py): every doc gets an
-    <h1>; doc_id % 2 == 0 adds an <h2> with an inner <em> (tag strip);
-    doc_id % 4 == 1 adds an out-of-order <h3> then <h2> (document-order
-    pos, not level order); doc_id % 9 == 0 adds an EMPTY <h6> that must
-    survive as heading='' / n_chars=0 (the outline keeps structure even
-    when the text is empty). One posexplode projection, zero shuffle."""
-    from ocr_spark.functions.markup import extract_headings
-
-    d = _t(spark, sf_dir, "documents")
+def _outline_html() -> Column:
+    """The shared assembled-page construction for the outline family
+    (q_headings_outline + q_html_sections): every doc gets an <h1>;
+    doc_id % 2 == 0 adds an <h2> with an inner <em> (tag strip);
+    doc_id % 4 == 1 adds an out-of-order <h3> then <h2> BACK TO BACK (an
+    empty section between them); doc_id % 9 == 0 adds an EMPTY <h6>."""
     did = F.col("doc_id")
-    html = F.concat(
+    return F.concat(
         F.lit("<html><body><h1> Doc "), did.cast("string"),
         F.lit(" </h1><p>intro</p>"),
         F.when(
@@ -2218,7 +2214,32 @@ def q_headings_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(did % 9 == 0, F.lit("<h6></h6>")).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
-    return extract_headings(d.select("doc_id", html.alias("html")))
+
+
+def q_headings_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document outline extraction (functions/markup.py) over the shared
+    `_outline_html` pages: document-order pos (not level order), tag
+    strip inside headings, and the empty <h6> must survive as heading=''
+    / n_chars=0 (the outline keeps structure even when the text is
+    empty). One posexplode projection, zero shuffle."""
+    from ocr_spark.functions.markup import extract_headings
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_headings(d.select("doc_id", _outline_html().alias("html")))
+
+
+def q_html_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-aware chunking units: heading-delimited sections over
+    the SAME `_outline_html` pages as q_headings_outline — section 0 is
+    the tag-only preamble (level 0, NULL heading, empty text), each
+    later section carries its governing heading + the cleaned body text
+    between headings. Plants: back-to-back <h3>/<h2> yields an EMPTY mid
+    section (kept — structure is data), the empty <h6> owns the closing
+    tail, inner <em> exercises the tag strip. Exact DuckDB twin."""
+    from ocr_spark.functions.markup import extract_sections
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_sections(d.select("doc_id", _outline_html().alias("html")))
 
 
 def q_feed_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2673,8 +2694,11 @@ _EXTRA_KEYS = frozenset(
     #   token_stats, the mapInPandas Arrow path by flagship_extract);
     # token_fertility: per-language audit over the bpe_tokens encode
     #   (witness: bpe-apply arithmetic is driver-checked via the
-    #   mix_temperature/token-mass family; exact twin in pytest)
-    "heavy_hitters token_fertility".split()
+    #   mix_temperature/token-mass family; exact twin in pytest);
+    # html_sections: heading-delimited section chunks (witnesses:
+    #   extract_spans for the 1:N offset contract, page_meta +
+    #   markdown_render for the markup-regex machinery)
+    "heavy_hitters token_fertility html_sections".split()
 )
 
 _QUERIES = {
@@ -2795,6 +2819,7 @@ _QUERIES = {
         "spam_hosts": q_spam_hosts,
         "html_tables": q_html_tables,
         "headings_outline": q_headings_outline,
+        "html_sections": q_html_sections,
         "feed_items": q_feed_items,
         "fetch_schedule": q_fetch_schedule,
         "crawl_delays": q_crawl_delays,
@@ -5894,6 +5919,60 @@ def _oracle_sql_all() -> dict[str, str]:
             SELECT doc_id, pos, level, heading,
                    CAST(length(heading) AS BIGINT) AS n_chars
             FROM e
+        """,
+        # html_sections: the SAME assembled pages, split into the n+1
+        # between-heading body segments zipped with a NULL-prefixed
+        # heading array — replaying extract_sections' construction
+        "html_sections": """
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><body><h1> Doc ' || doc_id
+                       || ' </h1><p>intro</p>'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN '<h2 class="s">Sec <em>' || lang
+                                    || '</em></h2><p>body</p>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 1
+                               THEN '<h3>Deep ' || (doc_id % 5)
+                                    || '</h3><h2>After</h2>'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 9 = 0
+                               THEN '<h6></h6>' ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents
+            ), a AS (
+                SELECT doc_id,
+                       regexp_split_to_array(html,
+                           '(?s)<h[1-6][^>]*>.*?</h[1-6]>') AS seg,
+                       regexp_extract_all(html,
+                           '(?s)<h[1-6][^>]*>.*?</h[1-6]>', 0) AS hs
+                FROM h
+            ), e AS (
+                SELECT doc_id, CAST(i - 1 AS BIGINT) AS section_idx,
+                       seg[i] AS seg,
+                       CASE WHEN i = 1 THEN NULL ELSE hs[i - 1] END AS helem
+                FROM a, unnest(generate_series(1, len(seg))) AS u(i)
+            ), c AS (
+                SELECT doc_id, section_idx,
+                       CAST(CASE WHEN helem IS NULL THEN 0
+                            ELSE CAST(regexp_extract(helem, '<h([1-6])', 1)
+                                      AS BIGINT) END AS BIGINT) AS level,
+                       CASE WHEN helem IS NULL THEN NULL
+                            ELSE trim(regexp_replace(regexp_replace(
+                                regexp_extract(helem,
+                                    '(?s)<h[1-6][^>]*>(.*?)</h[1-6]>', 1),
+                                '<[^>]*>', '', 'g'),
+                                '[ \t\n\r]+', ' ', 'g')) END AS heading,
+                       trim(regexp_replace(regexp_replace(seg,
+                           '<[^>]*>', '', 'g'),
+                           '[ \t\n\r]+', ' ', 'g')) AS text
+                FROM e
+            )
+            SELECT doc_id, section_idx, level, heading, text,
+                   CAST(CASE WHEN text = '' THEN 0
+                        ELSE len(string_split(text, ' ')) END AS BIGINT)
+                       AS n_words
+            FROM c
         """,
         # construction-truth twin of q_feed_items: expected typed rows
         # straight from the doc_id arithmetic — the regex + RFC-822/ISO

@@ -127,3 +127,61 @@ def extract_headings(
         text.alias("heading"),
         F.length(text).cast("long").alias("n_chars"),
     )
+
+
+def extract_sections(
+    pages: DataFrame, html_col: str = "html", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Pages -> one row per heading-delimited section: (id..., section_idx,
+    level, heading, text, n_words) — the structure-aware chunking unit
+    (split along the document's own outline instead of a fixed token
+    window, so a chunk never straddles a topic boundary).
+
+    Section 0 is the preamble before the first heading (level 0, NULL
+    heading); section i >= 1 is governed by heading i-1 in document
+    order. Empty sections (back-to-back headings, tag-only preambles)
+    are kept — the outline is structure, and downstream chunkers decide
+    what to skip. Construction: ONE projection — split the html by the
+    heading regex (n+1 body segments), zip with the NULL-prefixed
+    heading-element array, posexplode the pairs; level/heading/text are
+    re-extracted per row. Zero Python, zero shuffle, streaming-safe; the
+    1:N cost is output width, like the table extractor above.
+    """
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    segs = F.split(html, HEADING_RE)
+    heads = F.regexp_extract_all(html, F.lit(HEADING_RE), F.lit(0))
+    pairs = F.arrays_zip(
+        segs.alias("seg"),
+        F.concat(F.array(F.lit(None).cast("string")), heads).alias("helem"),
+    )
+    ids = [F.col(c) for c in id_cols]
+    rows = pages.select(*ids, F.posexplode(pairs).alias("section_idx", "p"))
+    helem = F.col("p.helem")
+    text = _clean_cell(F.col("p.seg"))
+    heading = F.when(
+        helem.isNotNull(),
+        _clean_cell(
+            F.regexp_extract(helem, r"(?s)<h[1-6][^>]*>(.*?)</h[1-6]>", 1)
+        ),
+    )
+    level = (
+        F.when(
+            helem.isNotNull(),
+            F.regexp_extract(helem, r"<h([1-6])", 1).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    n_words = (
+        F.when(text == "", F.lit(0))
+        .otherwise(F.size(F.split(text, " ")))
+        .cast("long")
+    )
+    return rows.select(
+        *ids,
+        F.col("section_idx").cast("long").alias("section_idx"),
+        level.alias("level"),
+        heading.alias("heading"),
+        text.alias("text"),
+        n_words.alias("n_words"),
+    )

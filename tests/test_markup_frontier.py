@@ -6,7 +6,11 @@ defaulting, and the budget cap."""
 
 from pyspark.sql import functions as F
 
-from ocr_spark.functions.markup import extract_headings, extract_tables
+from ocr_spark.functions.markup import (
+    extract_headings,
+    extract_sections,
+    extract_tables,
+)
 from ocr_spark.operators.frontier import fetch_schedule
 from ocr_spark.sources.feed import feed_fetch_plan, parse_feed_items
 
@@ -76,6 +80,55 @@ def test_extract_headings_outline_order_levels_empty(spark):
         (2, 2, "After", 5),
         (3, 6, "", 0),
     ]
+
+
+def test_extract_sections_preamble_bodies_and_empties(spark):
+    """Section 0 = preamble (level 0, NULL heading; tag-only -> empty
+    text). Back-to-back headings yield an EMPTY kept section; the last
+    heading owns the tail; inner tags strip from both heading and body."""
+    html = (
+        "<div>pre amble</div><h1> Top </h1><p>alpha <b>beta</b></p>"
+        "<h3>Deep</h3><h2>After</h2>end bit"
+    )
+    df = extract_sections(
+        spark.createDataFrame([(7, html)], "doc_id long, html string")
+    )
+    got = [
+        (r["section_idx"], r["level"], r["heading"], r["text"], r["n_words"])
+        for r in df.orderBy("section_idx").collect()
+    ]
+    assert got == [
+        (0, 0, None, "pre amble", 2),
+        (1, 1, "Top", "alpha beta", 2),
+        (2, 3, "Deep", "", 0),
+        (3, 2, "After", "end bit", 2),
+    ]
+
+
+def test_extract_sections_no_headings_and_null_html(spark):
+    """A heading-less page is one whole-document section 0; NULL html is
+    a single empty section — one row per input either way (the chunking
+    consumer sees every document)."""
+    df = extract_sections(
+        spark.createDataFrame(
+            [(1, "<p>just prose</p>"), (2, None)], "doc_id long, html string"
+        )
+    )
+    got = {r["doc_id"]: r for r in df.collect()}
+    assert len(got) == 2
+    assert (got[1]["level"], got[1]["heading"], got[1]["text"]) == (
+        0, None, "just prose",
+    )
+    assert (got[2]["text"], got[2]["n_words"]) == ("", 0)
+
+
+def test_extract_sections_no_shuffle_no_python(spark):
+    df = extract_sections(
+        spark.createDataFrame([(1, "<h1>t</h1>x")], "doc_id long, html string")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
 
 
 # ----------------------------------------------------------------- feeds
