@@ -187,6 +187,69 @@ def test_stateful_host_totals_accumulate_across_restarts(spark, tmp_path):
     assert (latest.batches >= 2).any()
 
 
+def test_streaming_heavy_hitters_bounded_state_and_guarantee(spark, tmp_path):
+    """Streaming Misra-Gries: per-group state stays <= m counters no
+    matter how many distinct tokens flow by; a token above the n_total/
+    (m+1) threshold is guaranteed present in the latest summary with a
+    lower-bound count; running n_total is exact; restart from the same
+    checkpoint ACCUMULATES (second wave continues, not recounts)."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.streaming.stateful import streaming_heavy_hitters
+
+    m = 8
+    indir, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+
+    def wave(start, n):
+        # per row: 'hot' x3 + 'warm' x1 + 3 row-unique churn tokens
+        return spark.range(start, start + n).select(
+            F.lit("en").alias("grp"),
+            F.array(
+                F.lit("hot"), F.lit("hot"), F.lit("hot"), F.lit("warm"),
+                F.concat(F.lit("u"), F.col("id").cast("string")),
+                F.concat(F.lit("v"), F.col("id").cast("string")),
+                F.concat(F.lit("w"), F.col("id").cast("string")),
+            ).alias("toks"),
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema("grp string, toks array<string>")
+            .parquet(indir)
+        )
+        q = (
+            streaming_heavy_hitters(stream, m=m)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out).toPandas()
+
+    wave(0, 50).coalesce(1).write.mode("overwrite").parquet(indir)
+    log1 = run()
+    latest1 = log1[log1.batch_ord == log1.batch_ord.max()]
+    assert len(latest1) <= m                       # bounded summary
+    assert latest1.n_total.iloc[0] == 50 * 7       # exact running total
+    hot1 = latest1[latest1.token == "hot"]
+    assert len(hot1) == 1                          # guarantee: hot retained
+    assert 0 < hot1.count_lb.iloc[0] <= 150        # lower bound
+
+    # second wave, same checkpoint: state continues across restart
+    wave(50, 50).coalesce(1).write.mode("append").parquet(indir)
+    log = run()
+    latest = log[log.batch_ord == log.batch_ord.max()]
+    assert latest.n_total.iloc[0] == 100 * 7
+    assert latest.batch_ord.iloc[0] > latest1.batch_ord.iloc[0]
+    hot = latest[latest.token == "hot"]
+    assert len(hot) == 1 and hot.count_lb.iloc[0] <= 300
+    # churn actually happened: far more distinct tokens than counters
+    assert log.token.nunique() > m
+
+
 def test_frame_sample_fanout_deterministic(spark):
     from ocr_spark.operators.multimodal import frame_sample
 
