@@ -156,6 +156,66 @@ class TestMultimodal:
         pd.testing.assert_frame_equal(a, b)
 
 
+def _exif_jpeg(byte_order: str, orientation: int | None = 6,
+               with_strings: bool = True) -> bytes:
+    """Assemble a minimal JPEG whose APP1 carries a valid Exif TIFF IFD0
+    (public layout, ISO 12234-2 / TIFF 6.0): II or MM byte order,
+    Orientation as inline SHORT, DateTime/Make as offset/inline ASCII."""
+    import struct
+
+    le = byte_order == "II"
+    e = "<" if le else ">"
+    entries = []
+    if orientation is not None:
+        entries.append(struct.pack(e + "HHI", 0x0112, 3, 1)
+                       + struct.pack(e + "H", orientation) + b"\x00\x00")
+    if with_strings:
+        dt = b"2024:05:01 10:00:00\x00"          # 20 bytes, via offset
+        # layout: [2B count][n*12B entries][4B next-IFD][data area]
+        n_entries = len(entries) + 2
+        data_start = 8 + 2 + n_entries * 12 + 4
+        entries.append(struct.pack(e + "HHII", 0x0132, 2, len(dt), data_start))
+        entries.append(struct.pack(e + "HHI", 0x010F, 2, 4) + b"Acm\x00")
+        tail = dt
+    else:
+        n_entries = len(entries)
+        tail = b""
+    tiff = (byte_order.encode() + struct.pack(e + "H", 42)
+            + struct.pack(e + "I", 8)
+            + struct.pack(e + "H", n_entries)
+            + b"".join(entries) + b"\x00\x00\x00\x00" + tail)
+    payload = b"Exif\x00\x00" + tiff
+    return (b"\xff\xd8\xff\xe1" + (len(payload) + 2).to_bytes(2, "big")
+            + payload + b"\xff\xd9")
+
+
+def test_parse_exif_both_byte_orders_and_absence(spark):
+    from ocr_spark.operators.multimodal import exif_meta, parse_exif
+
+    ii = _exif_jpeg("II")
+    mm = _exif_jpeg("MM", orientation=8, with_strings=False)
+    got = parse_exif(ii)
+    assert got == {"orientation": 6, "captured_at": "2024:05:01 10:00:00",
+                   "make": "Acm"}
+    assert parse_exif(mm) == {"orientation": 8, "captured_at": None,
+                              "make": None}
+    assert parse_exif(b"\x89PNG\r\n\x1a\nrest") is None
+    assert parse_exif(ii[:10]) is None  # truncated: never throws
+
+    rows = [("ii", ii), ("mm", mm),
+            ("plain", b"\xff\xd8\xff\xdb\x00\x04aa\xff\xd9"),
+            ("none", None)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = exif_meta(df).toPandas().set_index("id")
+    assert len(out) == 4                       # never-drop
+    assert bool(out.loc["ii", "has_exif"]) and out.loc["ii", "orientation"] == 6
+    assert out.loc["mm", "orientation"] == 8
+    assert not bool(out.loc["plain", "has_exif"])
+    assert out.loc["plain", "orientation"] is None or pd.isna(
+        out.loc["plain", "orientation"])
+    assert not bool(out.loc["none", "has_exif"])
+
+
 def test_stateful_host_totals_accumulate_across_restarts(spark, tmp_path):
     """applyInPandasWithState: running per-host totals persist in the
     checkpoint — a second run over NEW files continues from committed
