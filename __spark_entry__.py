@@ -1820,6 +1820,35 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fertility_by_lang(_t(spark, sf_dir, "documents"), word_map)
 
 
+def q_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus LM scoring — the CCNet deployment shape (LM fit on a
+    trusted reference, crawl scored against it): the bigram model is fit
+    on the EVEN docs only and applied to the ODD docs, with doc_id % 10
+    == 1 targets carrying a planted never-seen LEADING token (prepended,
+    so it occurs as a bigram's w1 — appended it would only ever be a w2
+    and oov_words would be vacuously zero) so the OOV floor path (LEFT
+    joins, counts coalesced to 0) is genuinely exercised — those docs
+    must report oov_words > 0 and take the floor on the planted
+    transition (a 1-token nudge on a ~55-bigram average, so it shifts
+    the doc's own score, not the population ranking), never error or
+    drop. Exact DuckDB twin."""
+    from ocr_spark.operators.quality import bigram_lm_apply, fit_bigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where("doc_id % 2 = 0")
+    tgt = d.where("doc_id % 2 = 1").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 1,
+            F.concat(
+                F.lit("novelword"), F.col("doc_id").cast("string"),
+                F.lit(" "), F.col("text"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return bigram_lm_apply(tgt, fit_bigram_lm(ref))
+
+
 # Misra-Gries counter budget for q_heavy_hitters — part of the answer's
 # identity (threshold = n_total/(HH_M+1)), shared with the oracle
 HH_M = 32
@@ -2697,8 +2726,11 @@ _EXTRA_KEYS = frozenset(
     #   mix_temperature/token-mass family; exact twin in pytest);
     # html_sections: heading-delimited section chunks (witnesses:
     #   extract_spans for the 1:N offset contract, page_meta +
-    #   markdown_render for the markup-regex machinery)
-    "heavy_hitters token_fertility html_sections".split()
+    #   markdown_render for the markup-regex machinery);
+    # lm_crossentropy: the fit/apply split of the in-window lm_score
+    #   (same smoothed transition arithmetic; the left-join OOV floor is
+    #   the only new surface, oracle-checked in pytest)
+    "heavy_hitters token_fertility html_sections lm_crossentropy".split()
 )
 
 _QUERIES = {
@@ -2805,6 +2837,7 @@ _QUERIES = {
         "bpe_tokens": q_bpe_tokens,
         "token_fertility": q_token_fertility,
         "heavy_hitters": q_heavy_hitters,
+        "lm_crossentropy": q_lm_crossentropy,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -4508,6 +4541,59 @@ def _lm_score_oracle() -> str:
     """
 
 
+def _lm_crossentropy_oracle() -> str:
+    """DuckDB twin of q_lm_crossentropy: counts fit on the EVEN docs,
+    ODD docs scored via LEFT joins with the smoothing floor for unseen
+    words/bigrams, same planted-OOV construction and 4-dp average."""
+    from ocr_spark.operators.quality import LM_ALPHA
+
+    return f"""
+        WITH ref_base AS (
+            SELECT [t for t in string_split({_CANON}, ' ') if t <> ''] AS toks
+            FROM documents WHERE doc_id % 2 = 0
+        ), ref_bg AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM ref_base WHERE len(toks) >= 2)
+        ), lm_uni AS (
+            SELECT w1, count(*) AS c1
+            FROM (SELECT unnest(toks) AS w1 FROM ref_base) GROUP BY w1
+        ), lm_v AS (
+            SELECT count(*) AS v FROM lm_uni
+        ), lm_bc AS (
+            SELECT w1, w2, count(*) AS c2 FROM ref_bg GROUP BY w1, w2
+        ), tgt0 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 1
+                        THEN 'novelword' || doc_id || ' ' || text
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 2 = 1
+        ), tgt_base AS (
+            SELECT doc_id AS id,
+                   [t for t in string_split({_CANON}, ' ') if t <> ''] AS toks
+            FROM tgt0
+        ), tgt_bg AS (
+            SELECT id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM (SELECT id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                  FROM tgt_base WHERE len(toks) >= 2)
+        ), lm_sc AS (
+            SELECT id, count(*) AS n_bigrams,
+                   sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS oov_words,
+                   round(avg(ln((coalesce(c2, 0) + {LM_ALPHA})
+                                / (coalesce(c1, 0) + {LM_ALPHA} * v))), 4)
+                       AS lm_logprob
+            FROM tgt_bg LEFT JOIN lm_bc USING (w1, w2)
+                 LEFT JOIN lm_uni USING (w1) CROSS JOIN lm_v
+            GROUP BY id
+        )
+        SELECT b.id AS doc_id,
+               CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(oov_words, 0) AS BIGINT) AS oov_words,
+               lm_logprob
+        FROM tgt_base b LEFT JOIN lm_sc ON b.id = lm_sc.id
+    """
+
+
 def _quality_classifier_oracle() -> str:
     """DuckDB twin of q_quality_classifier: same tokens, same unigram ++
     adjacent-bigram feature stream, same md5 bucket + synthetic weight,
@@ -6064,6 +6150,7 @@ def _oracle_sql_all() -> dict[str, str]:
             FROM d
         """,
         "lm_score": _lm_score_oracle(),
+        "lm_crossentropy": _lm_crossentropy_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "warc_roundtrip": """

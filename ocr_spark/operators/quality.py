@@ -386,21 +386,7 @@ def bigram_lm_scores(
     V reaches the join as a broadcast 1-row aggregate — no driver
     collect anywhere."""
     toks = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
-    bigrams = toks.select(
-        "id",
-        F.explode(
-            F.when(
-                F.size("toks") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 2),
-                    lambda i: F.struct(
-                        F.col("toks")[i].alias("w1"),
-                        F.col("toks")[i + 1].alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("bg"),
-    ).select("id", "bg.w1", "bg.w2")
+    bigrams = _explode_bigrams(toks)
 
     unigrams = (
         toks.select(F.explode("toks").alias("w1"))
@@ -433,6 +419,106 @@ def bigram_lm_scores(
         .select(
             F.col("id").alias(id_col),
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_logprob",
+        )
+    )
+
+
+def _explode_bigrams(toks: DataFrame) -> DataFrame:
+    """(id, toks array) -> one (id, w1, w2) row per adjacent token pair."""
+    return toks.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.struct(
+                        F.col("toks")[i].alias("w1"),
+                        F.col("toks")[i + 1].alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2")
+
+
+def fit_bigram_lm(
+    ref: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fit the bigram LM on a REFERENCE corpus: (unigram counts, bigram
+    counts, 1-row vocab size). This is the CCNet deployment shape —
+    train the LM on a trusted corpus (their Wikipedia KenLM), then score
+    the crawl against it — where ``bigram_lm_scores`` is the self-
+    trained variant. The returned frames are vocabulary-sized model
+    TABLES: persist them once (iceberg-lite/parquet) and every future
+    ingest batch scores by joining the stored counts — the fit never
+    re-runs per batch (the same persisted-model contract as the DSIR
+    fit/apply split)."""
+    toks = ref.select(F.lit(0).alias("id"), _tokens(text_col).alias("toks"))
+    unigrams = (
+        toks.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bigram_counts = (
+        _explode_bigrams(toks)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
+    return unigrams, bigram_counts, vocab
+
+
+def bigram_lm_apply(
+    df: DataFrame,
+    model: tuple[DataFrame, DataFrame, DataFrame],
+    alpha: float = LM_ALPHA,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a TARGET corpus against a fitted bigram LM — the cross-
+    corpus cousin of ``bigram_lm_scores``: same smoothed transition
+    log-likelihood, but counts come from the model tables and UNSEEN
+    words/bigrams take the smoothing floor (LEFT joins, counts
+    coalesced to 0) instead of being guaranteed present. Out-of-
+    distribution documents — exactly what the reference-vs-crawl split
+    exists to find — score low instead of erroring. Returns (id,
+    n_bigrams, oov_words, lm_logprob); < 2-token docs keep n_bigrams=0 /
+    NULL score (never dropped).
+
+    Scale shape: both count joins are vocabulary-sized (broadcast-
+    eligible); the corpus side streams through them without a shuffle of
+    its own beyond the per-doc aggregation."""
+    unigrams, bigram_counts, vocab = model
+    toks = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("toks"))
+    scored = (
+        _explode_bigrams(toks)
+        .join(bigram_counts, ["w1", "w2"], "left")
+        .join(unigrams, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.col("c1").isNull().cast("long").alias("oov"),
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+            ).alias("lp"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("oov").alias("oov_words"),
+            F.round(F.avg("lp"), 4).alias("lm_logprob"),
+        )
+    )
+    return (
+        toks.select("id")
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("oov_words", F.lit(0)).alias("oov_words"),
             "lm_logprob",
         )
     )

@@ -68,6 +68,36 @@ def test_bigram_lm_exact_value(spark):
     assert out[0]["n_bigrams"] == 2
 
 
+def test_bigram_lm_fit_apply_cross_corpus_oov(spark):
+    """Fit on a reference corpus, score a target: in-vocabulary targets
+    reproduce the self-trained arithmetic; never-seen words take the
+    smoothing floor (counts 0) — lower score, oov_words counted, never an
+    error or a dropped row; < 2-token docs keep NULL score."""
+    from ocr_spark.operators.quality import bigram_lm_apply, fit_bigram_lm
+
+    ref = spark.createDataFrame(
+        [(0, "x x y"), (1, "x")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame(
+        [(10, "x x y"), (11, "x zz y"), (12, "solo"), (13, None)],
+        "doc_id long, text string",
+    )
+    out = _rows(bigram_lm_apply(tgt, fit_bigram_lm(ref)))
+    a, v = 0.4, 2
+    lp_seen = math.log((1 + a) / (3 + a * v))
+    assert out[10]["lm_logprob"] == pytest.approx(round(lp_seen, 4), abs=1e-4)
+    assert out[10]["oov_words"] == 0
+    # doc 11: bigrams (x,zz) unseen w/ seen w1, (zz,y) unseen w1 -> floor
+    lp_x_zz = math.log((0 + a) / (3 + a * v))
+    lp_zz_y = math.log((0 + a) / (0 + a * v))
+    want = round((lp_x_zz + lp_zz_y) / 2, 4)
+    assert out[11]["lm_logprob"] == pytest.approx(want, abs=1e-4)
+    assert out[11]["oov_words"] == 1
+    assert out[11]["lm_logprob"] < out[10]["lm_logprob"]
+    assert out[12]["n_bigrams"] == 0 and out[12]["lm_logprob"] is None
+    assert out[13]["n_bigrams"] == 0 and out[13]["lm_logprob"] is None
+
+
 def test_quality_filter_partitioning_invariance(spark):
     rows = [(i, f"doc {i} " + " ".join(f"w{j}" for j in range(i % 30))) for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
