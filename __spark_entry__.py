@@ -1849,6 +1849,18 @@ def q_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_apply(tgt, fit_bigram_lm(ref))
 
 
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss signed random projection of the embeddings
+    table (64 -> 8 dims, seeded ±1 matrix, 1/sqrt(k) scaling) in LONG
+    (vec_id, j, p) format — the scan-shrinking front end for the whole
+    similarity family. The DuckDB twin inlines the same matrix and
+    unrolls each coordinate as a left-associated sum (the
+    embedding_neardup float discipline)."""
+    from ocr_spark.operators.similarity import random_projection
+
+    return random_projection(_t(spark, sf_dir, "embeddings"))
+
+
 # Misra-Gries counter budget for q_heavy_hitters — part of the answer's
 # identity (threshold = n_total/(HH_M+1)), shared with the oracle
 HH_M = 32
@@ -2729,8 +2741,12 @@ _EXTRA_KEYS = frozenset(
     #   markdown_render for the markup-regex machinery);
     # lm_crossentropy: the fit/apply split of the in-window lm_score
     #   (same smoothed transition arithmetic; the left-join OOV floor is
-    #   the only new surface, oracle-checked in pytest)
-    "heavy_hitters token_fertility html_sections lm_crossentropy".split()
+    #   the only new surface, oracle-checked in pytest);
+    # rp_project: JL signed random projection (witnesses: embedding_
+    #   neardup + sq_topk share the fold/round float discipline and the
+    #   literal-matrix mechanism)
+    "heavy_hitters token_fertility html_sections lm_crossentropy "
+    "rp_project".split()
 )
 
 _QUERIES = {
@@ -2838,6 +2854,7 @@ _QUERIES = {
         "token_fertility": q_token_fertility,
         "heavy_hitters": q_heavy_hitters,
         "lm_crossentropy": q_lm_crossentropy,
+        "rp_project": q_rp_project,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -4541,6 +4558,38 @@ def _lm_score_oracle() -> str:
     """
 
 
+def _rp_project_oracle() -> str:
+    """DuckDB twin of q_rp_project: the same seeded ±1 matrix inlined as
+    literals, each projected coordinate an UNROLLED left-associated sum
+    over the double-cast embedding, divided by the identical sqrt(k)
+    double literal and rounded to 4 dp; zipped unnests produce the same
+    (vec_id, j, p) long format."""
+    import math
+
+    from ocr_spark.operators.similarity import RP_K, rp_matrix
+
+    signs = rp_matrix()
+    scale = repr(math.sqrt(float(RP_K)))
+
+    def coord(row: list[float]) -> str:
+        s = " + ".join(
+            f"e[{i + 1}]*{row[i]!r}" for i in range(len(row))
+        )
+        return f"round(({s}) / {scale}, 4)"
+
+    p_list = ", ".join(coord(row) for row in signs)
+    j_list = ", ".join(str(j) for j in range(len(signs)))
+    return f"""
+        WITH base AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(unnest([{j_list}]) AS BIGINT) AS j,
+               unnest([{p_list}]) AS p
+        FROM base
+    """
+
+
 def _lm_crossentropy_oracle() -> str:
     """DuckDB twin of q_lm_crossentropy: counts fit on the EVEN docs,
     ODD docs scored via LEFT joins with the smoothing floor for unseen
@@ -6151,6 +6200,7 @@ def _oracle_sql_all() -> dict[str, str]:
         """,
         "lm_score": _lm_score_oracle(),
         "lm_crossentropy": _lm_crossentropy_oracle(),
+        "rp_project": _rp_project_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "warc_roundtrip": """

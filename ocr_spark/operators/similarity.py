@@ -484,3 +484,58 @@ def sq_topk(df: DataFrame, query_vec: list[float], k: int = 10, dim: int = 64,
         .select(id_col, "score_sq", "cosine_exact")
         .orderBy(F.desc("score_sq"), F.asc(id_col))
     )
+
+
+RP_K = 8            # projected dimensionality for the shipped query
+RP_SEED = 1337      # seed for the shared ±1 projection matrix
+
+
+def rp_matrix(k: int = RP_K, dim: int = 64,
+              seed: int = RP_SEED) -> list[list[float]]:
+    """The seeded ±1 signed-projection matrix (Achlioptas' database-
+    friendly Johnson-Lindenstrauss construction) as plain Python floats —
+    shared by the Spark expression and the SQL oracle (inlined as
+    literals), so both engines project identically."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        [1.0 if x >= 0 else -1.0 for x in row]
+        for row in rng.standard_normal((k, dim))
+    ]
+
+
+def random_projection(df: DataFrame, k: int = RP_K, dim: int = 64,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      seed: int = RP_SEED) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding to ``k`` dims via the seeded ±1 matrix, scaled by
+    1/sqrt(k) so pairwise distances are preserved in expectation — the
+    scale path BEFORE the similarity family (project 64 -> 8 once, then
+    LSH/IVF/brute-force all read 8-double rows: an 8x smaller scan and
+    shuffle for every downstream candidate join, with the JL guarantee
+    bounding the distance distortion).
+
+    Returns LONG format (id, j, p): one row per projected coordinate,
+    4-dp rounded — array-free so the driver's value-hash and the DuckDB
+    twin compare scalars. Shape: the matrix rides the plan as literals
+    (no broadcast, no Python); one codegen projection + posexplode, zero
+    shuffle, streaming-safe. Each coordinate is a left-associated
+    zip_with/aggregate fold, matching the oracle's unrolled sum term for
+    term (the embedding_neardup float discipline)."""
+    import math
+
+    signs = rp_matrix(k, dim, seed)
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.lit(math.sqrt(float(k)))
+    projs = F.array(
+        *[
+            F.round(
+                _dot(emb, F.array(*[F.lit(s) for s in row])) / scale, 4
+            )
+            for row in signs
+        ]
+    )
+    return df.select(F.col(id_col), F.posexplode(projs).alias("j", "p")).select(
+        id_col, F.col("j").cast("long").alias("j"), "p"
+    )

@@ -3,6 +3,8 @@ weights, prefix-bucketed interval join — unit contracts + plan pins."""
 
 import math
 
+import pandas as pd
+
 import pyspark.sql.functions as F
 
 from ocr_spark.operators.iprange import (
@@ -172,3 +174,52 @@ def test_region_traffic_rollup(spark):
     assert (pdf.n_users <= 7).all()
     assert set(pdf.region) <= {"amer", "emea", "apac", "latam", "anz", "mea",
                                "unrouted"}
+
+
+# --- signed random projection -------------------------------------------------
+
+
+def test_random_projection_jl_distance_preservation(spark):
+    """The JL contract, measured: projected pairwise Euclidean distances
+    are UNBIASED (mean ratio ~1 over all pairs) and individually bounded
+    — deterministic for the fixed seed matrix. Also pins the long-format
+    shape: k rows per vector, 4-dp coordinates."""
+    from itertools import combinations
+
+    import numpy as np
+
+    from ocr_spark.operators.similarity import random_projection
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(30)
+    pdf = df.toPandas()
+    orig = np.array([np.array(e, dtype=float) for e in pdf.embedding])
+    k = 16
+    long = random_projection(df, k=k).toPandas()
+    assert len(long) == len(pdf) * k
+    proj = np.zeros((len(pdf), k))
+    idx = {v: i for i, v in enumerate(pdf.vec_id)}
+    for r in long.itertuples():
+        proj[idx[r.vec_id], r.j] = r.p
+    ratios = []
+    for a, b in combinations(range(len(pdf)), 2):
+        do = np.linalg.norm(orig[a] - orig[b])
+        dp = np.linalg.norm(proj[a] - proj[b])
+        ratios.append(dp / do)
+    ratios = np.array(ratios)
+    assert 0.85 < ratios.mean() < 1.15      # unbiased in aggregate
+    assert ratios.min() > 0.4 and ratios.max() < 2.0
+    # rerun is bit-identical (seeded matrix, no RNG at eval time)
+    again = random_projection(df, k=k).toPandas()
+    pd.testing.assert_frame_equal(
+        long.sort_values(["vec_id", "j"]).reset_index(drop=True),
+        again.sort_values(["vec_id", "j"]).reset_index(drop=True),
+    )
+
+
+def test_random_projection_plan_no_python_no_shuffle(spark):
+    from ocr_spark.operators.similarity import random_projection
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plan = _plan(random_projection(df))
+    assert "Python" not in plan
+    assert "Exchange" not in plan
