@@ -1849,6 +1849,40 @@ def q_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_apply(tgt, fit_bigram_lm(ref))
 
 
+def q_page_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-shape page-type classification (the crawl-budget pruning
+    heuristic): 10 planted URL shapes cover every class — home, date
+    article, tag listing, tag+pagination (PRECEDENCE: pagination wins),
+    search query, calendar archive, feed, media asset, plain 'other',
+    and a hyphen-slug article. The DuckDB twin is construction truth
+    (expected label straight from doc_id arithmetic), so the regex
+    cascade is tested against ground truth, not a second regex."""
+    from ocr_spark.functions.urls import url_page_type
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    m = did % 10
+    tail = (
+        F.when(m == 0, F.lit("/"))
+        .when(m == 1, F.lit("/2021/07/14/my-first-post"))
+        .when(m == 2, F.lit("/tag/spark/"))
+        .when(m == 3, F.lit("/tag/spark/page/3/"))
+        .when(m == 4, F.lit("/?q=term"))
+        .when(m == 5, F.lit("/2021/07/"))
+        .when(m == 6, F.lit("/blog/feed/"))
+        .when(m == 7, F.lit("/images/photo.jpg"))
+        .when(m == 8, F.lit("/about"))
+        .otherwise(F.lit("/posts/how-to-tune-jobs"))
+    )
+    url = F.concat(
+        F.lit("https://h"), (did % 23).cast("string"),
+        F.lit(".example.org"), tail,
+    )
+    return d.select(
+        "doc_id", url.alias("url"), url_page_type(url).alias("page_type")
+    )
+
+
 def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss signed random projection of the embeddings
     table (64 -> 8 dims, seeded ±1 matrix, 1/sqrt(k) scaling) in LONG
@@ -2745,8 +2779,10 @@ _EXTRA_KEYS = frozenset(
     # rp_project: JL signed random projection (witnesses: embedding_
     #   neardup + sq_topk share the fold/round float discipline and the
     #   literal-matrix mechanism)
+    # page_types: URL-shape cascade (witnesses: host_stats / robots_filter
+    #   exercise the same url parse expressions in-window)
     "heavy_hitters token_fertility html_sections lm_crossentropy "
-    "rp_project".split()
+    "rp_project page_types".split()
 )
 
 _QUERIES = {
@@ -2855,6 +2891,7 @@ _QUERIES = {
         "heavy_hitters": q_heavy_hitters,
         "lm_crossentropy": q_lm_crossentropy,
         "rp_project": q_rp_project,
+        "page_types": q_page_types,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -4558,6 +4595,38 @@ def _lm_score_oracle() -> str:
     """
 
 
+def _page_types_oracle() -> str:
+    """Construction-truth twin of q_page_types: the same planted URL
+    strings and the EXPECTED class straight from doc_id arithmetic."""
+    return """
+        SELECT doc_id,
+               'https://h' || (doc_id % 23) || '.example.org' ||
+               CASE doc_id % 10
+                    WHEN 0 THEN '/'
+                    WHEN 1 THEN '/2021/07/14/my-first-post'
+                    WHEN 2 THEN '/tag/spark/'
+                    WHEN 3 THEN '/tag/spark/page/3/'
+                    WHEN 4 THEN '/?q=term'
+                    WHEN 5 THEN '/2021/07/'
+                    WHEN 6 THEN '/blog/feed/'
+                    WHEN 7 THEN '/images/photo.jpg'
+                    WHEN 8 THEN '/about'
+                    ELSE '/posts/how-to-tune-jobs' END AS url,
+               CASE doc_id % 10
+                    WHEN 0 THEN 'home'
+                    WHEN 1 THEN 'article'
+                    WHEN 2 THEN 'tag_listing'
+                    WHEN 3 THEN 'pagination'
+                    WHEN 4 THEN 'search'
+                    WHEN 5 THEN 'calendar'
+                    WHEN 6 THEN 'feed'
+                    WHEN 7 THEN 'media'
+                    WHEN 8 THEN 'other'
+                    ELSE 'article' END AS page_type
+        FROM documents
+    """
+
+
 def _rp_project_oracle() -> str:
     """DuckDB twin of q_rp_project: the same seeded ±1 matrix inlined as
     literals, each projected coordinate an UNROLLED left-associated sum
@@ -6201,6 +6270,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "lm_score": _lm_score_oracle(),
         "lm_crossentropy": _lm_crossentropy_oracle(),
         "rp_project": _rp_project_oracle(),
+        "page_types": _page_types_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "warc_roundtrip": """

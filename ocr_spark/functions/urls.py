@@ -136,3 +136,52 @@ SQL_URL_CANON = (
     + SQL_URL_QUERY_CANON
     + " END"
 )
+
+
+# Precedence order for url_page_type — first match wins; documented as a
+# policy (a /tag/x/page/3 listing IS pagination: it's the paginated tail
+# a crawler prunes first).
+PAGE_TYPES = ("search", "pagination", "tag_listing", "calendar", "feed",
+              "media", "article", "home", "other")
+
+
+def url_page_type(c) -> Column:
+    """Crawl-curation page-type classification from URL shape alone — the
+    standard frontier-pruning heuristic (search results, paginated
+    listings, tag/category indexes, calendar archives, feeds, and media
+    assets are crawl-budget sinks and near-empty extraction targets;
+    date-slugged or hyphen-slugged paths are the article pages a corpus
+    wants). Deterministic first-match cascade over RE2-safe expressions
+    on the parsed path/query; every class name in ``PAGE_TYPES``.
+
+    This is a POLICY stack, disclosed as such: real deployments tune the
+    lists (search param names, media extensions) per crawl; the cascade
+    mechanism and its SQL-twin checkability are the contract."""
+    path = url_path(c)
+    q = url_query(c)
+    last_seg = F.regexp_extract(path, r"([^/]+)/?$", 1)
+    return (
+        F.when(q.rlike(r"(^|&)(q|s|query|search)="), F.lit("search"))
+        .when(
+            path.rlike(r"/page/[0-9]+/?$")
+            | q.rlike(r"(^|&)(page|p)=[0-9]+"),
+            F.lit("pagination"),
+        )
+        .when(
+            path.rlike(r"/(tag|tags|category|categories|label)(/|$)"),
+            F.lit("tag_listing"),
+        )
+        .when(path.rlike(r"^/[0-9]{4}/[0-9]{2}/?$"), F.lit("calendar"))
+        .when(path.rlike(r"(/feed/?|\.rss|\.atom)$"), F.lit("feed"))
+        .when(
+            path.rlike(r"\.(jpg|jpeg|png|gif|webp|pdf|zip|mp3|mp4)$"),
+            F.lit("media"),
+        )
+        .when(
+            path.rlike(r"/[0-9]{4}/[0-9]{2}/[0-9]{2}/[^/]+")
+            | last_seg.rlike(r"^[a-z0-9]+(-[a-z0-9]+){2,}(\.html)?$"),
+            F.lit("article"),
+        )
+        .when(path == "/", F.lit("home"))
+        .otherwise(F.lit("other"))
+    )

@@ -57,3 +57,40 @@ def test_fragment_question_mark_is_not_a_query(spark):
     got = _parse(spark, "https://example.com/p#frag?x=1")
     assert got["q"] == ""
     assert got["canon"] == "https://example.com/p"
+
+
+def _ptype(spark, url):
+    from ocr_spark.functions.urls import url_page_type
+
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(url_page_type("url").alias("t")).collect()[0]["t"]
+
+
+def test_page_type_each_class(spark):
+    cases = {
+        "https://h.x/": "home",
+        "https://h.x/2021/07/14/my-first-post": "article",
+        "https://h.x/posts/how-to-tune-jobs": "article",
+        "https://h.x/tag/spark/": "tag_listing",
+        "https://h.x/category/news": "tag_listing",
+        "https://h.x/2021/07/": "calendar",
+        "https://h.x/blog/feed/": "feed",
+        "https://h.x/podcast.rss": "feed",
+        "https://h.x/images/photo.jpg": "media",
+        "https://h.x/?q=term": "search",
+        "https://h.x/list?page=4": "pagination",
+        "https://h.x/about": "other",
+    }
+    for url, want in cases.items():
+        assert _ptype(spark, url) == want, url
+
+
+def test_page_type_precedence_and_garbage(spark):
+    # pagination beats tag listing (the paginated tail is pruned first)
+    assert _ptype(spark, "https://h.x/tag/spark/page/3/") == "pagination"
+    # search beats everything
+    assert _ptype(spark, "https://h.x/tag/x/page/2/?q=a") == "search"
+    # one-hyphen slug is NOT an article (nav pages like /contact-us)
+    assert _ptype(spark, "https://h.x/contact-us") == "other"
+    # schemeless garbage classifies (path='/'), never errors
+    assert _ptype(spark, "not a url") in ("home", "other")
