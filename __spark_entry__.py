@@ -1849,6 +1849,27 @@ def q_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_apply(tgt, fit_bigram_lm(ref))
 
 
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-baseline burst flags per (event_type, hour): the events
+    table plus a planted flood (every event_id % 7 == 0 re-emitted into
+    the single hour 2024-01-15 12:00, ~285 extra events per type against
+    a ~3/hour baseline) so is_burst is witnessed both ways — the planted
+    hour must flag for every type, the baseline's natural Poisson
+    wiggles mostly must not. The current hour never contaminates its own
+    baseline (ROWS .. 1 PRECEDING); decisions compare the 4-dp rounded
+    z-score so both engines decide on identical digits. Exact DuckDB
+    twin."""
+    from ocr_spark.operators.analytics import burst_detection
+
+    ev = _t(spark, sf_dir, "events")
+    flood = ev.where("event_id % 7 = 0").select(
+        "event_type",
+        F.lit("2024-01-15 12:30:00").cast("timestamp").alias("ts"),
+    )
+    both = ev.select("event_type", "ts").unionByName(flood)
+    return burst_detection(both)
+
+
 def q_page_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-shape page-type classification (the crawl-budget pruning
     heuristic): 10 planted URL shapes cover every class — home, date
@@ -2780,9 +2801,11 @@ _EXTRA_KEYS = frozenset(
     #   neardup + sq_topk share the fold/round float discipline and the
     #   literal-matrix mechanism)
     # page_types: URL-shape cascade (witnesses: host_stats / robots_filter
-    #   exercise the same url parse expressions in-window)
+    #   exercise the same url parse expressions in-window);
+    # burst_detection: trailing-frame window anomaly flags (witness:
+    #   perplexity_buckets' offset frames + sessionize's window machinery)
     "heavy_hitters token_fertility html_sections lm_crossentropy "
-    "rp_project page_types".split()
+    "rp_project page_types burst_detection".split()
 )
 
 _QUERIES = {
@@ -2892,6 +2915,7 @@ _QUERIES = {
         "lm_crossentropy": q_lm_crossentropy,
         "rp_project": q_rp_project,
         "page_types": q_page_types,
+        "burst_detection": q_burst_detection,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -4595,6 +4619,45 @@ def _lm_score_oracle() -> str:
     """
 
 
+def _burst_detection_oracle() -> str:
+    """DuckDB twin of q_burst_detection: same planted flood, same hour
+    truncation, the identical 24-preceding-to-1-preceding frame, and the
+    is_burst decision on the SAME 4-dp rounded z-score."""
+    return """
+        WITH merged AS (
+            SELECT event_type, ts FROM events
+            UNION ALL
+            SELECT event_type, TIMESTAMP '2024-01-15 12:30:00' AS ts
+            FROM events WHERE event_id % 7 = 0
+        ), hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM merged GROUP BY 1, 2
+        ), scored AS (
+            SELECT event_type, hour, n_events,
+                   avg(n_events) OVER w AS base_avg,
+                   stddev_pop(n_events) OVER w AS base_std
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, hour, n_events,
+               round(base_avg, 4) AS base_avg,
+               round(base_std, 4) AS base_std,
+               CASE WHEN base_avg IS NOT NULL
+                    THEN round((n_events - base_avg)
+                               / greatest(base_std, 1.0), 4)
+               END AS zscore,
+               (coalesce(CASE WHEN base_avg IS NOT NULL
+                              THEN round((n_events - base_avg)
+                                         / greatest(base_std, 1.0), 4)
+                                   > 3.0
+                         END, false)
+                AND n_events >= 5) AS is_burst
+        FROM scored
+    """
+
+
 def _page_types_oracle() -> str:
     """Construction-truth twin of q_page_types: the same planted URL
     strings and the EXPECTED class straight from doc_id arithmetic."""
@@ -6271,6 +6334,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "lm_crossentropy": _lm_crossentropy_oracle(),
         "rp_project": _rp_project_oracle(),
         "page_types": _page_types_oracle(),
+        "burst_detection": _burst_detection_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "warc_roundtrip": """

@@ -173,3 +173,63 @@ def pivot_event_values(events: DataFrame, event_types: list[str]) -> DataFrame:
         .pivot("event_type", event_types)
         .agg(F.round(F.sum("value"), 2))
     )
+
+
+def burst_detection(events: DataFrame, type_col: str = "event_type",
+                    ts_col: str = "ts", trailing: int = 24,
+                    z_thresh: float = 3.0, min_count: int = 5) -> DataFrame:
+    """Trailing-baseline anomaly flags over an event stream — the crawl/
+    ingest monitoring primitive (a host suddenly 10x-ing its error rate,
+    a scraper loop flooding one hour): per (type, hour) counts scored
+    against the mean/stddev of the PRECEDING ``trailing`` hour buckets
+    (ROWS BETWEEN n PRECEDING AND 1 PRECEDING — the current hour never
+    contaminates its own baseline). Returns (type, hour, n_events,
+    base_avg, base_std, zscore, is_burst).
+
+    Decision discipline: is_burst compares the 4-dp ROUNDED z-score
+    (both engines decide on identical digits) and requires ``min_count``
+    events (a 1->2 jump on a quiet type is not a burst). The divisor is
+    ``greatest(base_std, 1.0)`` — the count-data floor: a perfectly flat
+    baseline has zero variance, and without the floor the clearest burst
+    of all (a flood over dead-constant traffic) would divide by zero and
+    never flag. Warm-up rows (empty baseline) get NULL zscore and
+    is_burst=false, never dropped. The frame is row-based over OBSERVED
+    hour buckets —
+    documented: a silent-hour gap compresses the baseline window, which
+    for crawl monitoring (dense hours) is the cheap and correct trade;
+    densifying to wall-clock hours is a generate_series join away.
+
+    Scale: one map-side-combined count shuffle to hour grain (output
+    rows = types x hours, tiny), then a types-partitioned window —
+    never a corpus-sized sort."""
+    hourly = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("hour"))
+        .rowsBetween(-trailing, -1)
+    )
+    base_avg = F.avg("n_events").over(w)
+    base_std = F.stddev_pop("n_events").over(w)
+    z = F.when(
+        base_avg.isNotNull(),
+        F.round(
+            (F.col("n_events") - base_avg)
+            / F.greatest(base_std, F.lit(1.0)),
+            4,
+        ),
+    )
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(base_avg, 4).alias("base_avg"),
+        F.round(base_std, 4).alias("base_std"),
+        z.alias("zscore"),
+        (
+            F.coalesce(z > F.lit(z_thresh), F.lit(False))
+            & (F.col("n_events") >= min_count)
+        ).alias("is_burst"),
+    )

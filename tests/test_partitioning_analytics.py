@@ -192,3 +192,35 @@ def test_pack_sequences_two_pass_matches_global_cumsum(spark):
         expected[(doc_id, chunk_idx)] = acc // 256
         acc += n_tokens
     assert got == expected
+
+
+def test_burst_detection_flags_flood_not_warmup(spark):
+    """A planted 50x flood hour must flag; warm-up rows (empty baseline)
+    and steady hours must not; the flood hour's own count must not
+    contaminate its baseline (frame ends at 1 PRECEDING)."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.analytics import burst_detection
+
+    # 48 steady hours of 6 events, then hour 48 floods with 300
+    steady = spark.range(0, 48 * 6).select(
+        F.lit("click").alias("event_type"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(hours=(F.col("id") / 6).cast("int"))).alias("ts"),
+    )
+    flood = spark.range(0, 300).select(
+        F.lit("click").alias("event_type"),
+        F.to_timestamp(F.lit("2024-01-03 00:30:00")).alias("ts"),
+    )
+    out = burst_detection(steady.unionByName(flood)).toPandas()
+    out = out.sort_values("hour").reset_index(drop=True)
+    assert len(out) == 49
+    # warm-up first row: no baseline, not a burst, never dropped
+    assert out.loc[0, "zscore"] is None or pd.isna(out.loc[0, "zscore"])
+    assert not out.loc[0, "is_burst"]
+    # steady middle: zero variance baseline -> NULL z, no burst
+    assert not out.loc[10, "is_burst"]
+    # the flood hour flags, with the baseline unpolluted by itself
+    last = out.iloc[-1]
+    assert last.n_events == 300 and last.is_burst
+    assert last.base_avg == 6.0
