@@ -1849,6 +1849,22 @@ def q_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_apply(tgt, fit_bigram_lm(ref))
 
 
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-fraction quality selection: keep exactly ceil(25%) of the
+    corpus by the 4-dp quality score (doc_id tie-break makes the cut
+    total — the score has heavy ties, so the tie-break path is the
+    hard part being tested). Exact rank via the distributed_ntile
+    range-exchange machinery, corpus size as a broadcast 1-row count;
+    every row returned with (rank, kept). Exact DuckDB twin."""
+    from ocr_spark.functions.text import quality_score
+    from ocr_spark.operators.ranking import top_fraction_gate
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("score")
+    )
+    return top_fraction_gate(d, frac=0.25, score_col="score")
+
+
 def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-baseline burst flags per (event_type, hour): the events
     table plus a planted flood (every event_id % 7 == 0 re-emitted into
@@ -2804,8 +2820,11 @@ _EXTRA_KEYS = frozenset(
     #   exercise the same url parse expressions in-window);
     # burst_detection: trailing-frame window anomaly flags (witness:
     #   perplexity_buckets' offset frames + sessionize's window machinery)
+    # quality_gate: top-fraction selection on the distributed_ntile
+    #   machinery (witness: perplexity_buckets runs the identical range-
+    #   exchange rank in-window)
     "heavy_hitters token_fertility html_sections lm_crossentropy "
-    "rp_project page_types burst_detection".split()
+    "rp_project page_types burst_detection quality_gate".split()
 )
 
 _QUERIES = {
@@ -2916,6 +2935,7 @@ _QUERIES = {
         "rp_project": q_rp_project,
         "page_types": q_page_types,
         "burst_detection": q_burst_detection,
+        "quality_gate": q_quality_gate,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -4616,6 +4636,27 @@ def _lm_score_oracle() -> str:
         SELECT b.id AS doc_id,
                CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams, lm_logprob
         FROM lm_base b LEFT JOIN lm_sc ON b.id = lm_sc.id
+    """
+
+
+def _quality_gate_oracle() -> str:
+    """DuckDB twin of q_quality_gate: same 4-dp quality score, the rank
+    as row_number over (score DESC, doc_id ASC) — the unique tie-break
+    makes row_number == exact rank — and the identical ceil cut."""
+    return f"""
+        WITH s AS (
+            SELECT doc_id, {_QUALITY} AS score FROM documents
+        ), tot AS (
+            SELECT count(*) AS n FROM s
+        ), r AS (
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                        AS BIGINT) AS rank
+            FROM s
+        )
+        SELECT r.doc_id, r.score, r.rank,
+               r.rank <= CAST(ceil(0.25 * t.n) AS BIGINT) AS kept
+        FROM r CROSS JOIN tot t
     """
 
 
@@ -6335,6 +6376,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "rp_project": _rp_project_oracle(),
         "page_types": _page_types_oracle(),
         "burst_detection": _burst_detection_oracle(),
+        "quality_gate": _quality_gate_oracle(),
         "repetition_stats": _repetition_stats_oracle(),
         "pii_redact": _pii_redact_oracle(),
         "warc_roundtrip": """

@@ -166,3 +166,48 @@ def perplexity_buckets(
             )
         )
     )
+
+
+def top_fraction_gate(
+    df: DataFrame,
+    frac: float,
+    score_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """DCLM/FineWeb-Edu-style top-fraction selection: keep exactly the
+    best ``ceil(frac * n)`` documents by ``score_col`` (ties broken by
+    id, so the cut is total and reproducible). This is the calibration
+    primitive behind "keep the top 10% by classifier score" — the
+    threshold is discovered from the corpus's own score distribution,
+    not guessed.
+
+    Scale shape: the exact global rank comes from the distributed_ntile
+    machinery over a constant group — a range exchange plus tiny
+    broadcast per-range offsets, never a single-task global sort — and
+    the corpus size reaches the keep decision as a broadcast 1-row
+    count. Returns (id, score, rank, kept) for every input row
+    (never-drop: the rejected tail is data for the audit, not deleted).
+    """
+    ranked = distributed_ntile(
+        df.select(F.col(id_col), F.col(score_col)).withColumn(
+            "_g", F.lit(0)
+        ),
+        n=2,
+        group_col="_g",
+        order_cols=[F.desc(score_col), F.asc(id_col)],
+        rank_col="rank",
+        bucket_col="_b",
+        num_partitions=num_partitions,
+    )
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    cut = F.ceil(F.lit(float(frac)) * F.col("n_total")).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col(score_col),
+            F.col("rank"),
+            (F.col("rank") <= cut).alias("kept"),
+        )
+    )

@@ -185,3 +185,29 @@ def test_blocklist_gate_zero_corpus_shuffle(spark):
         assert m.group(1).startswith("domain"), m.group(0)
     assert "Exchange rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan.split("\n\n")[0]
+
+
+def test_top_fraction_gate_exact_count_ties_and_invariance(spark):
+    """Exactly ceil(frac*n) rows kept even when the score is massively
+    tied (the id tie-break decides); every input row returned; the same
+    cut under a different physical partitioning."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.ranking import top_fraction_gate
+
+    # 100 rows, only 3 distinct scores -> the cut lands INSIDE a tie run
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("double").alias("score"),
+    )
+    out = top_fraction_gate(df, frac=0.1, score_col="score").toPandas()
+    assert len(out) == 100
+    kept = out[out.kept]
+    assert len(kept) == 10  # ceil(0.1 * 100)
+    # the kept set: all score-2 rows ranked by id ascending
+    want = sorted(i for i in range(100) if i % 3 == 2)[:10]
+    assert sorted(kept.doc_id) == want
+    again = top_fraction_gate(
+        df.repartition(7), frac=0.1, score_col="score"
+    ).toPandas()
+    assert sorted(again[again.kept].doc_id) == want
