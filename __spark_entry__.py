@@ -729,6 +729,28 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("host", F.round("rank", 6).alias("rank"))
 
 
+# TrustRank seed hosts — part of the answer's identity, shared with the
+# oracle so the teleport vector cannot drift
+TRUST_SEEDS = ["h1.example.org", "h5.example.org", "h9.example.org"]
+
+
+def q_trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (seeded-teleport PageRank, 8 rounds, d=0.85) over the
+    same host graph as q_pagerank_hosts: teleport and dangling mass flow
+    only to the three trusted seeds, so rank measures proximity-to-trust
+    (hosts unreachable from the seeds score ~0 where classic PageRank
+    still pays them the uniform teleport floor). Same iteration
+    machinery; the twin generalizes the unrolled-CTE pagerank oracle
+    with the seed CASE teleport."""
+    from ocr_spark.operators.links import host_graph, outlinks, trustrank_hosts
+
+    edges = outlinks(_linky_pages(_t(spark, sf_dir, "documents")))
+    ranks = trustrank_hosts(
+        host_graph(edges), seeds=TRUST_SEEDS, iterations=8, damping=0.85
+    )
+    return ranks.select("host", F.round("rank", 6).alias("rank"))
+
+
 def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text term profile per target host — what OTHER sites call a
     host (the classic retrieval/quality signal). Whole-tag href+anchor
@@ -2823,8 +2845,11 @@ _EXTRA_KEYS = frozenset(
     # quality_gate: top-fraction selection on the distributed_ntile
     #   machinery (witness: perplexity_buckets runs the identical range-
     #   exchange rank in-window)
+    # trustrank_hosts: seeded-teleport variant of pagerank_hosts (same
+    #   iteration machinery; the teleport CASE is the only new surface)
     "heavy_hitters token_fertility html_sections lm_crossentropy "
-    "rp_project page_types burst_detection quality_gate".split()
+    "rp_project page_types burst_detection quality_gate "
+    "trustrank_hosts".split()
 )
 
 _QUERIES = {
@@ -2936,6 +2961,7 @@ _QUERIES = {
         "page_types": q_page_types,
         "burst_detection": q_burst_detection,
         "quality_gate": q_quality_gate,
+        "trustrank_hosts": q_trustrank_hosts,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -3761,9 +3787,13 @@ def _host_degree_oracle() -> str:
     """
 
 
-def _pagerank_oracle(iterations: int = 8, damping: float = 0.85) -> str:
-    """DuckDB twin of q_pagerank_hosts: the power iteration UNROLLED as
-    ``iterations`` CTE triples (contrib -> flowed -> ranks). Float sum
+def _pagerank_oracle(iterations: int = 8, damping: float = 0.85,
+                     seeds: list[str] | None = None) -> str:
+    """DuckDB twin of q_pagerank_hosts / q_trustrank_hosts: the power
+    iteration UNROLLED as ``iterations`` CTE triples (contrib -> flowed
+    -> ranks). ``seeds`` switches the teleport vector from uniform 1/n
+    to the TrustRank CASE over the seed set (1/|seeds∩hosts|, the
+    lk_sn scalar), mirroring the operator formula for formula. Float sum
     order differs between engines at the last ulp; both sides round to
     6 dp (and the parity harness to 4 dp), far above ulp drift, far
     below rank gaps.
@@ -3775,6 +3805,24 @@ def _pagerank_oracle(iterations: int = 8, damping: float = 0.85) -> str:
     the Spark side's localCheckpoint does for lineage."""
     from ocr_spark.functions import urls as U
 
+    if seeds is None:
+        sn_cte = ""
+        sn_join = ""
+        r0_rank = "1.0 / nh.n"
+        iter_rank = (f"(1.0 - {damping}) / nh.n"
+                     f" + {damping} * (coalesce(c.contrib, 0.0)"
+                     f" + (1.0 - f.flowed) / nh.n)")
+    else:
+        inlist = ", ".join(f"'{s}'" for s in sorted(set(seeds)))
+        sn_cte = (f"lk_sn AS MATERIALIZED (SELECT count(*) AS s"
+                  f" FROM lk_hosts WHERE host IN ({inlist})),")
+        sn_join = " CROSS JOIN lk_sn sn"
+        tele = (f"(CASE WHEN h.host IN ({inlist})"
+                f" THEN 1.0 / sn.s ELSE 0.0 END)")
+        r0_rank = tele
+        iter_rank = (f"(1.0 - {damping}) * {tele}"
+                     f" + {damping} * (coalesce(c.contrib, 0.0)"
+                     f" + (1.0 - f.flowed) * {tele})")
     prev = "r0"
     iters = []
     for k in range(1, iterations + 1):
@@ -3789,11 +3837,9 @@ def _pagerank_oracle(iterations: int = 8, damping: float = 0.85) -> str:
         ),
         r{k} AS MATERIALIZED (
             SELECT h.host,
-                   (1.0 - {damping}) / nh.n
-                   + {damping} * (coalesce(c.contrib, 0.0)
-                                  + (1.0 - f.flowed) / nh.n) AS rank
+                   {iter_rank} AS rank
             FROM lk_hosts h
-            CROSS JOIN lk_nh nh CROSS JOIN f{k} f
+            CROSS JOIN lk_nh nh CROSS JOIN f{k} f{sn_join}
             LEFT JOIN c{k} c ON h.host = c.host
         )""")
         prev = f"r{k}"
@@ -3819,7 +3865,9 @@ def _pagerank_oracle(iterations: int = 8, damping: float = 0.85) -> str:
             )
         ),
         lk_nh AS MATERIALIZED (SELECT count(*) AS n FROM lk_hosts),
-        r0 AS (SELECT host, 1.0 / nh.n AS rank FROM lk_hosts CROSS JOIN lk_nh nh),
+        {sn_cte}
+        r0 AS (SELECT h.host, {r0_rank} AS rank
+               FROM lk_hosts h CROSS JOIN lk_nh nh{sn_join}),
         {",".join(iters)}
         SELECT host, round(rank, 6) AS rank FROM {prev}
     """
@@ -6433,6 +6481,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "outlinks": _outlinks_oracle(),
         "host_degree": _host_degree_oracle(),
         "pagerank_hosts": _pagerank_oracle(),
+        "trustrank_hosts": _pagerank_oracle(seeds=TRUST_SEEDS),
         "anchor_terms": _anchor_terms_oracle(),
         "canonical_groups": _canonical_groups_oracle(),
         "embedding_neardup": _embedding_neardup_oracle(),

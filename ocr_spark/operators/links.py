@@ -250,11 +250,19 @@ def pagerank_hosts(
     damping: float = 0.85,
     checkpoint_every: int = 3,
     local_threshold: int = 500_000,
+    seeds: list[str] | None = None,
 ) -> DataFrame:
     """Damped PageRank over (src_host, dst_host, n_links) host edges.
     Returns (host, rank) summing to 1 across all hosts that appear on
     either side. Weighted by link multiplicity (n_links), dangling mass
-    redistributed uniformly — the standard formulation.
+    redistributed by the teleport vector — the standard formulation.
+
+    ``seeds`` generalizes the teleport vector: None is classic PageRank
+    (uniform 1/n teleport); a host list makes this TrustRank (Gyöngyi et
+    al.) — teleport and dangling mass flow ONLY to the trusted seed set
+    (1/|seeds∩hosts| each), so rank measures proximity-to-trust and
+    link-farm islands that classic PageRank rewards score ~0. Same
+    iteration machinery either way; raises if no seed is in the graph.
 
     Deterministic given the edge set: the per-iteration sums are
     float aggregations, so cross-partition order can perturb the last
@@ -289,7 +297,7 @@ def pagerank_hosts(
         edges = edges.persist()
         edge_cache.append(edges)
         if edges.count() <= local_threshold:
-            out = _local_pagerank(edges, iterations, damping)
+            out = _local_pagerank(edges, iterations, damping, seeds)
             edges.unpersist()
             return out
     out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_w"))
@@ -313,7 +321,20 @@ def pagerank_hosts(
     )
     cached = [trans, hosts]
     n_hosts = hosts.count()  # one scalar, loop-invariant
-    ranks = hosts.select("host", F.lit(1.0 / n_hosts).alias("rank"))
+    if seeds is None:
+        tele = None
+        ranks = hosts.select("host", F.lit(1.0 / n_hosts).alias("rank"))
+    else:
+        seed_set = sorted(set(seeds))
+        s_n = hosts.where(F.col("host").isin(seed_set)).count()
+        if s_n == 0:
+            for df in cached + edge_cache:
+                df.unpersist()
+            raise ValueError("trustrank: no seed host present in the graph")
+        tele = F.when(
+            F.col("host").isin(seed_set), F.lit(1.0 / s_n)
+        ).otherwise(F.lit(0.0))
+        ranks = hosts.select("host", tele.alias("rank"))
     for i in range(iterations):
         contrib = (
             trans.join(
@@ -330,20 +351,28 @@ def pagerank_hosts(
             contrib.agg(F.sum("contrib").alias("flowed"))
             .select(F.coalesce("flowed", F.lit(0.0)).alias("flowed"))
         )
+        if tele is None:
+            new_rank = (
+                (1.0 - damping) / n_hosts
+                + damping
+                * (
+                    F.coalesce("contrib", F.lit(0.0))
+                    + (1.0 - F.col("flowed")) / n_hosts
+                )
+            )
+        else:
+            new_rank = (
+                F.lit(1.0 - damping) * tele
+                + damping
+                * (
+                    F.coalesce("contrib", F.lit(0.0))
+                    + (1.0 - F.col("flowed")) * tele
+                )
+            )
         ranks = (
             hosts.join(contrib, "host", "left")
             .crossJoin(F.broadcast(flowed))
-            .select(
-                "host",
-                (
-                    (1.0 - damping) / n_hosts
-                    + damping
-                    * (
-                        F.coalesce("contrib", F.lit(0.0))
-                        + (1.0 - F.col("flowed")) / n_hosts
-                    )
-                ).alias("rank"),
-            )
+            .select("host", new_rank.alias("rank"))
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=False)
@@ -356,13 +385,16 @@ def pagerank_hosts(
     return result
 
 
-def _local_pagerank(edges, iterations: int, damping: float):
+def _local_pagerank(edges, iterations: int, damping: float,
+                    seeds: list[str] | None = None):
     """Driver-local power iteration over a collected host-level transition
     table — only called when the edge count cleared ``local_threshold``.
     Accumulation runs in a FIXED order (edges sorted by src, dst host), so
     the result is deterministic; it matches the distributed path within
     float accumulation-order noise (~1e-15 relative), far below the 6 dp
-    the query layer rounds to (test_links pins the agreement)."""
+    the query layer rounds to (test_links pins the agreement). ``seeds``
+    switches to the TrustRank teleport, mirroring the distributed path
+    formula for formula."""
     rows = sorted(
         ((r["src_host"], r["dst_host"], r["n_links"]) for r in edges.collect())
     )
@@ -372,17 +404,57 @@ def _local_pagerank(edges, iterations: int, damping: float):
     trans = [(s, d, w / out_w[s]) for s, d, w in rows]
     hosts = sorted({s for s, _, _ in rows} | {d for _, d, _ in rows})
     n = len(hosts)
-    rank = {h: 1.0 / n for h in hosts}
+    if seeds is None:
+        tele = None
+        rank = {h: 1.0 / n for h in hosts}
+    else:
+        seed_set = set(seeds) & set(hosts)
+        if not seed_set:
+            raise ValueError("trustrank: no seed host present in the graph")
+        t_val = 1.0 / len(seed_set)
+        tele = {h: (t_val if h in seed_set else 0.0) for h in hosts}
+        rank = dict(tele)
     for _ in range(iterations):
         contrib = {h: 0.0 for h in hosts}
         for s, d, w in trans:
             contrib[d] += w * rank[s]
         flowed = sum(contrib[h] for h in hosts)
-        rank = {
-            h: (1.0 - damping) / n
-            + damping * (contrib[h] + (1.0 - flowed) / n)
-            for h in hosts
-        }
+        if tele is None:
+            rank = {
+                h: (1.0 - damping) / n
+                + damping * (contrib[h] + (1.0 - flowed) / n)
+                for h in hosts
+            }
+        else:
+            rank = {
+                h: (1.0 - damping) * tele[h]
+                + damping * (contrib[h] + (1.0 - flowed) * tele[h])
+                for h in hosts
+            }
     return edges.sparkSession.createDataFrame(
         [(h, rank[h]) for h in hosts], "host string, rank double"
+    )
+
+
+def trustrank_hosts(
+    host_edges: DataFrame,
+    seeds: list[str],
+    iterations: int = 8,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+    local_threshold: int = 500_000,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina, Pedersen 2004): PageRank with
+    the teleport vector concentrated on a hand-vetted trusted seed set —
+    the standard web-spam demotion prior. A link farm that inflates its
+    classic PageRank by interlinking scores ~0 here unless a trust path
+    from the seeds reaches it; honest hubs near the seeds score high.
+    Same single-lazy-plan iteration machinery as ``pagerank_hosts``."""
+    return pagerank_hosts(
+        host_edges,
+        iterations=iterations,
+        damping=damping,
+        checkpoint_every=checkpoint_every,
+        local_threshold=local_threshold,
+        seeds=seeds,
     )

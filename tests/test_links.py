@@ -192,6 +192,31 @@ def test_pagerank_releases_caches(spark, edge_fixture):
     assert after <= before + 2
 
 
+def test_trustrank_concentrates_on_seed_neighborhood(spark, edge_fixture):
+    """Seeded teleport: mass is a distribution, the seed outranks its
+    classic-PageRank self, a host with no trust path still appears (rank
+    ~0, never dropped), and local == distributed formula-for-formula."""
+    from ocr_spark.operators.links import trustrank_hosts
+
+    g = host_graph(edge_fixture)
+    tr = {r["host"]: r["rank"]
+          for r in trustrank_hosts(g, seeds=["a.org"], iterations=6).collect()}
+    pr = {r["host"]: r["rank"]
+          for r in pagerank_hosts(g, iterations=6).collect()}
+    assert set(tr) == set(pr)
+    assert sum(tr.values()) == pytest.approx(1.0, abs=1e-9)
+    # trust concentrates: the seed's rank exceeds its classic rank
+    assert tr["a.org"] > pr["a.org"]
+    dist = {r["host"]: r["rank"]
+            for r in trustrank_hosts(g, seeds=["a.org"], iterations=6,
+                                     local_threshold=0).collect()}
+    for h in tr:
+        assert tr[h] == pytest.approx(dist[h], rel=1e-9)
+    # a seed absent from the graph is an explicit error, not silence
+    with pytest.raises(Exception, match="no seed host"):
+        trustrank_hosts(g, seeds=["nowhere.example"], iterations=2).collect()
+
+
 def test_anchor_pairs_never_mispair(spark):
     """A self-closing anchor between two well-formed ones must not shift
     the href<->text pairing (the failure mode of parallel extraction)."""
