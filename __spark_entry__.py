@@ -1871,6 +1871,18 @@ def q_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_apply(tgt, fit_bigram_lm(ref))
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export manifest: per shard the doc count, byte
+    total, and the ORDER-SENSITIVE content fingerprint (md5 over
+    in-shard-position-ordered doc fingerprints) — integrity + ordering
+    proof for a published dataset; a shuffled shard changes the digest
+    even with every document intact. Exact DuckDB twin
+    (string_agg ORDER BY pos replays the array_sort fold)."""
+    from ocr_spark.operators.sharding import shard_manifest
+
+    return shard_manifest(_t(spark, sf_dir, "documents"), n_shards=16)
+
+
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-fraction quality selection: keep exactly ceil(25%) of the
     corpus by the 4-dp quality score (doc_id tie-break makes the cut
@@ -2847,9 +2859,11 @@ _EXTRA_KEYS = frozenset(
     #   exchange rank in-window)
     # trustrank_hosts: seeded-teleport variant of pagerank_hosts (same
     #   iteration machinery; the teleport CASE is the only new surface)
+    # shard_manifest: the export-integrity artifact over shard_assignment
+    #   (witness: shard_assignment's hash/rank machinery, exact_dedup's fp)
     "heavy_hitters token_fertility html_sections lm_crossentropy "
     "rp_project page_types burst_detection quality_gate "
-    "trustrank_hosts".split()
+    "trustrank_hosts shard_manifest".split()
 )
 
 _QUERIES = {
@@ -2962,6 +2976,7 @@ _QUERIES = {
         "burst_detection": q_burst_detection,
         "quality_gate": q_quality_gate,
         "trustrank_hosts": q_trustrank_hosts,
+        "shard_manifest": q_shard_manifest,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -6120,6 +6135,32 @@ def _oracle_sql_all() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY key % 16
                                            ORDER BY key, doc_id) - 1 AS INT) AS pos
             FROM k
+        """,
+        # shard_manifest: the same seeded assignment, then the ordered
+        # digest as string_agg(fp, '' ORDER BY pos) — replaying the
+        # array_sort((pos, fp)) fold exactly
+        "shard_manifest": """
+            WITH k AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('shard-seed-1:' || doc_id), 1, 8))::BIGINT
+                           AS key
+                FROM documents
+            ), asg AS (
+                SELECT doc_id, CAST(key % 16 AS INT) AS shard,
+                       row_number() OVER (PARTITION BY key % 16
+                                          ORDER BY key, doc_id) - 1 AS pos
+                FROM k
+            ), j AS (
+                SELECT a.shard, a.pos,
+                       md5(coalesce(d.text, '')) AS fp,
+                       strlen(coalesce(d.text, '')) AS nb
+                FROM asg a JOIN documents d USING (doc_id)
+            )
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nb) AS BIGINT) AS n_bytes,
+                   md5(string_agg(fp, '' ORDER BY pos)) AS content_fp
+            FROM j GROUP BY shard ORDER BY shard
         """,
         "quality_filter": _quality_filter_oracle(),
         "token_budget_mix": _token_budget_mix_oracle(),

@@ -53,3 +53,45 @@ def shard_assignment(
         .withColumn("pos", F.row_number().over(w) - 1)
         .select(id_col, "shard", "pos")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: str = "shard-seed-1",
+) -> DataFrame:
+    """The export manifest a training-data release ships next to its
+    shards: per shard the doc count, byte total, and an ORDER-SENSITIVE
+    content fingerprint (md5 over the in-shard-position-ordered document
+    fingerprints). A reader re-deriving the manifest from downloaded
+    shards proves bit-level integrity AND ordering — a shuffled or
+    truncated shard changes the fingerprint even when every document
+    survives. Returns (shard, n_docs, n_bytes, content_fp), one row per
+    NON-EMPTY shard, ordered by shard.
+
+    Shape: the shard assignment's own exchange is reused — the manifest
+    aggregate groups on the shard key the rows already carry; the
+    ordered digest folds inside each group via array_sort over (pos, fp)
+    structs (deterministic, no second sort exchange). SQL-replayable:
+    md5(string_agg(fp, '' ORDER BY pos))."""
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    nb = F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+    asg = shard_assignment(df, id_col=id_col, n_shards=n_shards, seed=seed)
+    rows = asg.join(
+        df.select(F.col(id_col), fp.alias("fp"), nb.alias("nb")), id_col
+    )
+    ordered_fps = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "fp"))),
+        lambda s: s["fp"],
+    )
+    return (
+        rows.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nb").alias("n_bytes"),
+            F.md5(F.array_join(ordered_fps, "")).alias("content_fp"),
+        )
+        .orderBy("shard")
+    )

@@ -115,3 +115,34 @@ def test_intra_batch_duplicates_stay_new(spark):
     got = {r["doc_id"]: r["status"] for r in
            incremental_status(new, committed).collect()}
     assert got == {200: "new", 201: "new"}
+
+
+def test_shard_manifest_detects_order_and_content_drift(spark):
+    """The manifest fingerprint is order-sensitive: re-deriving it from
+    the same corpus reproduces it bit-for-bit (any partitioning), but
+    changing ONE document's text changes exactly that shard's digest
+    while every other shard's survives."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.sharding import shard_assignment, shard_manifest
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    base = shard_manifest(docs, n_shards=8).toPandas().set_index("shard")
+    assert base.n_docs.sum() == 300
+    again = shard_manifest(docs.repartition(7), n_shards=8).toPandas().set_index("shard")
+    assert base.equals(again)
+
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 5, F.lit("changed")).otherwise(F.col("text")),
+    )
+    mut = shard_manifest(mutated, n_shards=8).toPandas().set_index("shard")
+    hit = shard_assignment(docs, n_shards=8).where("doc_id = 5").collect()[0].shard
+    for s in base.index:
+        if s == hit:
+            assert mut.loc[s, "content_fp"] != base.loc[s, "content_fp"]
+        else:
+            assert mut.loc[s, "content_fp"] == base.loc[s, "content_fp"]
