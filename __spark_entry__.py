@@ -1954,6 +1954,19 @@ def q_page_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: per-subspace seeded-Lloyd codebooks
+    (8 subspaces x 16 codes, the ivf_centroids discipline trained in ONE
+    frame keyed by subspace), 8-byte codes per vector, and query scoring
+    as a broadcast lookup-table sum — the memory-scale path where the
+    scan reads codes, not vectors. Top-10 by approximate squared L2.
+    The DuckDB twin replays the whole construction: subvector split,
+    argmin assignments, 6-dp refined codebooks, ADC table, ordered sum."""
+    from ocr_spark.operators.similarity import pq_topk
+
+    return pq_topk(_t(spark, sf_dir, "embeddings"), k=10)
+
+
 def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss signed random projection of the embeddings
     table (64 -> 8 dims, seeded ±1 matrix, 1/sqrt(k) scaling) in LONG
@@ -2861,9 +2874,12 @@ _EXTRA_KEYS = frozenset(
     #   iteration machinery; the teleport CASE is the only new surface)
     # shard_manifest: the export-integrity artifact over shard_assignment
     #   (witness: shard_assignment's hash/rank machinery, exact_dedup's fp)
+    # pq_topk: product-quantization ANN (witnesses: ivf_topk shares the
+    #   seeded-Lloyd + broadcast-argmin machinery, sq_topk the
+    #   quantize-then-rank family)
     "heavy_hitters token_fertility html_sections lm_crossentropy "
     "rp_project page_types burst_detection quality_gate "
-    "trustrank_hosts shard_manifest".split()
+    "trustrank_hosts shard_manifest pq_topk".split()
 )
 
 _QUERIES = {
@@ -2977,6 +2993,7 @@ _QUERIES = {
         "quality_gate": q_quality_gate,
         "trustrank_hosts": q_trustrank_hosts,
         "shard_manifest": q_shard_manifest,
+        "pq_topk": q_pq_topk,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -4794,6 +4811,67 @@ def _page_types_oracle() -> str:
     """
 
 
+def _pq_topk_oracle() -> str:
+    """DuckDB twin of q_pq_topk: subvector split, seeded per-subspace
+    Lloyd (argmin by the same three-dot squared-L2 expansion, 6-dp
+    refined means), final codes, ADC distance table vs vec 0, ordered
+    lookup-table sum — the ivf/semantic_dedup replay discipline extended
+    per subspace."""
+    d_expr = ("list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+              " + list_dot_product({b}, {b})")
+    d_sc = d_expr.format(a="s.sv", b="c.cv")
+    d_sr = d_expr.format(a="s.sv", b="r.cv")
+    d_rq = d_expr.format(a="r.cv", b="q.qv")
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), subs AS (
+            SELECT vec_id, m AS sub, e[m*8 + 1 : m*8 + 8] AS sv
+            FROM corpus, unnest(generate_series(0, 7)) AS t(m)
+        ), seeds AS (
+            SELECT sub, vec_id AS cent_id, sv AS cv FROM subs WHERE vec_id < 16
+        ), a0 AS (
+            SELECT vec_id, sub, cent_id FROM (
+                SELECT s.vec_id, s.sub, c.cent_id,
+                       row_number() OVER (PARTITION BY s.vec_id, s.sub
+                           ORDER BY {d_sc} ASC, c.cent_id ASC) AS rn
+                FROM subs s JOIN seeds c ON s.sub = c.sub
+            ) WHERE rn = 1
+        ), dims AS (
+            SELECT vec_id, sub, i AS pos, sv[i] AS x
+            FROM subs, unnest(generate_series(1, 8)) AS t(i)
+        ), refined AS (
+            SELECT sub, cent_id, list(mv ORDER BY pos) AS cv FROM (
+                SELECT a.sub, a.cent_id, d.pos, round(avg(d.x), 6) AS mv
+                FROM a0 a JOIN dims d
+                     ON a.vec_id = d.vec_id AND a.sub = d.sub
+                GROUP BY a.sub, a.cent_id, d.pos
+            ) GROUP BY sub, cent_id
+        ), codes AS (
+            SELECT vec_id, sub, cent_id AS code FROM (
+                SELECT s.vec_id, s.sub, r.cent_id,
+                       row_number() OVER (PARTITION BY s.vec_id, s.sub
+                           ORDER BY {d_sr} ASC, r.cent_id ASC) AS rn
+                FROM subs s JOIN refined r ON s.sub = r.sub
+            ) WHERE rn = 1
+        ), qsubs AS (
+            SELECT sub, sv AS qv FROM subs WHERE vec_id = 0
+        ), dtab AS (
+            SELECT r.sub, r.cent_id, {d_rq} AS d
+            FROM refined r JOIN qsubs q ON r.sub = q.sub
+        ), approx AS (
+            SELECT c.vec_id, round(sum(t.d), 4) AS adist
+            FROM codes c JOIN dtab t
+                 ON c.sub = t.sub AND c.code = t.cent_id
+            GROUP BY c.vec_id
+        )
+        SELECT vec_id, adist,
+               CAST(row_number() OVER (ORDER BY adist ASC, vec_id ASC)
+                    AS INT) AS rank
+        FROM approx ORDER BY adist ASC, vec_id ASC LIMIT 10
+    """
+
+
 def _rp_project_oracle() -> str:
     """DuckDB twin of q_rp_project: the same seeded ±1 matrix inlined as
     literals, each projected coordinate an UNROLLED left-associated sum
@@ -6463,6 +6541,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "lm_score": _lm_score_oracle(),
         "lm_crossentropy": _lm_crossentropy_oracle(),
         "rp_project": _rp_project_oracle(),
+        "pq_topk": _pq_topk_oracle(),
         "page_types": _page_types_oracle(),
         "burst_detection": _burst_detection_oracle(),
         "quality_gate": _quality_gate_oracle(),

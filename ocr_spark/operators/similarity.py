@@ -539,3 +539,117 @@ def random_projection(df: DataFrame, k: int = RP_K, dim: int = 64,
     return df.select(F.col(id_col), F.posexplode(projs).alias("j", "p")).select(
         id_col, F.col("j").cast("long").alias("j"), "p"
     )
+
+
+PQ_M = 8            # subspaces (64-dim embeddings -> 8 dims each)
+PQ_K = 16           # codes per subspace (one byte would hold 256)
+
+
+def _sq_l2(a, b):
+    """Squared Euclidean distance via three dot products — the form both
+    engines can evaluate from ``list_dot_product`` primitives."""
+    return _dot(a, a) - 2.0 * _dot(a, b) + _dot(b, b)
+
+
+def _pq_subvectors(df: DataFrame, m: int, sub_dim: int,
+                   vec_col: str, id_col: str) -> DataFrame:
+    """(id, sub, sv): each embedding split into ``m`` contiguous
+    ``sub_dim``-wide subvectors — one generate projection, no shuffle."""
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    parts = F.array(*[
+        F.struct(
+            F.lit(mi).alias("sub"),
+            F.slice(emb, mi * sub_dim + 1, sub_dim).alias("sv"),
+        )
+        for mi in range(m)
+    ])
+    return df.select(
+        F.col(id_col), F.explode(parts).alias("p")
+    ).select(id_col, F.col("p.sub").alias("sub"), F.col("p.sv").alias("sv"))
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Per (id, sub) the nearest codebook entry (squared-L2 argmin, ties
+    to the lowest cent_id) — broadcast codebook join + min_by partial
+    aggregation, the `_assign_cells` discipline per subspace."""
+    d = _sq_l2(F.col("sv"), F.col("cv"))
+    return (
+        subs.join(F.broadcast(cents), "sub")
+        .groupBy(id_col, "sub")
+        .agg(
+            F.min_by(
+                "cent_id", F.struct(d.alias("d"), F.col("cent_id").alias("t"))
+            ).alias("cent_id"),
+            F.first("sv").alias("sv"),
+        )
+    )
+
+
+def pq_codebooks(df: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                 n_iters: int = 1, dim: int = 64,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Product-quantization codebooks (Jégou et al.): an independent
+    ``k``-entry codebook per contiguous subspace, fit with the engine's
+    deterministic seeded Lloyd (seeds = the first ``k`` vectors'
+    subvectors, ``n_iters`` refinements, 6-dp means) — a pure,
+    SQL-replayable function of the data like ``ivf_centroids``, but all
+    ``m`` subspaces train in ONE frame keyed by the sub column (no
+    per-subspace jobs). Returns (sub, cent_id, cv)."""
+    sub_dim = dim // m
+    subs = _pq_subvectors(df, m, sub_dim, vec_col, id_col)
+    cents = subs.where(F.col(id_col) < k).select(
+        "sub", F.col(id_col).alias("cent_id"), F.col("sv").alias("cv")
+    )
+    for _ in range(n_iters):
+        assigned = _pq_assign(subs, cents, id_col)
+        by_dim = assigned.select(
+            "sub", "cent_id", F.posexplode("sv").alias("pos", "x")
+        ).groupBy("sub", "cent_id", "pos").agg(
+            F.round(F.avg("x"), 6).alias("mv")
+        )
+        cents = by_dim.groupBy("sub", "cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s["mv"],
+            ).alias("cv")
+        )
+    return cents
+
+
+def pq_topk(df: DataFrame, k: int = 10, m: int = PQ_M, n_codes: int = PQ_K,
+            dim: int = 64, vec_col: str = "embedding",
+            id_col: str = "vec_id", query_id: int = 0) -> DataFrame:
+    """PQ asymmetric-distance top-k — the memory-scale ANN path: each
+    vector is stored as ``m`` small codes (8 bytes here vs 256 for the
+    raw floats), and query scoring is a LOOKUP-TABLE sum, never a
+    full-vector dot product. The query builds an (m x n_codes) distance
+    table against the codebooks (tiny, broadcast); each vector's
+    approximate distance is the sum of its codes' table entries — at
+    100 TB the scan reads codes, not vectors, and the per-row work is m
+    additions. Returns (id, adist, rank), ascending approximate squared
+    L2, 4-dp, id tie-break. Compose with an exact rescore of the top
+    candidates (the sq_topk pattern) when recall matters."""
+    sub_dim = dim // m
+    cents = pq_codebooks(df, m, n_codes, 1, dim, vec_col, id_col)
+    subs = _pq_subvectors(df, m, sub_dim, vec_col, id_col)
+    codes = _pq_assign(subs, cents, id_col).select(
+        id_col, "sub", F.col("cent_id").alias("code")
+    )
+    qsubs = subs.where(F.col(id_col) == query_id).select(
+        "sub", F.col("sv").alias("qv")
+    )
+    dtab = cents.join(F.broadcast(qsubs), "sub").select(
+        "sub", "cent_id", _sq_l2(F.col("cv"), F.col("qv")).alias("d")
+    )
+    approx = (
+        codes.join(
+            F.broadcast(dtab),
+            (codes.sub == dtab.sub) & (codes.code == dtab.cent_id),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("d"), 4).alias("adist"))
+    )
+    top = approx.orderBy(F.asc("adist"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.asc("adist"), F.asc(id_col))  # k rows: trivial
+    return top.withColumn("rank", F.row_number().over(w))

@@ -223,3 +223,42 @@ def test_random_projection_plan_no_python_no_shuffle(spark):
     plan = _plan(random_projection(df))
     assert "Python" not in plan
     assert "Exchange" not in plan
+
+
+# --- product quantization -----------------------------------------------------
+
+
+def test_pq_topk_recall_and_self_rank(spark):
+    """The query vector ranks itself first (its own codes reproduce it up
+    to quantization residual); PQ top-10 overlaps the exact cosine top-10
+    — measured, deterministic for the seeded codebooks."""
+    from ocr_spark.operators.similarity import cosine_topk, pq_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pq = pq_topk(df, k=10).toPandas()
+    assert pq.iloc[0].vec_id == 0  # the query itself
+    exact = cosine_topk(df, [float(x) for x in df.where("vec_id = 0")
+                             .toPandas().embedding.iloc[0]], k=10).toPandas()
+    overlap = len(set(pq.vec_id) & set(exact.vec_id))
+    assert overlap >= 3  # ANN: meaningful agreement, not exactness
+    again = pq_topk(df, k=10).toPandas()
+    assert pq.equals(again)
+
+
+def test_pq_codebooks_shape_and_codes_bounded(spark):
+    from ocr_spark.operators.similarity import (
+        _pq_assign,
+        _pq_subvectors,
+        pq_codebooks,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").limit(200)
+    cents = pq_codebooks(df).toPandas()
+    # <= 16 codes per each of the 8 subspaces, every cv 8 wide
+    assert set(cents["sub"]) == set(range(8))
+    assert cents.groupby("sub").size().le(16).all()
+    assert cents.cv.map(len).eq(8).all()
+    subs = _pq_subvectors(df, 8, 8, "embedding", "vec_id")
+    codes = _pq_assign(subs, spark.createDataFrame(cents), "vec_id").toPandas()
+    assert len(codes) == 200 * 8  # every (vec, sub) encoded
+    assert codes.cent_id.between(0, 15).all()
