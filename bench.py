@@ -978,15 +978,21 @@ def main() -> None:
         import __spark_entry__ as entrymod
 
         queries = {**entrymod.queries(), **entrymod.extra_queries()}
+        # the curated order first, then ANY registry entry the static list
+        # doesn't know yet — new operators are benched automatically, in
+        # the droppable tail (no silent coverage gap, no timeout risk)
+        suite_order = BENCH_QUERIES + sorted(
+            k for k in queries if k not in BENCH_QUERIES
+        )
         qtimes: dict[str, float] = result["queries"]
         q_dirty: list[str] = []
         suite_t0 = time.time()
         suite_box = max(60.0, left() - 30)
-        for qi, name in enumerate(BENCH_QUERIES):
+        for qi, name in enumerate(suite_order):
             if time.time() - suite_t0 > suite_box:
-                result["queries_skipped"] = BENCH_QUERIES[qi:]
+                result["queries_skipped"] = suite_order[qi:]
                 log(f"bench: query suite time-boxed after {qi} queries "
-                    f"({suite_box:.0f}s); skipping {len(BENCH_QUERIES) - qi}")
+                    f"({suite_box:.0f}s); skipping {len(suite_order) - qi}")
                 break
             fn = queries[name]
             rows_box = [0]
