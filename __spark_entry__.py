@@ -1979,6 +1979,35 @@ def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(_t(spark, sf_dir, "embeddings"))
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational HyperLogLog self-audit: per-language estimated vs exact
+    distinct document texts. The sketch is expression-only (52-bit md5
+    hash -> 256 buckets -> leading-zero rank -> max per register) with an
+    exact INTEGER harmonic denominator, so the DuckDB twin computes
+    bit-identical registers and an identical estimate; the exact side is
+    the deliberately-expensive validation path a production run samples.
+    See operators/sketches.py for the 100 TB argument (mergeable constant-
+    size state vs a full distinct shuffle per group)."""
+    from ocr_spark.operators.sketches import hll_accuracy
+
+    return hll_accuracy(_t(spark, sf_dir, "documents"), "lang", "text")
+
+
+def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining: URL-template alignment of localized pages. Each
+    document maps to a language-stripped template slug (doc_id % 257 —
+    the per-host path with the lang segment masked, at corpus scale);
+    one deterministic representative per (slug, lang), then a single
+    equi-join pairs languages on the same template, gated by the
+    Gale-Church length-ratio sanity check (0.5..2.0). Exact DuckDB twin."""
+    from ocr_spark.operators.bitext import bitext_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return bitext_pairs(
+        d.select((F.col("doc_id") % 257).alias("slug"), "lang", "doc_id", "n_chars")
+    )
+
+
 # Misra-Gries counter budget for q_heavy_hitters — part of the answer's
 # identity (threshold = n_total/(HH_M+1)), shared with the oracle
 HH_M = 32
@@ -2877,9 +2906,16 @@ _EXTRA_KEYS = frozenset(
     # pq_topk: product-quantization ANN (witnesses: ivf_topk shares the
     #   seeded-Lloyd + broadcast-argmin machinery, sq_topk the
     #   quantize-then-rank family)
+    # hll_distinct: relational HyperLogLog cardinality audit (witnesses:
+    #   exact_dedup's md5 fingerprint hashing + host_stats' group aggs;
+    #   the register arithmetic is integer-exact and oracle-checked)
+    # bitext_pairs: cross-lingual template alignment (witness:
+    #   latest_capture's per-key representative pick + the equi-join
+    #   family; ratio gate oracle-checked in pytest)
     "heavy_hitters token_fertility html_sections lm_crossentropy "
     "rp_project page_types burst_detection quality_gate "
-    "trustrank_hosts shard_manifest pq_topk".split()
+    "trustrank_hosts shard_manifest pq_topk "
+    "hll_distinct bitext_pairs".split()
 )
 
 _QUERIES = {
@@ -2994,6 +3030,8 @@ _QUERIES = {
         "trustrank_hosts": q_trustrank_hosts,
         "shard_manifest": q_shard_manifest,
         "pq_topk": q_pq_topk,
+        "hll_distinct": q_hll_distinct,
+        "bitext_pairs": q_bitext_pairs,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -4904,6 +4942,91 @@ def _rp_project_oracle() -> str:
     """
 
 
+def _hll_distinct_oracle() -> str:
+    """DuckDB twin of q_hll_distinct: identical 52-bit md5 hash, bucket
+    split, leading-zero rank (shared rest=0 CASE), max-per-register, and
+    the exact-integer harmonic denominator; the only float ops are the
+    same single division / ln / round the Spark side runs, from the same
+    inlined constants (operators/sketches.py)."""
+    from ocr_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_P,
+        HLL_REST_BITS,
+        RHO_MAX,
+    )
+
+    num = repr(HLL_ALPHA * HLL_M * HLL_M)  # same double literal as F.lit
+    scale = 1 << RHO_MAX  # 2^45, exact BIGINT (see operators/sketches.py)
+    assert HLL_REST_BITS == RHO_MAX - 1
+    return f"""
+        WITH h AS (
+            SELECT lang AS grp,
+                   ('0x' || substr(md5(text), 1, 13))::BIGINT AS h
+            FROM documents
+        ), rr AS (
+            SELECT grp, CAST(h % {HLL_M} AS INT) AS bucket,
+                   CASE WHEN (h >> {HLL_P}) = 0 THEN {RHO_MAX}
+                        ELSE {RHO_MAX} - length(bin(h >> {HLL_P}))
+                   END AS rho
+            FROM h
+        ), regs AS (
+            SELECT grp, bucket, max(rho) AS rho FROM rr GROUP BY grp, bucket
+        ), agg AS (
+            SELECT grp, count(*) AS registers_used,
+                   CAST(sum({scale}::BIGINT >> rho) AS BIGINT)
+                       AS z_present
+            FROM regs GROUP BY grp
+        ), est0 AS (
+            SELECT grp, registers_used,
+                   ({HLL_M} - registers_used) AS v,
+                   ({num}::DOUBLE * {scale}::DOUBLE)
+                       / (({HLL_M} - registers_used)::BIGINT * {scale}::BIGINT
+                          + z_present)::DOUBLE AS raw
+            FROM agg
+        ), fin AS (
+            SELECT grp, registers_used,
+                   CASE WHEN raw <= {2.5 * HLL_M!r} AND v > 0
+                        THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / v)
+                        ELSE raw END AS est
+            FROM est0
+        ), ex AS (
+            SELECT lang AS grp, count(DISTINCT text) AS exact_distinct
+            FROM documents GROUP BY lang
+        )
+        SELECT f.grp,
+               CAST(round(f.est) AS BIGINT) AS est_distinct,
+               CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+               CAST(f.registers_used AS BIGINT) AS registers_used,
+               round(abs(CAST(round(f.est) AS BIGINT) - ex.exact_distinct)
+                     / ex.exact_distinct::DOUBLE, 4) AS rel_err
+        FROM fin f JOIN ex ON f.grp = ex.grp
+    """
+
+
+def _bitext_pairs_oracle() -> str:
+    """DuckDB twin of q_bitext_pairs: same slug derivation, min-doc_id
+    representative per (slug, lang), equi-join with lang_a < lang_b, and
+    the 0.5..2.0 double length-ratio gate rounded to 4 dp."""
+    from ocr_spark.operators.bitext import RATIO_MAX, RATIO_MIN
+
+    return f"""
+        WITH reps AS (
+            SELECT (doc_id % 257) AS slug, lang,
+                   min(doc_id) AS doc_id,
+                   min_by(n_chars, doc_id) AS n_chars
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT a.slug, a.lang AS lang_a, b.lang AS lang_b,
+               a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(a.n_chars / b.n_chars::DOUBLE, 4) AS len_ratio
+        FROM reps a JOIN reps b ON a.slug = b.slug AND a.lang < b.lang
+        WHERE a.n_chars > 0 AND b.n_chars > 0
+          AND a.n_chars / b.n_chars::DOUBLE >= {RATIO_MIN!r}
+          AND a.n_chars / b.n_chars::DOUBLE <= {RATIO_MAX!r}
+    """
+
+
 def _lm_crossentropy_oracle() -> str:
     """DuckDB twin of q_lm_crossentropy: counts fit on the EVEN docs,
     ODD docs scored via LEFT joins with the smoothing floor for unseen
@@ -6542,6 +6665,8 @@ def _oracle_sql_all() -> dict[str, str]:
         "lm_crossentropy": _lm_crossentropy_oracle(),
         "rp_project": _rp_project_oracle(),
         "pq_topk": _pq_topk_oracle(),
+        "hll_distinct": _hll_distinct_oracle(),
+        "bitext_pairs": _bitext_pairs_oracle(),
         "page_types": _page_types_oracle(),
         "burst_detection": _burst_detection_oracle(),
         "quality_gate": _quality_gate_oracle(),

@@ -1,0 +1,135 @@
+"""Cardinality sketches: a fully relational HyperLogLog.
+
+At 100 TB the question "how many distinct urls / tokens / fingerprints per
+host" is everywhere (crawl-budget planning, dedup-rate audits, vocabulary
+growth curves), and an exact ``count(distinct ...)`` per group means a
+full shuffle of every distinct key. A HyperLogLog register table is the
+production answer: constant size per group (``m`` registers), mergeable
+across partitions/days by a simple ``max`` per register, and the group-by
+carries (group, bucket, max_rho) rows — bounded by ``groups x m`` no
+matter how many keys stream through.
+
+This implementation is deliberately EXPRESSION-ONLY (no UDF, no sketch
+library): the 52-bit md5-based hash, the bucket split, the leading-zero
+rank, and the register max are all built-in column functions, so (a) the
+whole pipeline stays inside whole-stage codegen with map-side partial
+aggregation, and (b) every intermediate is replayable in ANSI SQL — the
+DuckDB oracle computes bit-identical registers and therefore an identical
+estimate (`__spark_entry__._hll_distinct_oracle`).
+
+Determinism discipline: the harmonic-mean denominator is accumulated as
+an exact INTEGER (each register contributes ``2^(RHO_MAX - rho)``), so no
+floating-point sum whose value could depend on partition/accumulation
+order ever occurs; the only float ops are one division and one ``ln``,
+both computed once per group from exact integers — identical in any
+engine implementing IEEE doubles.
+
+Reference parity note: the reference counts distinct processed base-names
+exactly (one_key_process.py:820-826); this is the scale-path analog for
+cardinalities where exact counting is the bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# p=8 -> m=256 registers/group: ~6.5% standard error, 256-row group state.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+# 52-bit hash (13 hex chars of md5): bucket = low 8 bits, rank over the
+# remaining 44. 52 bits keeps every value exact in BIGINT *and* in the
+# doubles DuckDB renders, and 44 rank bits is plenty below ~2^40 keys.
+HLL_HASH_BITS = 52
+HLL_REST_BITS = HLL_HASH_BITS - HLL_P  # 44
+RHO_MAX = HLL_REST_BITS + 1  # rest == 0 -> all bits "zero" -> rho 45
+# alpha_m for m=256: 0.7213 / (1 + 1.079/m) (Flajolet et al. 2007)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """(group, bucket, rho) register table: the mergeable sketch state.
+
+    One narrow projection then ONE partial-agg groupBy on
+    (group, bucket) — at scale the combiner collapses each partition to
+    at most ``groups x 256`` rows before the shuffle. Registers from
+    different corpus slices union + re-max to merge (HLL's whole point).
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col)), 1, 13), 16, 10).cast("long")
+    bucket = (h % F.lit(HLL_M)).cast("int")
+    rest = F.shiftright(h, HLL_P)
+    rho = F.when(rest == 0, F.lit(RHO_MAX)).otherwise(
+        F.lit(RHO_MAX) - F.length(F.bin(rest))
+    ).cast("int")
+    return (
+        df.select(F.col(group_col).alias("grp"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Per-group HLL cardinality estimate with small-range correction.
+
+    Columns: grp, est_distinct (BIGINT), registers_used. The harmonic
+    denominator is the exact integer ``V*2^45 + sum(2^(45 - rho))``
+    (scale 2^45 = 2^RHO_MAX so the deepest register, rho = 45, still
+    contributes an integer 1; empty registers carry M_j = 0 -> 2^45), so
+    the estimate is a single deterministic double expression per group.
+    ``est = m*ln(m/V)`` (linear counting) replaces the raw estimate below
+    2.5*m, per the standard algorithm.
+    """
+    regs = hll_registers(df, group_col, key_col)
+    scale = F.lit(1 << RHO_MAX)  # 2^45, exact in BIGINT
+    # dynamic shift: the Python-API shiftright takes only a literal count,
+    # the SQL function takes an expression
+    per_reg = F.expr(f"shiftright(CAST({1 << RHO_MAX} AS BIGINT), rho)")
+    agg = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("registers_used"),
+        F.sum(per_reg).alias("z_present"),
+    )
+    v = F.lit(HLL_M) - F.col("registers_used")  # empty registers
+    z_scaled = v.cast("long") * scale + F.col("z_present")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) * scale.cast("double") / z_scaled.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        "grp",
+        F.round(est).cast("long").alias("est_distinct"),
+        F.col("registers_used").cast("long").alias("registers_used"),
+    )
+
+
+def hll_accuracy(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """Estimate vs exact per group — the self-audit query shape.
+
+    The exact side is the expensive path (full distinct shuffle); running
+    both on a SAMPLE slice is how production validates the sketch before
+    trusting it corpus-wide. rel_err is rounded to 4dp from two exact
+    longs (deterministic).
+    """
+    est = hll_distinct(df, group_col, key_col)
+    exact = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.countDistinct(key_col).alias("exact_distinct"))
+    )
+    joined = est.join(exact, "grp")
+    return joined.select(
+        "grp",
+        "est_distinct",
+        "exact_distinct",
+        "registers_used",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err"),
+    )
