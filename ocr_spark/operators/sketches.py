@@ -70,10 +70,28 @@ def hll_registers(
     )
 
 
-def hll_distinct(
-    df: DataFrame, group_col: str, key_col: str
-) -> DataFrame:
-    """Per-group HLL cardinality estimate with small-range correction.
+def hll_merge_registers(stored: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Fold a new batch's registers into a persisted register table.
+
+    THE incremental-maintenance path: sketch state for an unbounded
+    crawl is ``groups x 256`` rows, and each ingest touches only the
+    batch's own registers plus this max-merge — the corpus text is never
+    re-read (the same never-re-read discipline as
+    operators/incremental.py's signature store). Commutative/idempotent,
+    so replayed batches (foreachBatch crash redelivery) cannot move the
+    estimate.
+    """
+    if stored is None:
+        return delta
+    return (
+        stored.unionByName(delta)
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Per-group estimate from a (grp, bucket, rho) register table.
 
     Columns: grp, est_distinct (BIGINT), registers_used. The harmonic
     denominator is the exact integer ``V*2^45 + sum(2^(45 - rho))``
@@ -83,7 +101,6 @@ def hll_distinct(
     ``est = m*ln(m/V)`` (linear counting) replaces the raw estimate below
     2.5*m, per the standard algorithm.
     """
-    regs = hll_registers(df, group_col, key_col)
     scale = F.lit(1 << RHO_MAX)  # 2^45, exact in BIGINT
     # dynamic shift: the Python-API shiftright takes only a literal count,
     # the SQL function takes an expression
@@ -104,6 +121,11 @@ def hll_distinct(
         F.round(est).cast("long").alias("est_distinct"),
         F.col("registers_used").cast("long").alias("registers_used"),
     )
+
+
+def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """One-shot per-group HLL estimate (sketch + estimate in one plan)."""
+    return hll_estimate(hll_registers(df, group_col, key_col))
 
 
 def hll_accuracy(

@@ -113,3 +113,67 @@ def test_bitext_representative_is_min_doc_id(spark):
 def test_bitext_zero_length_gated(spark):
     rows = [(1, "en", 1, 0), (1, "fr", 2, 500)]
     assert bitext_pairs(_bitext_input(spark, rows)).count() == 0
+
+
+def test_hll_incremental_register_table(spark, tmp_path):
+    """The production maintenance loop: batches fold into a PERSISTED
+    register table (corpus text never re-read), a replayed batch is a
+    no-op, and the stored sketch's estimate equals the one-shot estimate
+    over everything ingested so far."""
+    from ocr_spark.operators.sketches import hll_estimate, hll_merge_registers
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(str(tmp_path / "hll_regs"))
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.lit("g").alias("grp"), F.concat(F.lit("k"), F.col("id")).alias("key")
+        )
+
+    seen = None
+    for lo, hi in ((0, 400), (400, 900), (900, 1500)):
+        stored = t.read(spark) if t.exists() else None
+        merged = hll_merge_registers(stored, hll_registers(batch(lo, hi), "grp", "key"))
+        t.overwrite(merged)
+        seen = (lo, hi)
+    # crash redelivery: folding the LAST batch in again must not move state
+    replay = hll_merge_registers(
+        t.read(spark), hll_registers(batch(*seen), "grp", "key")
+    )
+    assert sorted(map(tuple, replay.collect())) == sorted(
+        map(tuple, t.read(spark).collect())
+    )
+    stored_est = hll_estimate(t.read(spark)).collect()[0]
+    direct_est = hll_distinct(batch(0, 1500), "grp", "key").collect()[0]
+    assert stored_est["est_distinct"] == direct_est["est_distinct"]
+
+
+def test_hll_plan_no_python_partial_max(spark):
+    """Plan pin: the sketch is expression-only (no Python eval nodes) and
+    the register max partial-aggregates map-side before its exchange."""
+    df = spark.range(1000).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        hll_distinct(df, "grp", "key").explain("formatted")
+    plan = buf.getvalue()
+    assert "Python" not in plan and "BatchEvalPython" not in plan
+    assert "partial_max" in plan
+
+
+def test_bitext_plan_single_join_no_cartesian(spark):
+    rows = [(1, "en", 10, 1000), (1, "de", 11, 1100)]
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bitext_pairs(_bitext_input(spark, rows)).explain("formatted")
+    plan = buf.getvalue()
+    tree = plan.split("\n\n")[0]
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert tree.count("Join") == 1
