@@ -2906,16 +2906,16 @@ _EXTRA_KEYS = frozenset(
     # pq_topk: product-quantization ANN (witnesses: ivf_topk shares the
     #   seeded-Lloyd + broadcast-argmin machinery, sq_topk the
     #   quantize-then-rank family)
-    # hll_distinct: relational HyperLogLog cardinality audit (witnesses:
-    #   exact_dedup's md5 fingerprint hashing + host_stats' group aggs;
-    #   the register arithmetic is integer-exact and oracle-checked)
-    # bitext_pairs: cross-lingual template alignment (witness:
-    #   latest_capture's per-key representative pick + the equi-join
-    #   family; ratio gate oracle-checked in pytest)
+    # --- round-4 LATE rotation: the two sketch/alignment families born
+    # this round take driver slots so CORRECTNESS_r04 witnesses them.
+    # host_stats -> hll_distinct (host-grain agg family stays in-window
+    #   via host_degree + host_cap; host_stats keeps its exact twin here);
+    # pack_sequences -> bitext_pairs (chunk_documents stays in-window and
+    #   shares the chunk/pack machinery; pack keeps its twin + plan pins)
     "heavy_hitters token_fertility html_sections lm_crossentropy "
     "rp_project page_types burst_detection quality_gate "
     "trustrank_hosts shard_manifest pq_topk "
-    "hll_distinct bitext_pairs".split()
+    "host_stats pack_sequences".split()
 )
 
 _QUERIES = {
