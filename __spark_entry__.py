@@ -1993,6 +1993,20 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_accuracy(_t(spark, sf_dir, "documents"), "lang", "text")
 
 
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style quantile estimates of document length per language
+    (q50/q90/q99). Integer-only binning — exact unit buckets to 15, then
+    8 linear sub-buckets per power-of-two octave (<= 6.25% relative
+    error) — so every bucket boundary is a pure integer comparison and
+    the DuckDB twin is bit-identical; the quantile scan runs over the
+    bounded bucket histogram, never the data (operators/sketches.py)."""
+    from ocr_spark.operators.sketches import dd_sketch_quantiles
+
+    return dd_sketch_quantiles(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars"
+    )
+
+
 def q_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitext mining: URL-template alignment of localized pages. Each
     document maps to a language-stripped template slug (doc_id % 257 —
@@ -2912,10 +2926,14 @@ _EXTRA_KEYS = frozenset(
     #   via host_degree + host_cap; host_stats keeps its exact twin here);
     # pack_sequences -> bitext_pairs (chunk_documents stays in-window and
     #   shares the chunk/pack machinery; pack keeps its twin + plan pins)
+    # sketch_quantiles: DDSketch-style bounded-relative-error quantiles
+    #   (born late in r4; in-window witnesses: hll_distinct shares the
+    #   bounded-sketch-state discipline, perplexity_buckets the exact-
+    #   rank family; exact twin in pytest)
     "heavy_hitters token_fertility html_sections lm_crossentropy "
     "rp_project page_types burst_detection quality_gate "
     "trustrank_hosts shard_manifest pq_topk "
-    "host_stats pack_sequences".split()
+    "host_stats pack_sequences sketch_quantiles".split()
 )
 
 _QUERIES = {
@@ -3032,6 +3050,7 @@ _QUERIES = {
         "pq_topk": q_pq_topk,
         "hll_distinct": q_hll_distinct,
         "bitext_pairs": q_bitext_pairs,
+        "sketch_quantiles": q_sketch_quantiles,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -5004,6 +5023,53 @@ def _hll_distinct_oracle() -> str:
     """
 
 
+def _sketch_quantiles_oracle() -> str:
+    """DuckDB twin of q_sketch_quantiles: identical integer bucket ids
+    (`//` for Spark's `div`), count histogram, cumulative window over
+    bucket rows, ceil(q*n) inverted-CDF pick, and the same midpoint
+    reconstruction with one final /2.0."""
+    from ocr_spark.operators.sketches import DD_EXACT_MAX, DD_SUBS
+
+    base = "(1::BIGINT << (length(bin(x)) - 1))"
+    e16 = DD_EXACT_MAX + 1
+    oct_ = f"((bucket - {e16}) // {DD_SUBS})"
+    w = f"(1::BIGINT << ({oct_} + 1))"
+    lower = f"((1::BIGINT << ({oct_} + 4)) + ((bucket - {e16}) % {DD_SUBS}) * {w})"
+    return f"""
+        WITH vals AS (
+            SELECT lang AS grp, n_chars AS x FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars >= 0
+        ), bk AS (
+            SELECT grp,
+                   CASE WHEN x <= {DD_EXACT_MAX} THEN CAST(x AS BIGINT)
+                        ELSE CAST({e16} + (length(bin(x)) - 5) * {DD_SUBS}
+                             + ((x - {base}) * {DD_SUBS}) // {base} AS BIGINT)
+                   END AS bucket
+            FROM vals
+        ), regs AS (
+            SELECT grp, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2
+        ), tot AS (
+            SELECT grp, sum(cnt) AS n FROM regs GROUP BY 1
+        ), cum AS (
+            SELECT grp, bucket,
+                   sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum
+            FROM regs
+        ), qq AS (
+            SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q
+        ), pick AS (
+            SELECT c.grp, qq.q, t.n, min(c.bucket) AS bucket
+            FROM cum c JOIN tot t USING (grp) CROSS JOIN qq
+            WHERE c.cum >= ceil(qq.q * t.n)
+            GROUP BY 1, 2, 3
+        )
+        SELECT grp, q,
+               CASE WHEN bucket <= {DD_EXACT_MAX} THEN CAST(bucket AS DOUBLE)
+                    ELSE (2 * {lower} + {w}) / 2.0 END AS est_value,
+               CAST(n AS BIGINT) AS n
+        FROM pick
+    """
+
+
 def _bitext_pairs_oracle() -> str:
     """DuckDB twin of q_bitext_pairs: same slug derivation, min-doc_id
     representative per (slug, lang), equi-join with lang_a < lang_b, and
@@ -6667,6 +6733,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "pq_topk": _pq_topk_oracle(),
         "hll_distinct": _hll_distinct_oracle(),
         "bitext_pairs": _bitext_pairs_oracle(),
+        "sketch_quantiles": _sketch_quantiles_oracle(),
         "page_types": _page_types_oracle(),
         "burst_detection": _burst_detection_oracle(),
         "quality_gate": _quality_gate_oracle(),

@@ -31,7 +31,7 @@ cardinalities where exact counting is the bottleneck.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # p=8 -> m=256 registers/group: ~6.5% standard error, 256-row group state.
@@ -126,6 +126,127 @@ def hll_estimate(regs: DataFrame) -> DataFrame:
 def hll_distinct(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
     """One-shot per-group HLL estimate (sketch + estimate in one plan)."""
     return hll_estimate(hll_registers(df, group_col, key_col))
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style quantile sketch (Masson et al., VLDB 2019), integer-binned.
+#
+# The quantile twin of the HLL above: per-group state is a bounded bucket
+# histogram (<= 16 + 8*59 rows however many values stream through),
+# mergeable by plain count-sum, with a bounded RELATIVE error on the
+# estimate. Production sketches bin by ceil(log_gamma(x)) — a float log
+# whose bucket boundaries would be libm-dependent and therefore break
+# cross-engine parity. This one bins with INTEGER arithmetic only:
+# values 0..15 get exact unit buckets; larger values split their
+# power-of-two octave into 8 linear sub-buckets (bucket width base/8,
+# so relative error <= 6.25% at the midpoint estimate — the gamma ~ 1.09
+# regime). Every boundary is a pure integer comparison -> bit-identical
+# in any engine.
+# ---------------------------------------------------------------------------
+
+DD_SUBS = 8          # linear sub-buckets per power-of-two octave
+DD_EXACT_MAX = 15    # values 0..15 are their own exact buckets (ids 0..15)
+
+
+def _dd_bucket_sql(v: str) -> str:
+    """Bucket id of nonnegative integer expression ``v`` (engine-neutral
+    integer arithmetic; the DuckDB twin swaps `div` for `//`)."""
+    base = f"shiftleft(CAST(1 AS BIGINT), length(bin({v})) - 1)"
+    return (
+        f"CASE WHEN {v} <= {DD_EXACT_MAX} THEN CAST({v} AS BIGINT) "
+        f"ELSE CAST({DD_EXACT_MAX + 1} + (length(bin({v})) - 5) * {DD_SUBS} "
+        f"+ (({v} - {base}) * {DD_SUBS}) div {base} AS BIGINT) END"
+    )
+
+
+def dd_buckets(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(grp, bucket, cnt) histogram state — the mergeable sketch.
+
+    One projection + one partial-agg groupBy; merge = union + re-sum.
+    NULL/negative values are out of the sketch's domain and are dropped
+    here (callers tracking them keep their own count column)."""
+    return (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) >= 0))
+        .select(
+            F.col(group_col).alias("grp"),
+            F.expr(_dd_bucket_sql(value_col)).alias("bucket"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_merge(stored: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Fold a batch histogram into persisted sketch state (count-sum).
+
+    Unlike the HLL max-merge this is NOT replay-idempotent (a re-summed
+    batch double-counts), so the streaming deployment pairs it with the
+    batch-id commit-or-skip ledger (streaming/ingest.py) exactly like
+    the corpus appends themselves."""
+    if stored is None:
+        return delta
+    return (
+        stored.unionByName(delta)
+        .groupBy("grp", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+# midpoint value of a bucket id: exact ids return themselves; octave ids
+# reconstruct lower + width/2 from integer pieces, one final /2.0
+_DD_EST_SQL = (
+    f"CASE WHEN bucket <= {DD_EXACT_MAX} THEN CAST(bucket AS DOUBLE) "
+    f"ELSE ("
+    f"2 * (shiftleft(CAST(1 AS BIGINT), CAST((bucket - {DD_EXACT_MAX + 1}) "
+    f"AS INT) div {DD_SUBS} + 4) "
+    f"+ ((bucket - {DD_EXACT_MAX + 1}) % {DD_SUBS}) "
+    f"* shiftleft(CAST(1 AS BIGINT), CAST((bucket - {DD_EXACT_MAX + 1}) "
+    f"AS INT) div {DD_SUBS} + 1)) "
+    f"+ shiftleft(CAST(1 AS BIGINT), CAST((bucket - {DD_EXACT_MAX + 1}) "
+    f"AS INT) div {DD_SUBS} + 1)"
+    f") / 2.0 END"
+)
+
+
+def dd_quantiles(
+    regs: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Quantile estimates from sketch state: (grp, q, est_value, n).
+
+    For each q the estimate is the midpoint of the first bucket whose
+    cumulative count reaches ceil(q*n) (the inverted-CDF rank). The
+    window scan runs over BUCKET rows (bounded per group), never over
+    the data — this is the whole point of the sketch at 100 TB.
+    """
+    totals = regs.groupBy("grp").agg(F.sum("cnt").alias("n"))
+    cum = regs.withColumn(
+        "cum",
+        F.sum("cnt").over(Window.partitionBy("grp").orderBy("bucket")),
+    )
+    qlits = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    ranked = (
+        cum.join(totals, "grp")
+        .select("grp", "bucket", "cum", "n", qlits)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("grp", "q", "n")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return ranked.select(
+        "grp",
+        "q",
+        F.expr(_DD_EST_SQL).alias("est_value"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def dd_sketch_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """One-shot: histogram + quantile estimates in a single plan."""
+    return dd_quantiles(dd_buckets(df, group_col, value_col), qs)
 
 
 def hll_accuracy(

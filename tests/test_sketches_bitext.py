@@ -165,6 +165,60 @@ def test_hll_plan_no_python_partial_max(spark):
     assert "partial_max" in plan
 
 
+def test_dd_quantiles_within_relative_error_bound(spark):
+    """Heavy-tailed values: every estimated quantile must sit within the
+    sketch's bucket of the true inverted-CDF quantile, i.e. <= 6.25%
+    midpoint relative error (plus the unit-bucket exactness below 16)."""
+    import numpy as np
+
+    from ocr_spark.operators.sketches import dd_sketch_quantiles
+
+    rng = np.random.RandomState(7)
+    vals = np.exp(rng.normal(5, 1.5, 20_000)).astype("int64")
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long").select(
+        F.lit("g").alias("g"), "x"
+    )
+    for r in dd_sketch_quantiles(df, "g", "x").collect():
+        exact = float(np.percentile(vals, r["q"] * 100, method="inverted_cdf"))
+        assert abs(r["est_value"] - exact) / exact <= 0.0625, (r["q"], r["est_value"], exact)
+        assert r["n"] == 20_000
+
+
+def test_dd_small_values_are_exact(spark):
+    from ocr_spark.operators.sketches import dd_sketch_quantiles
+
+    df = spark.createDataFrame(
+        [("g", v) for v in (0, 1, 2, 3, 4, 5, 6, 7, 8, 9)], "g string, x long"
+    )
+    got = {r["q"]: r["est_value"] for r in dd_sketch_quantiles(df, "g", "x").collect()}
+    assert got[0.5] == 4.0   # ceil(0.5*10) = 5th smallest (inverted CDF) = 4
+    assert got[0.99] == 9.0  # ceil(0.99*10) = 10th smallest = 9
+
+
+def test_dd_merge_equals_direct(spark):
+    from ocr_spark.operators.sketches import dd_buckets, dd_merge, dd_quantiles, dd_sketch_quantiles
+
+    whole = spark.range(1, 5000).select(
+        F.lit("g").alias("g"), (F.col("id") * 37 % 9973).alias("x")
+    )
+    a = whole.where(F.col("id") < 2500)
+    b = whole.where(F.col("id") >= 2500)
+    merged = dd_merge(dd_buckets(a, "g", "x"), dd_buckets(b, "g", "x"))
+    got = sorted(map(tuple, dd_quantiles(merged).collect()))
+    want = sorted(map(tuple, dd_sketch_quantiles(whole, "g", "x").collect()))
+    assert got == want
+
+
+def test_dd_nulls_and_negatives_out_of_domain(spark):
+    from ocr_spark.operators.sketches import dd_buckets
+
+    df = spark.createDataFrame(
+        [("g", 5), ("g", None), ("g", -3)], "g string, x long"
+    )
+    regs = dd_buckets(df, "g", "x").collect()
+    assert len(regs) == 1 and regs[0]["bucket"] == 5 and regs[0]["cnt"] == 1
+
+
 def test_bitext_plan_single_join_no_cartesian(spark):
     rows = [(1, "en", 10, 1000), (1, "de", 11, 1100)]
     import contextlib
