@@ -1993,6 +1993,22 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_accuracy(_t(spark, sf_dir, "documents"), "lang", "text")
 
 
+PHRASE_QUERY = ("big", "table")  # part of the query's identity, shared w/ twin
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over positional postings: docs containing
+    the token sequence PHRASE_QUERY with match counts. The engine runs
+    the production intersection (vocab-pruned posexplode -> one keyed
+    join per phrase offset, operators/index.py); the DuckDB twin is an
+    INDEPENDENT construction — a per-document list comprehension over
+    the same token array — so agreement checks the join chain against
+    first principles, not a SQL transliteration of itself."""
+    from ocr_spark.operators.index import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), list(PHRASE_QUERY))
+
+
 def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch-style quantile estimates of document length per language
     (q50/q90/q99). Integer-only binning — exact unit buckets to 15, then
@@ -2930,10 +2946,13 @@ _EXTRA_KEYS = frozenset(
     #   (born late in r4; in-window witnesses: hll_distinct shares the
     #   bounded-sketch-state discipline, perplexity_buckets the exact-
     #   rank family; exact twin in pytest)
+    # phrase_search: positional-postings intersection (in-window
+    #   witnesses: inverted_index shares the token/postings machinery,
+    #   bm25's vocab-prune discipline; independent-construction twin)
     "heavy_hitters token_fertility html_sections lm_crossentropy "
     "rp_project page_types burst_detection quality_gate "
     "trustrank_hosts shard_manifest pq_topk "
-    "host_stats pack_sequences sketch_quantiles".split()
+    "host_stats pack_sequences sketch_quantiles phrase_search".split()
 )
 
 _QUERIES = {
@@ -3051,6 +3070,7 @@ _QUERIES = {
         "hll_distinct": q_hll_distinct,
         "bitext_pairs": q_bitext_pairs,
         "sketch_quantiles": q_sketch_quantiles,
+        "phrase_search": q_phrase_search,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -5023,6 +5043,32 @@ def _hll_distinct_oracle() -> str:
     """
 
 
+def _phrase_search_oracle() -> str:
+    """Independent DuckDB construction for q_phrase_search: count phrase
+    starts per document with a list comprehension over the token array
+    (no joins at all — first-principles truth for the postings chain)."""
+    phrase = PHRASE_QUERY
+    k = len(phrase)
+    conds = " AND ".join(
+        f"tk[i + {j}] = '{t}'" for j, t in enumerate(phrase)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '[A-Za-z0-9_'']+') AS tk
+            FROM documents
+        ), hits AS (
+            SELECT doc_id,
+                   len([i for i in generate_series(1, len(tk) - {k - 1})
+                        if {conds}]) AS n_matches
+            FROM toks
+        )
+        SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+        FROM hits WHERE n_matches > 0
+    """
+
+
 def _sketch_quantiles_oracle() -> str:
     """DuckDB twin of q_sketch_quantiles: identical integer bucket ids
     (`//` for Spark's `div`), count histogram, cumulative window over
@@ -6734,6 +6780,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "hll_distinct": _hll_distinct_oracle(),
         "bitext_pairs": _bitext_pairs_oracle(),
         "sketch_quantiles": _sketch_quantiles_oracle(),
+        "phrase_search": _phrase_search_oracle(),
         "page_types": _page_types_oracle(),
         "burst_detection": _burst_detection_oracle(),
         "quality_gate": _quality_gate_oracle(),

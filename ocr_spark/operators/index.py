@@ -75,6 +75,67 @@ def inverted_index(
     return inv.where(cond).select("term", "df", "cf", "postings")
 
 
+def positional_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: list[str] | None = None,
+) -> DataFrame:
+    """(term, id, pos) positional postings — the phrase-query sibling of
+    ``inverted_index``. ``vocab`` prunes to the query's own terms BEFORE
+    anything shuffles (the bm25 query-vocab-filter discipline): for a
+    phrase lookup the corpus contributes only rows for the phrase's
+    terms, not its whole token stream."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(TOKEN_PATTERN),
+                F.lit(0),
+            )
+        ).alias("pos", "term"),
+    )
+    if vocab is not None:
+        toks = toks.where(F.col("term").isin(*sorted(set(vocab))))
+    return toks.select("term", "id", "pos")
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval: documents containing the token sequence
+    ``phrase``, with match counts. Columns: doc_id, n_matches.
+
+    Classic positional-postings intersection: anchor on the phrase's
+    first term, then one equi-join per remaining term on
+    (id, pos + offset). Every join is keyed — no cartesian — and the
+    corpus-side stream was already pruned to the phrase's own terms, so
+    the joined relations are bounded by those terms' postings (at 100 TB
+    the same df-ceiling guard as ``inverted_index`` applies to stopword-
+    only phrases; AQE handles a skewed hot term). Duplicate terms in the
+    phrase are fine: each position's join sees its own offset."""
+    if not phrase:
+        raise ValueError("phrase must have at least one term")
+    terms = [t.lower() for t in phrase]
+    pos = positional_postings(df, text_col, id_col, vocab=terms)
+    acc = (
+        pos.where(F.col("term") == terms[0])
+        .select("id", F.col("pos").alias("start"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pos.where(F.col("term") == t).select(
+            "id", (F.col("pos") - i).alias("start")
+        )
+        acc = acc.join(nxt, ["id", "start"])
+    return acc.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
