@@ -1,0 +1,74 @@
+"""Z-order layout clustering: multi-column file skipping."""
+
+from pyspark.sql import functions as F
+
+from ocr_spark.plans.zorder import pruning_ratio, write_zordered, zorder_key
+from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+
+def _xy(spark, n=20_000):
+    """Two independent pseudo-uniform columns (deterministic)."""
+    return spark.range(n).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id")) % 10_000 + 10_000) % 10_000,
+        (F.xxhash64(F.col("id"), F.lit(1)) % 10_000 + 10_000) % 10_000,
+    ).toDF("id", "x", "y")
+
+
+def test_zorder_key_locality(spark):
+    """Morton keys of points close in BOTH dims are closer than points
+    close in one dim only (the interleave actually interleaves)."""
+    df = spark.createDataFrame(
+        [(0, 0, 0), (1, 1, 1), (2, 0, 9999), (3, 9999, 9999)],
+        "id long, x long, y long",
+    )
+    z = {r["id"]: r["_z"] for r in zorder_key(df, ["x", "y"]).collect()}
+    assert z[0] < z[1] < z[3]
+    assert abs(z[0] - z[1]) < abs(z[0] - z[2])  # near-in-both beats far-in-y
+
+
+def test_zorder_prunes_on_every_clustered_column(spark, tmp_path):
+    df = _xy(spark)
+    zt = write_zordered(df, str(tmp_path / "zt"), ["x", "y"], n_buckets=16)
+    # a linear layout clustered by x alone: same entry count, same stats
+    lin = IcebergLiteTable(str(tmp_path / "lin"))
+    lin.overwrite(
+        df.withColumn("_zb", (F.col("x") / F.lit(10_000 / 16)).cast("int")),
+        partition_by="_zb",
+        stats_cols=("x", "y"),
+    )
+    assert len(zt.entries()) == len(lin.entries()) == 16
+    # predicate on x: both layouts prune (x correlates with bucket in both)
+    assert pruning_ratio(zt, "x", 0, 600) < 0.5
+    assert pruning_ratio(lin, "x", 0, 600) < 0.5
+    # predicate on y: ONLY the z-ordered layout prunes — the linear
+    # layout's per-bucket y stats span the whole domain
+    assert pruning_ratio(zt, "y", 0, 600) < 0.5
+    assert pruning_ratio(lin, "y", 0, 600) == 1.0
+
+
+def test_zorder_pruned_read_is_lossless(spark, tmp_path):
+    """Conservative pruning: the pruned read + residual filter returns
+    exactly the rows a full scan's filter would."""
+    df = _xy(spark, 5_000)
+    t = write_zordered(df, str(tmp_path / "zt2"), ["x", "y"], n_buckets=16)
+    lo, hi = 1200, 1800
+    pruned = (
+        t.read(spark, ranges={"y": (lo, hi)})
+        .where(F.col("y").between(lo, hi))
+    )
+    want = df.where(F.col("y").between(lo, hi))
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+
+
+def test_zorder_constant_and_null_columns(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 5, None), (2, 5, 3), (3, 5, 9)], "id long, x long, y long"
+    )
+    z = zorder_key(df, ["x", "y"]).collect()
+    assert all(r["_z"] is not None for r in z)
+    # constant x contributes 0 bits; NULL y normalizes to the minimum
+    zmap = {r["id"]: r["_z"] for r in z}
+    assert zmap[1] == zmap[2] or zmap[1] < zmap[3]
