@@ -126,6 +126,59 @@ def cmd_signals(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dedup(args: argparse.Namespace) -> int:
+    """Corpus-hygiene pass over the committed extracted output: quality
+    filter -> exact dedup -> near-dup clustering (operators/corpus.py,
+    keyed by url), dispositions committed to ``{table_root}/dedup``.
+    Overwrite semantics make a re-run idempotent (the decision set is a
+    pure function of the corpus snapshot — the cmd_signals lesson);
+    ``--apply`` additionally commits the surviving documents to
+    ``{table_root}/clean``."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.corpus import clean_corpus
+    from ocr_spark.pipeline import read_extracted
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    spark = _spark()
+    ext = read_extracted(spark, args.table_root)
+    if ext is None:
+        print("no committed snapshots", file=sys.stderr)
+        return 1
+    # the connected-components stage needs numeric ids: key the pass by a
+    # stable url hash (collision odds ~2^-64 per pair — the dedup keeper
+    # pick is already an arbitrary-but-deterministic representative)
+    keyed = ext.select(
+        F.xxhash64("url").alias("_did"), "url", "text"
+    )
+    disp = (
+        clean_corpus(
+            keyed, text_col="text", id_col="_did",
+            minhash_threshold=args.threshold,
+        )
+        .join(keyed.select("_did", "url"), "_did")
+        .select("url", "stage")
+        .persist()
+    )
+    counts = {r["stage"]: r["n"] for r in disp.groupBy("stage")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    t = IcebergLiteTable(f"{args.table_root}/dedup")
+    sid = t.overwrite(disp, properties={"stages": str(sorted(counts.items()))})
+    line = " ".join(f"{k}={counts.get(k, 0)}"
+                    for k in ("kept", "quality", "exact_dup", "near_dup"))
+    print(f"dedup snapshot {sid}: {line}")
+    if args.apply:
+        kept = ext.join(
+            disp.where(F.col("stage") == "kept").select("url"), "url", "left_semi"
+        )
+        csid = IcebergLiteTable(f"{args.table_root}/clean").overwrite(
+            kept, properties={"rows": counts.get("kept", 0)}
+        )
+        print(f"clean snapshot {csid}: {counts.get('kept', 0)} docs")
+    disp.unpersist()
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     from ocr_spark.sources.iceberg_lite import IcebergLiteTable
 
@@ -191,6 +244,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     si.add_argument("--table-root", required=True)
     si.set_defaults(fn=cmd_signals)
+
+    de = sub.add_parser(
+        "dedup", help="corpus hygiene (quality -> exact -> near-dup) dispositions"
+    )
+    de.add_argument("--table-root", required=True)
+    de.add_argument("--threshold", type=float, default=0.5,
+                    help="minhash jaccard threshold for the near-dup stage")
+    de.add_argument("--apply", action="store_true",
+                    help="also commit surviving docs to {table_root}/clean")
+    de.set_defaults(fn=cmd_dedup)
 
     co = sub.add_parser("compact", help="rewrite a table's data files (snapshot commit)")
     co.add_argument("--table-root", required=True)

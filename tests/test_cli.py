@@ -52,6 +52,23 @@ def test_cli_signals_commits_beside_output(roots, spark, capsys):
     assert sig2.select("url").distinct().count() == 400
 
 
+def test_cli_dedup_dispositions_and_apply(roots, spark, capsys):
+    pages, table_root = roots
+    assert jobs.main(["dedup", "--table-root", table_root, "--apply"]) == 0
+    out = capsys.readouterr().out
+    assert "dedup snapshot" in out and "kept=" in out and "clean snapshot" in out
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    disp = IcebergLiteTable(f"{table_root}/dedup").read(spark)
+    assert disp.count() == 400  # one disposition per committed doc
+    clean = IcebergLiteTable(f"{table_root}/clean").read(spark)
+    kept = disp.where("stage = 'kept'").count()
+    assert clean.count() == kept > 0
+    # idempotent: a re-run replaces, never duplicates
+    assert jobs.main(["dedup", "--table-root", table_root]) == 0
+    assert IcebergLiteTable(f"{table_root}/dedup").read(spark).count() == 400
+
+
 def test_cli_validate_compact_expire(roots, capsys):
     pages, table_root = roots
     assert jobs.main(["validate", "--table-root", table_root]) == 0
