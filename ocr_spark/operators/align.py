@@ -1,0 +1,154 @@
+"""Gale-Church sentence alignment over mined bitext page pairs.
+
+The second stage of the bitext pipeline (operators/bitext.py finds the
+page pairs; this aligns their sentences into translation beads). The
+algorithm is the classic length-based dynamic program (Gale & Church,
+ACL 1991): sentence lengths are the only signal, beads may be 1-1, 1-0,
+0-1, 2-1, 1-2 or 2-2, and each bead pays -log(prior) plus a cost from
+the normalized length difference.
+
+Spark shape — the ONE operator family where a per-group dynamic program
+is genuinely required, and exactly what the Arrow COGROUP path exists
+for: the two sentence streams group by pair id on each side,
+``groupBy(...).cogroup(...).applyInPandas`` delivers both sides of each
+pair to one Python call as pandas frames, and the DP runs per pair over
+at most ``MAX_SENTS`` rows a side (bounded state, bounded cost —
+O(n*m*6) per pair). Everything before the cogroup is JVM-side
+(sentence split + length projection); the pair key partitions the work,
+so 10^9 pairs spread across the cluster with no driver involvement.
+
+Evidence tier: the DP is not SQL-expressible, so this operator is
+pinned by construction tests (identity alignment, merged-sentence 2-1
+beads, empty-side insertion chains, determinism) rather than a DuckDB
+twin — the documented weaker tier for iterative per-group algorithms.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_SENTS = 200          # DP bound per pair per side
+# Gale-Church bead priors (their Table 5) and length-model variance
+_PRIORS = {
+    (1, 1): 0.89,
+    (1, 0): 0.0099,
+    (0, 1): 0.0099,
+    (2, 1): 0.089,
+    (1, 2): 0.089,
+    (2, 2): 0.011,
+}
+_VAR = 6.8   # variance of per-character length ratio
+_BIG = 1e18
+
+
+def _bead_cost(la: int, lb: int, na: int, nb: int) -> float:
+    """-log P(bead): length-difference cost + bead-type prior."""
+    prior = _PRIORS[(na, nb)]
+    if la == 0 and lb == 0:
+        return -math.log(prior)
+    mean = (la + lb / 1.0) / 2.0
+    delta = (lb - la) / math.sqrt(_VAR * max(mean, 1.0))
+    # two-sided tail probability of |delta| under N(0,1)
+    tail = max(2.0 * (1.0 - 0.5 * (1.0 + math.erf(abs(delta) / math.sqrt(2.0)))),
+               1e-300)
+    return -math.log(tail) - math.log(prior)
+
+
+def _align_lengths(a: list[int], b: list[int]) -> list[tuple[int, int, int, int, float]]:
+    """DP over sentence-length lists -> beads
+    (a_start, a_end, b_start, b_end, cost); ends exclusive."""
+    n, m = len(a), len(b)
+    cost = [[_BIG] * (m + 1) for _ in range(n + 1)]
+    back: list[list[tuple[int, int] | None]] = [
+        [None] * (m + 1) for _ in range(n + 1)
+    ]
+    cost[0][0] = 0.0
+    for i in range(n + 1):
+        for j in range(m + 1):
+            c0 = cost[i][j]
+            if c0 >= _BIG:
+                continue
+            for (na, nb), _p in _PRIORS.items():
+                i2, j2 = i + na, j + nb
+                if i2 > n or j2 > m:
+                    continue
+                la = sum(a[i:i2])
+                lb = sum(b[j:j2])
+                c = c0 + _bead_cost(la, lb, na, nb)
+                if c < cost[i2][j2]:
+                    cost[i2][j2] = c
+                    back[i2][j2] = (na, nb)
+    beads = []
+    i, j = n, m
+    while (i, j) != (0, 0):
+        step = back[i][j]
+        if step is None:  # unreachable corner (empty inputs): stop
+            break
+        na, nb = step
+        beads.append((i - na, i, j - nb, j,
+                      round(cost[i][j] - cost[i - na][j - nb], 4)))
+        i, j = i - na, j - nb
+    beads.reverse()
+    return beads
+
+
+ALIGN_SCHEMA = (
+    "pair_id long, a_start int, a_end int, b_start int, b_end int, cost double"
+)
+
+
+def align_sentences(
+    pairs: DataFrame,
+    docs: DataFrame,
+    split_pattern: str = r"(?<=[.!?])\s+",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Align the sentences of each (pair_id, doc_a, doc_b) page pair.
+
+    ``pairs``: one row per mined pair; ``docs``: the corpus. Sentences
+    are split JVM-side and reduced to (pair id, index, char length) —
+    the cogroup moves 16 bytes per sentence, never the text. Output:
+    one bead per aligned span (ALIGN_SCHEMA), ends exclusive.
+    """
+    def side(doc_col: str, suf: str) -> DataFrame:
+        # per-side column names: the two cogroup children otherwise share
+        # the same source attributes (pairs + docs appear in both plans)
+        # and trip the ambiguous-self-join analyzer check
+        return (
+            pairs.select(
+                F.col("pair_id").alias(f"pid_{suf}"), F.col(doc_col).alias(id_col)
+            )
+            .join(docs.select(id_col, text_col), id_col)
+            .select(
+                f"pid_{suf}",
+                F.posexplode(
+                    F.slice(
+                        F.split(F.coalesce(F.col(text_col), F.lit("")),
+                                split_pattern),
+                        1, MAX_SENTS,
+                    )
+                ).alias(f"idx_{suf}", "sent"),
+            )
+            .where(F.length("sent") > 0)
+            .select(f"pid_{suf}", f"idx_{suf}", F.length("sent").alias(f"len_{suf}"))
+        )
+
+    def do_align(key, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
+        la = [int(r) for r in pa.sort_values("idx_a")["len_a"]]
+        lb = [int(r) for r in pb.sort_values("idx_b")["len_b"]]
+        beads = _align_lengths(la, lb)
+        return pd.DataFrame(
+            [(key[0], *bead) for bead in beads],
+            columns=["pair_id", "a_start", "a_end", "b_start", "b_end", "cost"],
+        )
+
+    return (
+        side("doc_a", "a").groupBy("pid_a")
+        .cogroup(side("doc_b", "b").groupBy("pid_b"))
+        .applyInPandas(do_align, schema=ALIGN_SCHEMA)
+    )
