@@ -179,6 +179,49 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stats(args: argparse.Namespace) -> int:
+    """Corpus statistics over the committed extracted output, computed
+    with the bounded-state sketches (operators/sketches.py): per-status
+    doc counts, HLL distinct-host estimate, and DDSketch length
+    quantiles per extract_status — the numbers an operator wants before
+    launching anything expensive, at sketch cost (no distinct shuffle,
+    no global sort) no matter the corpus size."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.sketches import dd_sketch_quantiles, hll_distinct
+    from ocr_spark.pipeline import read_extracted
+
+    spark = _spark()
+    ext = read_extracted(spark, args.table_root)
+    if ext is None:
+        print("no committed snapshots", file=sys.stderr)
+        return 1
+    counts = {
+        r["extract_status"]: r["n"]
+        for r in ext.groupBy("extract_status")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    host = F.parse_url("url", F.lit("HOST"))
+    hosts = {
+        r["grp"]: r["est_distinct"]
+        for r in hll_distinct(
+            ext.select(F.lit("all").alias("g"), host.alias("h")), "g", "h"
+        ).collect()
+    }
+    lens = ext.select(
+        "extract_status", F.length(F.coalesce("text", F.lit(""))).alias("n_chars")
+    )
+    qs = sorted(
+        dd_sketch_quantiles(lens, "extract_status", "n_chars").collect(),
+        key=lambda r: (r["grp"], r["q"]),
+    )
+    print(f"docs={sum(counts.values())} statuses={sorted(counts.items())}")
+    print(f"distinct_hosts~={hosts.get('all', 0)}")
+    for r in qs:
+        print(f"len[{r['grp']}] q{int(r['q'] * 100)} ~= {r['est_value']:.0f}")
+    return 0
+
+
 def cmd_compact(args: argparse.Namespace) -> int:
     from ocr_spark.sources.iceberg_lite import IcebergLiteTable
 
@@ -254,6 +297,12 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--apply", action="store_true",
                     help="also commit surviving docs to {table_root}/clean")
     de.set_defaults(fn=cmd_dedup)
+
+    st = sub.add_parser(
+        "stats", help="sketch-based corpus statistics over committed output"
+    )
+    st.add_argument("--table-root", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     co = sub.add_parser("compact", help="rewrite a table's data files (snapshot commit)")
     co.add_argument("--table-root", required=True)

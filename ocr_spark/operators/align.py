@@ -152,3 +152,83 @@ def align_sentences(
         .cogroup(side("doc_b", "b").groupBy("pid_b"))
         .applyInPandas(do_align, schema=ALIGN_SCHEMA)
     )
+
+
+def _sentences(pairs: DataFrame, docs: DataFrame, doc_col: str, suf: str,
+               split_pattern: str, id_col: str, text_col: str) -> DataFrame:
+    """(pid_<suf>, idx_<suf>, sent_<suf>) — the text-carrying twin of the
+    length stream align_sentences cogroups on (same split, same cap)."""
+    return (
+        pairs.select(
+            F.col("pair_id").alias(f"pid_{suf}"), F.col(doc_col).alias(id_col)
+        )
+        .join(docs.select(id_col, text_col), id_col)
+        .select(
+            f"pid_{suf}",
+            F.posexplode(
+                F.slice(
+                    F.split(F.coalesce(F.col(text_col), F.lit("")), split_pattern),
+                    1, MAX_SENTS,
+                )
+            ).alias(f"idx_{suf}", f"sent_{suf}"),
+        )
+        .where(F.length(f"sent_{suf}") > 0)
+    )
+
+
+def bitext_records(
+    pairs: DataFrame,
+    docs: DataFrame,
+    beads: DataFrame,
+    split_pattern: str = r"(?<=[.!?])\s+",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize aligned beads as translation-pair records:
+    (pair_id, a_start, b_start, a_text, b_text, cost). The export stage
+    after `align_sentences` — sentence spans re-join their text via two
+    pair-keyed equi-joins with span residuals (never a cartesian: the
+    join key is the pair id, the start/end comparison is a residual
+    filter), 1-0/0-1 beads keep an empty opposite side (never-drop)."""
+    def agg_side(suf: str, doc_col: str) -> DataFrame:
+        sents = _sentences(pairs, docs, doc_col, suf, split_pattern,
+                           id_col, text_col)
+        b = beads.select(
+            "pair_id", "a_start", "a_end", "b_start", "b_end", "cost"
+        )
+        joined = b.join(
+            sents,
+            (b["pair_id"] == sents[f"pid_{suf}"])
+            & (sents[f"idx_{suf}"] >= b[f"{suf}_start"])
+            & (sents[f"idx_{suf}"] < b[f"{suf}_end"]),
+        )
+        return joined.groupBy(
+            "pair_id", "a_start", "a_end", "b_start", "b_end", "cost"
+        ).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(f"idx_{suf}", f"sent_{suf}")
+                        )
+                    ),
+                    lambda s: s[f"sent_{suf}"],
+                ),
+                " ",
+            ).alias(f"{suf}_text")
+        )
+
+    key = ["pair_id", "a_start", "a_end", "b_start", "b_end", "cost"]
+    a = agg_side("a", "doc_a")
+    b = agg_side("b", "doc_b")
+    return (
+        beads.select(*key)
+        .join(a, key, "left")
+        .join(b, key, "left")
+        .select(
+            "pair_id", "a_start", "b_start",
+            F.coalesce("a_text", F.lit("")).alias("a_text"),
+            F.coalesce("b_text", F.lit("")).alias("b_text"),
+            "cost",
+        )
+    )

@@ -51,6 +51,41 @@ def test_align_sentences_cogroup(spark):
     assert sorted(by_pair[11]) == [(0, 1, 0, 1), (1, 2, 1, 2)]
 
 
+def test_bitext_records_export(spark):
+    from ocr_spark.operators.align import bitext_records
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha beta gamma delta. Epsilon zeta eta! Theta iota kappa?"),
+            (2, "Alpho bete gamme delte. Epsilon zete ete! Thete iote kappe?"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(10, 1, 2)], "pair_id long, doc_a long, doc_b long")
+    beads = align_sentences(pairs, docs)
+    recs = sorted(
+        bitext_records(pairs, docs, beads).collect(), key=lambda r: r["a_start"]
+    )
+    assert len(recs) == 3
+    assert recs[0]["a_text"] == "Alpha beta gamma delta."
+    assert recs[0]["b_text"] == "Alpho bete gamme delte."
+    assert recs[2]["a_text"].startswith("Theta")
+    assert recs[2]["b_text"].startswith("Thete")
+
+
+def test_bitext_records_empty_side_bead(spark):
+    from ocr_spark.operators.align import bitext_records
+
+    docs = spark.createDataFrame(
+        [(1, "Lone sentence here."), (2, "")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(7, 1, 2)], "pair_id long, doc_a long, doc_b long")
+    beads = align_sentences(pairs, docs)
+    recs = bitext_records(pairs, docs, beads).collect()
+    assert len(recs) == 1
+    assert recs[0]["a_text"] == "Lone sentence here." and recs[0]["b_text"] == ""
+
+
 def test_align_plan_uses_cogroup(spark):
     import contextlib
     import io

@@ -69,6 +69,15 @@ def test_cli_dedup_dispositions_and_apply(roots, spark, capsys):
     assert IcebergLiteTable(f"{table_root}/dedup").read(spark).count() == 400
 
 
+def test_cli_stats_sketch_summary(roots, capsys):
+    pages, table_root = roots
+    assert jobs.main(["stats", "--table-root", table_root]) == 0
+    out = capsys.readouterr().out
+    assert "docs=400" in out
+    assert "distinct_hosts~=" in out
+    assert "q50" in out and "q99" in out
+
+
 def test_cli_validate_compact_expire(roots, capsys):
     pages, table_root = roots
     assert jobs.main(["validate", "--table-root", table_root]) == 0
