@@ -565,6 +565,28 @@ def scale_worker(cores: int) -> None:
             prev = burst_info[-1]
             prev["calib_post"] = cal_pre
             prev["calib"] = max(prev["calib_pre"], cal_pre)
+        # calibration pre-gate (the drift-day lesson: a burst started in
+        # a bad memory-bandwidth window is tagged invalid on arrival and
+        # its whole wall is wasted): once a best calibration exists, defer
+        # the burst while the CURRENT climate is outside the validity
+        # tolerance — bounded by the same guard-wait cap and the level
+        # budget, and the deferral is recorded with the burst
+        cal_waited = 0
+        if burst_info:
+            best_cal = min(
+                min(b["calib_pre"], b["calib_post"] or b["calib_pre"])
+                for b in burst_info
+            )
+            best_cal = min(best_cal, cal_pre)
+            while (
+                cal_pre > best_cal * CALIB_TOL
+                and cal_waited < GUARD_WAIT_MAX_S
+                and time.time() - level_t0 < LEVEL_BUDGET_S
+            ):
+                time.sleep(15)
+                cal_waited += 15
+                cal_pre = _calibrate()
+                best_cal = min(best_cal, cal_pre)
         t_before = _cpu_ticks()
         burst_walls = [
             run_extract_job(spark, PAGES_DIR, f"{SHM_DIR}/out_{cores}")
@@ -577,6 +599,7 @@ def scale_worker(cores: int) -> None:
                 "loadavg_pre": round(_loadavg1(), 2),
                 "probe": [p_ext, p_steal],
                 "guard_waited_s": waited,
+                "calib_waited_s": cal_waited,
                 "ext_busy": _ext_busy(t_before, t_after, pinned),
                 "pin_steal": _pin_steal(t_before, t_after, pinned),
                 "calib": cal_pre,
