@@ -239,6 +239,40 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_zorder(args: argparse.Namespace) -> int:
+    """Rewrite a committed table z-order-clustered on the given columns
+    (plans/zorder.py): one clustered rewrite buys manifest range pruning
+    on EVERY listed column for all later scans. Prints the before/after
+    pruning ratio for a probe range on each column so the payoff is
+    visible at commit time."""
+    from ocr_spark.plans.zorder import pruning_ratio, write_zordered, zorder_key
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    spark = _spark()
+    src = IcebergLiteTable(f"{args.table_root}/{args.table}")
+    if not src.exists():
+        print("no committed snapshots", file=sys.stderr)
+        return 1
+    df = src.read(spark)
+    cols = args.by.split(",")
+    # sanity: zorder_key validates the columns exist before any write
+    zorder_key(df.limit(1), cols)
+    out_root = f"{args.table_root}/{args.table}_zorder"
+    t = write_zordered(df, out_root, cols, n_buckets=args.buckets)
+    stats = {e["dir"]: e.get("stats", {}) for e in t.entries()}
+    print(f"z-ordered {df.count()} rows into {len(stats)} entries at {out_root}")
+    for c in cols:
+        los = [s[c][0] for s in stats.values() if c in s]
+        his = [s[c][1] for s in stats.values() if c in s]
+        if not los:
+            continue
+        lo, hi = min(los), max(his)
+        probe_hi = lo + (hi - lo) // 10 if isinstance(lo, int) else hi
+        r = pruning_ratio(t, c, lo, probe_hi)
+        print(f"prune[{c}] bottom-decile probe keeps {r:.2f} of entries")
+    return 0
+
+
 def cmd_expire(args: argparse.Namespace) -> int:
     from ocr_spark.sources.iceberg_lite import IcebergLiteTable
 
@@ -312,6 +346,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="size files by bytes (Iceberg binpack sizing) "
                          "instead of a fixed count")
     co.set_defaults(fn=cmd_compact)
+
+    zo = sub.add_parser(
+        "zorder", help="rewrite a table z-order-clustered for multi-column pruning"
+    )
+    zo.add_argument("--table-root", required=True)
+    zo.add_argument("--table", default="extracted")
+    zo.add_argument("--by", required=True,
+                    help="comma-separated columns to cluster on")
+    zo.add_argument("--buckets", type=int, default=16)
+    zo.set_defaults(fn=cmd_zorder)
 
     exp = sub.add_parser(
         "expire", help="expire old snapshots and remove orphan data dirs"

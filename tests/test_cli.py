@@ -78,6 +78,21 @@ def test_cli_stats_sketch_summary(roots, capsys):
     assert "q50" in out and "q99" in out
 
 
+def test_cli_zorder_rewrite(roots, spark, capsys):
+    pages, table_root = roots
+    assert jobs.main([
+        "zorder", "--table-root", table_root, "--by", "bytes_in,n_blocks",
+        "--buckets", "8",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "z-ordered 400 rows into" in out
+    assert "prune[bytes_in]" in out and "prune[n_blocks]" in out
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    t = IcebergLiteTable(f"{table_root}/extracted_zorder")
+    assert t.read(spark).count() == 400
+
+
 def test_cli_validate_compact_expire(roots, capsys):
     pages, table_root = roots
     assert jobs.main(["validate", "--table-root", table_root]) == 0
