@@ -1993,6 +1993,35 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_accuracy(_t(spark, sf_dir, "documents"), "lang", "text")
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the lexical
+    BM25 top-15 (the q_bm25 3-term query) and the dense cosine top-20
+    (the q_cosine_topk query vector), joined on the shared doc/vec id
+    space. RRF needs only the ranks, so no score calibration crosses
+    the modality boundary; each doc sums at most two dyadic terms, so
+    the fused score is order-independent and engine-exact. Top-10 with
+    id tie-break; DuckDB twin replays both rankers then the same fold."""
+    from ocr_spark.operators.index import bm25_topk, rrf_fuse
+    from ocr_spark.operators.similarity import cosine_topk
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(docs, ["spark", "vector", "merge"], k=15).select("doc_id", "rank")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    dense = (
+        cosine_topk(emb, [float(x) for x in qvec], k=20)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("cosine"), F.asc("vec_id"))
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex, dense], topk=10)
+
+
 PHRASE_QUERY = ("big", "table")  # part of the query's identity, shared w/ twin
 
 
@@ -2952,7 +2981,11 @@ _EXTRA_KEYS = frozenset(
     "heavy_hitters token_fertility html_sections lm_crossentropy "
     "rp_project page_types burst_detection quality_gate "
     "trustrank_hosts shard_manifest pq_topk "
-    "host_stats pack_sequences sketch_quantiles phrase_search".split()
+    # hybrid_search: RRF fusion of bm25 + cosine_topk (in-window
+    #   witnesses: bm25's ranker is driver-checked via inverted_index
+    #   and the embedding family via embedding_neardup; exact twin here)
+    "host_stats pack_sequences sketch_quantiles phrase_search "
+    "hybrid_search".split()
 )
 
 _QUERIES = {
@@ -3071,6 +3104,7 @@ _QUERIES = {
         "bitext_pairs": q_bitext_pairs,
         "sketch_quantiles": q_sketch_quantiles,
         "phrase_search": q_phrase_search,
+        "hybrid_search": q_hybrid_search,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -5043,6 +5077,47 @@ def _hll_distinct_oracle() -> str:
     """
 
 
+def _hybrid_search_oracle() -> str:
+    """DuckDB twin of q_hybrid_search: the bm25 and cosine oracle bodies
+    verbatim as CTEs, then the identical 1/(60+rank) fold, 6-dp round,
+    row_number with id tie-break, top-10."""
+    from ocr_spark.operators.index import RRF_K
+
+    return f"""
+        WITH bm AS ({_bm25_oracle()}),
+        cs AS (
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                     list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(qv, qv))), 4) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id ASC
+            LIMIT 20
+        ), csr AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+            FROM cs
+        ), unioned AS (
+            SELECT doc_id, 1.0 / ({RRF_K} + rank) AS s FROM bm
+            UNION ALL
+            SELECT doc_id, 1.0 / ({RRF_K} + rank) AS s FROM csr
+        ), fused AS (
+            SELECT doc_id, round(sum(s), 6) AS rrf_score
+            FROM unioned GROUP BY doc_id
+        )
+        SELECT doc_id, rrf_score,
+               CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+                    AS INT) AS fused_rank
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id ASC
+        LIMIT 10
+    """
+
+
 def _phrase_search_oracle() -> str:
     """Independent DuckDB construction for q_phrase_search: count phrase
     starts per document with a list comprehension over the token array
@@ -6781,6 +6856,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "bitext_pairs": _bitext_pairs_oracle(),
         "sketch_quantiles": _sketch_quantiles_oracle(),
         "phrase_search": _phrase_search_oracle(),
+        "hybrid_search": _hybrid_search_oracle(),
         "page_types": _page_types_oracle(),
         "burst_detection": _burst_detection_oracle(),
         "quality_gate": _quality_gate_oracle(),

@@ -26,7 +26,7 @@ hash-comparable across engines); df/cf are exact longs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_PATTERN
@@ -133,6 +133,44 @@ def phrase_search(
         acc = acc.join(nxt, ["id", "start"])
     return acc.groupBy(F.col("id").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_matches")
+    )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = RRF_K,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of ranked lists.
+
+    Each input carries (id_col, rank); fused score = sum over lists of
+    1/(k + rank) for the lists the doc appears in. The canonical hybrid-
+    retrieval combiner (lexical BM25 + dense cosine) because it needs no
+    score calibration — only ranks. Inputs are top-k lists (tiny), so
+    the union + one groupBy is driver-free and broadcast-cheap at any
+    corpus scale; determinism: ranks are ints, each doc sums at most
+    len(rankings) identical-order dyadic terms, ties break by id.
+    Columns: id_col, rrf_score (6dp), fused_rank."""
+    from functools import reduce
+
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank").cast("double"))).alias("s"),
+        )
+        for r in rankings
+    ]
+    allp = reduce(lambda a, b: a.unionByName(b), parts)
+    scored = allp.groupBy(id_col).agg(F.round(F.sum("s"), 6).alias("rrf_score"))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= topk)
+        .orderBy("fused_rank")
     )
 
 
