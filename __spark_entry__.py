@@ -2022,6 +2022,19 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, dense], topk=10)
 
 
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result snippets for the bm25 query terms: per matching document
+    the densest 20-token window (ties -> earliest), its start offset,
+    hit count, and the snippet text cut by array slice — the text never
+    explodes, only the vocab-filtered positional stream shuffles. Exact
+    DuckDB twin (same tokenizer, same window fold, same slice)."""
+    from ocr_spark.operators.index import snippets
+
+    return snippets(
+        _t(spark, sf_dir, "documents"), ["spark", "vector", "merge"]
+    )
+
+
 PHRASE_QUERY = ("big", "table")  # part of the query's identity, shared w/ twin
 
 
@@ -2984,8 +2997,11 @@ _EXTRA_KEYS = frozenset(
     # hybrid_search: RRF fusion of bm25 + cosine_topk (in-window
     #   witnesses: bm25's ranker is driver-checked via inverted_index
     #   and the embedding family via embedding_neardup; exact twin here)
+    # search_snippets: densest query-window snippet cut (in-window
+    #   witnesses: inverted_index/extract_spans share the token/offset
+    #   machinery; exact twin here)
     "host_stats pack_sequences sketch_quantiles phrase_search "
-    "hybrid_search".split()
+    "hybrid_search search_snippets".split()
 )
 
 _QUERIES = {
@@ -3105,6 +3121,7 @@ _QUERIES = {
         "sketch_quantiles": q_sketch_quantiles,
         "phrase_search": q_phrase_search,
         "hybrid_search": q_hybrid_search,
+        "search_snippets": q_search_snippets,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -5077,6 +5094,43 @@ def _hll_distinct_oracle() -> str:
     """
 
 
+def _search_snippets_oracle() -> str:
+    """DuckDB twin of q_search_snippets: identical tokenizer, window-id
+    fold (`//` for the int division), densest-window row_number with the
+    earliest-span tie-break, and list_slice snippet cut."""
+    from ocr_spark.operators.index import SNIPPET_WINDOW
+
+    w = SNIPPET_WINDOW
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')),
+                                      '[A-Za-z0-9_'']+') AS tk
+            FROM documents
+        ), pos AS (
+            SELECT doc_id, i - 1 AS pos, tk[i] AS term
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk))) AS i FROM toks)
+        ), hits AS (
+            SELECT doc_id, (pos // {w}) AS wid, count(*) AS n_hits
+            FROM pos WHERE term IN ('merge', 'spark', 'vector')
+            GROUP BY 1, 2
+        ), best AS (
+            SELECT doc_id, wid, n_hits FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY n_hits DESC, wid ASC) AS rn
+                FROM hits) WHERE rn = 1
+        )
+        SELECT b.doc_id,
+               CAST(b.wid * {w} AS BIGINT) AS start,
+               CAST(b.n_hits AS BIGINT) AS n_hits,
+               array_to_string(
+                   list_slice(t.tk, b.wid * {w} + 1, b.wid * {w} + {w}), ' '
+               ) AS snippet
+        FROM best b JOIN toks t USING (doc_id)
+    """
+
+
 def _hybrid_search_oracle() -> str:
     """DuckDB twin of q_hybrid_search: the bm25 and cosine oracle bodies
     verbatim as CTEs, then the identical 1/(60+rank) fold, 6-dp round,
@@ -6857,6 +6911,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "sketch_quantiles": _sketch_quantiles_oracle(),
         "phrase_search": _phrase_search_oracle(),
         "hybrid_search": _hybrid_search_oracle(),
+        "search_snippets": _search_snippets_oracle(),
         "page_types": _page_types_oracle(),
         "burst_detection": _burst_detection_oracle(),
         "quality_gate": _quality_gate_oracle(),

@@ -174,6 +174,61 @@ def rrf_fuse(
     )
 
 
+SNIPPET_WINDOW = 20  # tokens per snippet window
+
+
+def snippets(
+    df: DataFrame,
+    query_terms: list[str],
+    window: int = SNIPPET_WINDOW,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Search-result snippets: for each document containing any query
+    term, the ``window``-token span with the most query-term hits
+    (ties: earliest span). Columns: doc_id, start, n_hits, snippet.
+
+    Plan shape: ONE tokenization projection feeds both the hit counter
+    (vocab-filtered positional stream -> hits per (doc, span) with
+    map-side combine) and the snippet cut (array slice + join — the
+    text never explodes); the per-doc argmax window runs over span-count
+    rows, bounded by doc length / window. Everything JVM-side."""
+    terms = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(TOKEN_PATTERN),
+            F.lit(0),
+        ).alias("tk"),
+    )
+    pos = toks.select(
+        "id", F.posexplode("tk").alias("pos", "term")
+    ).where(F.col("term").isin(terms))
+    hits = (
+        pos.select("id", (F.col("pos") / window).cast("int").alias("wid"))
+        .groupBy("id", "wid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("n_hits"), F.asc("wid"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(toks, "id")
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("wid") * window).cast("long").alias("start"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.array_join(
+                F.slice(F.col("tk"), F.col("wid") * window + 1, window), " "
+            ).alias("snippet"),
+        )
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

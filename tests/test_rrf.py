@@ -32,3 +32,26 @@ def test_rrf_topk_bound(spark):
     a = _ranked(spark, [(i, i) for i in range(1, 30)])
     out = rrf_fuse([a], topk=5).collect()
     assert len(out) == 5 and [r["fused_rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_snippets_densest_window_and_tiebreak(spark):
+    from ocr_spark.operators.index import snippets
+
+    filler = " ".join(f"f{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            # window 0: one hit; window 2: two hits -> window 2 wins
+            (1, "alpha " + " ".join(f"x{i}" for i in range(19))
+                + " " + filler + " alpha beta " + " ".join(f"y{i}" for i in range(18))),
+            # two windows with one hit each -> earliest wins
+            (2, "beta " + " ".join(f"z{i}" for i in range(19)) + " beta"),
+            (3, "no hits at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in snippets(docs, ["alpha", "beta"]).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["start"] == 40 and out[1]["n_hits"] == 2
+    assert out[1]["snippet"].startswith("alpha beta")
+    assert out[2]["start"] == 0 and out[2]["n_hits"] == 1
+    assert out[2]["snippet"].split()[0] == "beta"
