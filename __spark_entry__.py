@@ -2022,6 +2022,20 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, dense], topk=10)
 
 
+def q_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance feedback: the 8 expansion terms that
+    characterize the bm25 query's top-15 feedback documents, scored by
+    feedback-tf x corpus-idf with seed terms and stopwords excluded
+    (k_docs=15 so the twin reuses the bm25 oracle body verbatim as its
+    feedback CTE). The expanded query re-runs through bm25_topk."""
+    from ocr_spark.operators.index import expansion_terms
+
+    return expansion_terms(
+        _t(spark, sf_dir, "documents"), ["spark", "vector", "merge"],
+        k_docs=15, k_terms=8,
+    )
+
+
 def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result snippets for the bm25 query terms: per matching document
     the densest 20-token window (ties -> earliest), its start offset,
@@ -3000,8 +3014,11 @@ _EXTRA_KEYS = frozenset(
     # search_snippets: densest query-window snippet cut (in-window
     #   witnesses: inverted_index/extract_spans share the token/offset
     #   machinery; exact twin here)
+    # expansion_terms: RM3 pseudo-relevance feedback (witnesses: the
+    #   bm25/tfidf weighting family in-window via inverted_index +
+    #   token_stats; exact twin here)
     "host_stats pack_sequences sketch_quantiles phrase_search "
-    "hybrid_search search_snippets".split()
+    "hybrid_search search_snippets expansion_terms".split()
 )
 
 _QUERIES = {
@@ -3122,6 +3139,7 @@ _QUERIES = {
         "phrase_search": q_phrase_search,
         "hybrid_search": q_hybrid_search,
         "search_snippets": q_search_snippets,
+        "expansion_terms": q_expansion_terms,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -5094,6 +5112,45 @@ def _hll_distinct_oracle() -> str:
     """
 
 
+def _expansion_terms_oracle() -> str:
+    """DuckDB twin of q_expansion_terms: the bm25 oracle body verbatim
+    as the feedback CTE, corpus df over distinct (doc, term), the same
+    ln((N+1)/(df+1)) idf literal and 4-dp weights, stopword + seed
+    exclusion, top-8 with term tie-break."""
+    from ocr_spark.functions.text import SQL_STOPWORDS_IN
+
+    return f"""
+        WITH bm AS ({_bm25_oracle()}),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '[A-Za-z0-9_'']+')) AS term
+            FROM documents
+        ), nd AS (
+            SELECT count(*) AS n FROM documents
+        ), dft AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+        ), fb AS (
+            SELECT t.term, CAST(count(*) AS BIGINT) AS fb_tf
+            FROM toks t JOIN bm ON t.doc_id = bm.doc_id
+            WHERE t.term NOT IN ('merge', 'spark', 'vector')
+              AND t.term NOT IN {SQL_STOPWORDS_IN}
+            GROUP BY 1
+        ), scored AS (
+            SELECT f.term,
+                   round(f.fb_tf * ln((nd.n + 1.0) / (d.df + 1.0)), 4) AS weight
+            FROM fb f JOIN dft d USING (term) CROSS JOIN nd
+        )
+        SELECT term, weight,
+               CAST(row_number() OVER (ORDER BY weight DESC, term ASC) AS INT)
+                   AS rank
+        FROM scored
+        ORDER BY weight DESC, term ASC
+        LIMIT 8
+    """
+
+
 def _search_snippets_oracle() -> str:
     """DuckDB twin of q_search_snippets: identical tokenizer, window-id
     fold (`//` for the int division), densest-window row_number with the
@@ -6912,6 +6969,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "phrase_search": _phrase_search_oracle(),
         "hybrid_search": _hybrid_search_oracle(),
         "search_snippets": _search_snippets_oracle(),
+        "expansion_terms": _expansion_terms_oracle(),
         "page_types": _page_types_oracle(),
         "burst_detection": _burst_detection_oracle(),
         "quality_gate": _quality_gate_oracle(),

@@ -174,6 +174,68 @@ def rrf_fuse(
     )
 
 
+def expansion_terms(
+    df: DataFrame,
+    query_terms: list[str],
+    k_docs: int = 10,
+    k_terms: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RM3-style pseudo-relevance-feedback query expansion: terms that
+    characterize the seed query's BM25 top-``k_docs`` documents, scored
+    by feedback-tf x corpus-idf, excluding the seed terms and stopwords.
+    Columns: term, weight (4dp), rank — the expanded query is
+    seed + these terms, re-run through ``bm25_topk``.
+
+    Scale shape: the feedback doc-id list is k_docs rows (broadcast
+    semi-join gates the token stream), corpus df comes from the same
+    single tokenize projection with map-side combine, and only the
+    candidate-term rollup shuffles. idf = ln((N+1)/(df+1)) — the tfidf
+    family convention, so the twin shares the literal formula."""
+    from ..functions.text import STOPWORDS
+
+    seed = sorted({t.lower() for t in query_terms})
+    fb_ids = bm25_topk(df, seed, k=k_docs, text_col=text_col,
+                       id_col=id_col).select(id_col)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(TOKEN_PATTERN),
+                F.lit(0),
+            )
+        ).alias("term"),
+    )
+    n_docs = df.count()
+    dft = (
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    fb_tf = (
+        toks.join(
+            F.broadcast(fb_ids.select(F.col(id_col).alias("id"))), "id", "left_semi"
+        )
+        .where(~F.col("term").isin(*seed) & ~F.col("term").isin(*STOPWORDS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fb_tf"))
+    )
+    weight = F.round(
+        F.col("fb_tf")
+        * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)),
+        4,
+    )
+    scored = fb_tf.join(dft, "term").select("term", weight.alias("weight"))
+    w = Window.orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_terms)
+        .orderBy("rank")
+    )
+
+
 SNIPPET_WINDOW = 20  # tokens per snippet window
 
 

@@ -34,6 +34,30 @@ def test_rrf_topk_bound(spark):
     assert len(out) == 5 and [r["fused_rank"] for r in out] == [1, 2, 3, 4, 5]
 
 
+def test_expansion_terms_prefers_feedback_cooccurring_terms(spark):
+    from ocr_spark.operators.index import expansion_terms
+
+    docs = spark.createDataFrame(
+        [
+            # docs matching 'query' share the marker term 'cooc'
+            (1, "query cooc filler1"),
+            (2, "query cooc filler2"),
+            (3, "query cooc filler3"),
+            # background corpus: 'common' is everywhere (low idf)
+            (4, "common noise alpha"),
+            (5, "common noise beta"),
+            (6, "common noise gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = expansion_terms(docs, ["query"], k_docs=3, k_terms=3).collect()
+    assert out[0]["term"] == "cooc" and out[0]["rank"] == 1
+    terms = {r["term"] for r in out}
+    assert "query" not in terms          # seed excluded
+    assert "the" not in terms            # stopwords excluded
+    assert "common" not in terms         # not in the feedback docs
+
+
 def test_snippets_densest_window_and_tiebreak(spark):
     from ocr_spark.operators.index import snippets
 
