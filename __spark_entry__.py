@@ -2036,6 +2036,17 @@ def q_expansion_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf "more like this" for doc_id=1: top-10 documents by
+    cosine over integer-scaled tf-idf vectors (weights 4-dp-rounded then
+    x10000 -> BIGINT, so dots and norms are exact integer sums and the
+    twin is engine-exact; single divide/sqrt/round per candidate). The
+    candidate join is gated to the query doc's own vocabulary."""
+    from ocr_spark.operators.tfidf import more_like_this
+
+    return more_like_this(_t(spark, sf_dir, "documents"), 1, k=10)
+
+
 def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result snippets for the bm25 query terms: per matching document
     the densest 20-token window (ties -> earliest), its start offset,
@@ -3017,8 +3028,11 @@ _EXTRA_KEYS = frozenset(
     # expansion_terms: RM3 pseudo-relevance feedback (witnesses: the
     #   bm25/tfidf weighting family in-window via inverted_index +
     #   token_stats; exact twin here)
+    # more_like_this: sparse tf-idf doc-doc cosine (witnesses: the
+    #   tfidf/bm25 weighting family + cosine_topk's ranked-similarity
+    #   contract; integer-exact arithmetic, exact twin here)
     "host_stats pack_sequences sketch_quantiles phrase_search "
-    "hybrid_search search_snippets expansion_terms".split()
+    "hybrid_search search_snippets expansion_terms more_like_this".split()
 )
 
 _QUERIES = {
@@ -3140,6 +3154,7 @@ _QUERIES = {
         "hybrid_search": q_hybrid_search,
         "search_snippets": q_search_snippets,
         "expansion_terms": q_expansion_terms,
+        "more_like_this": q_more_like_this,
         "bm25": q_bm25,
         "train_eval_split": q_train_eval_split,
         "within_doc_dedup": q_within_doc_dedup,
@@ -5151,6 +5166,53 @@ def _expansion_terms_oracle() -> str:
     """
 
 
+def _more_like_this_oracle() -> str:
+    """DuckDB twin of q_more_like_this: same tokenizer, same
+    ln((N+1)/(df+1)) idf, same 4-dp-round-then-x10000 integer weights,
+    exact BIGINT dots/norms, one final divide/sqrt/round, top-10 with
+    id tie-break."""
+    return """
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '[A-Za-z0-9_'']+')) AS term
+            FROM documents
+        ), nd AS (SELECT count(*) AS n FROM documents),
+        tf AS (
+            SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), wtab AS (
+            SELECT t.id, t.term,
+                   CAST(round(round(t.tf * ln((nd.n + 1.0) / (d.df + 1.0)), 4)
+                              * 10000) AS BIGINT) AS w
+            FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd
+        ), norms AS (
+            SELECT id, CAST(sum(w * w) AS BIGINT) AS norm2 FROM wtab GROUP BY 1
+        ), qv AS (
+            SELECT term, w AS qw FROM wtab WHERE id = 1
+        ), qn AS (
+            SELECT norm2 AS qnorm2 FROM norms WHERE id = 1
+        ), dots AS (
+            SELECT w.id, CAST(sum(w.w * q.qw) AS BIGINT) AS dot
+            FROM wtab w JOIN qv q USING (term)
+            WHERE w.id <> 1 GROUP BY 1
+        ), scored AS (
+            SELECT d.id AS doc_id,
+                   round(d.dot / sqrt(n.norm2::DOUBLE * qn.qnorm2::DOUBLE), 4)
+                       AS cosine
+            FROM dots d JOIN norms n USING (id) CROSS JOIN qn
+        )
+        SELECT doc_id, cosine,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC)
+                    AS INT) AS rank
+        FROM scored
+        ORDER BY cosine DESC, doc_id ASC
+        LIMIT 10
+    """
+
+
 def _search_snippets_oracle() -> str:
     """DuckDB twin of q_search_snippets: identical tokenizer, window-id
     fold (`//` for the int division), densest-window row_number with the
@@ -6970,6 +7032,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "hybrid_search": _hybrid_search_oracle(),
         "search_snippets": _search_snippets_oracle(),
         "expansion_terms": _expansion_terms_oracle(),
+        "more_like_this": _more_like_this_oracle(),
         "page_types": _page_types_oracle(),
         "burst_detection": _burst_detection_oracle(),
         "quality_gate": _quality_gate_oracle(),

@@ -51,3 +51,64 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def more_like_this(df: DataFrame, query_id, k: int = 10,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Sparse tf-idf "more like this": the ``k`` documents most cosine-
+    similar to ``query_id``'s tf-idf vector. Columns: doc_id, cosine
+    (4dp), rank.
+
+    Determinism discipline (the HLL lesson applied to sparse vectors):
+    weights are 4-dp-rounded then scaled to INTEGERS, so every dot
+    product and squared norm is an exact BIGINT sum — no float
+    accumulation whose value could depend on shuffle order — and the
+    only float ops are the final single divide/sqrt/round per candidate.
+    Scale shape: the candidate join is gated to the QUERY's own terms
+    (vocabulary-bounded, like the bm25 query filter), norms are one
+    map-side-combined rollup of the weight table, and the query vector
+    + its norm ride along as broadcast one-sided frames."""
+    n_docs = df.count()  # single aggregate probe (tfidf_top_terms discipline)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(TOKEN_PATTERN), F.lit(0),
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0))
+    wtab = tf.join(dfreq, "term").select(
+        "id", "term",
+        F.round(F.round(F.col("tf") * idf, 4) * 10000).cast("long").alias("w"),
+    )
+    norms = wtab.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("norm2"))
+    qv = wtab.where(F.col("id") == query_id).select("term", F.col("w").alias("qw"))
+    qnorm = norms.where(F.col("id") == query_id).select(
+        F.col("norm2").alias("qnorm2")
+    )
+    dots = (
+        wtab.where(F.col("id") != query_id)
+        .join(F.broadcast(qv), "term")
+        .groupBy("id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    cosine = F.round(
+        F.col("dot")
+        / F.sqrt(F.col("norm2").cast("double") * F.col("qnorm2").cast("double")),
+        4,
+    )
+    scored = (
+        dots.join(norms, "id")
+        .join(F.broadcast(qnorm))
+        .select(F.col("id").alias(id_col), cosine.alias("cosine"))
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("rank")
+    )

@@ -34,6 +34,27 @@ def test_rrf_topk_bound(spark):
     assert len(out) == 5 and [r["fused_rank"] for r in out] == [1, 2, 3, 4, 5]
 
 
+def test_more_like_this_ranks_shared_vocab_docs(spark):
+    from ocr_spark.operators.tfidf import more_like_this
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana cherry"),       # identical -> cosine 1.0
+            (3, "apple banana pear"),          # 2 of 3 shared
+            (4, "apple kiwi lime"),            # 1 of 3 shared
+            (5, "wolf fox bear"),              # disjoint -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = more_like_this(docs, 1, k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[:3] == [2, 3, 4]
+    assert out[0]["cosine"] == 1.0
+    assert 5 not in ids
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
 def test_expansion_terms_prefers_feedback_cooccurring_terms(spark):
     from ocr_spark.operators.index import expansion_terms
 
