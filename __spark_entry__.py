@@ -2049,10 +2049,13 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Result snippets for the bm25 query terms: per matching document
-    the densest 20-token window (ties -> earliest), its start offset,
-    hit count, and the snippet text cut by array slice — the text never
-    explodes, only the vocab-filtered positional stream shuffles. Exact
-    DuckDB twin (same tokenizer, same window fold, same slice)."""
+    the densest 20-token span over the aligned + half-offset window
+    grids (sliding-span approximation — boundary-straddling hit runs
+    score whole; ties -> first hit closest to span start, then earliest
+    span), its start offset, hit count, and the snippet text cut by
+    array slice — the text never explodes, only the vocab-filtered
+    positional stream shuffles. Exact DuckDB twin (same tokenizer, same
+    candidate-start fan-out, same slice)."""
     from ocr_spark.operators.index import snippets
 
     return snippets(
@@ -5087,6 +5090,7 @@ def _hll_distinct_oracle() -> str:
             SELECT lang AS grp,
                    ('0x' || substr(md5(text), 1, 13))::BIGINT AS h
             FROM documents
+            WHERE text IS NOT NULL
         ), rr AS (
             SELECT grp, CAST(h % {HLL_M} AS INT) AS bucket,
                    CASE WHEN (h >> {HLL_P}) = 0 THEN {RHO_MAX}
@@ -5214,12 +5218,15 @@ def _more_like_this_oracle() -> str:
 
 
 def _search_snippets_oracle() -> str:
-    """DuckDB twin of q_search_snippets: identical tokenizer, window-id
-    fold (`//` for the int division), densest-window row_number with the
-    earliest-span tie-break, and list_slice snippet cut."""
+    """DuckDB twin of q_search_snippets: identical tokenizer, the same
+    aligned + half-offset candidate-start fan-out (`//` for the int
+    division), densest-span row_number with the same
+    (first-hit-closest-to-start, earliest-start) tie-break, and
+    list_slice snippet cut."""
     from ocr_spark.operators.index import SNIPPET_WINDOW
 
     w = SNIPPET_WINDOW
+    h = w // 2
     return f"""
         WITH toks AS (
             SELECT doc_id,
@@ -5230,21 +5237,31 @@ def _search_snippets_oracle() -> str:
             SELECT doc_id, i - 1 AS pos, tk[i] AS term
             FROM (SELECT doc_id, tk,
                          unnest(generate_series(1, len(tk))) AS i FROM toks)
+        ), qhits AS (
+            SELECT doc_id, pos FROM pos
+            WHERE term IN ('merge', 'spark', 'vector')
+        ), starts AS (
+            SELECT doc_id, pos, (pos // {w}) * {w} AS start FROM qhits
+            UNION ALL
+            SELECT doc_id, pos, ((pos - {h}) // {w}) * {w} + {h} AS start
+            FROM qhits WHERE pos >= {h}
         ), hits AS (
-            SELECT doc_id, (pos // {w}) AS wid, count(*) AS n_hits
-            FROM pos WHERE term IN ('merge', 'spark', 'vector')
-            GROUP BY 1, 2
+            SELECT doc_id, start, count(*) AS n_hits,
+                   min(pos) AS first_hit
+            FROM starts GROUP BY 1, 2
         ), best AS (
-            SELECT doc_id, wid, n_hits FROM (
+            SELECT doc_id, start, n_hits FROM (
                 SELECT *, row_number() OVER (
-                    PARTITION BY doc_id ORDER BY n_hits DESC, wid ASC) AS rn
+                    PARTITION BY doc_id
+                    ORDER BY n_hits DESC, first_hit - start ASC, start ASC
+                ) AS rn
                 FROM hits) WHERE rn = 1
         )
         SELECT b.doc_id,
-               CAST(b.wid * {w} AS BIGINT) AS start,
+               CAST(b.start AS BIGINT) AS start,
                CAST(b.n_hits AS BIGINT) AS n_hits,
                array_to_string(
-                   list_slice(t.tk, b.wid * {w} + 1, b.wid * {w} + {w}), ' '
+                   list_slice(t.tk, b.start + 1, b.start + {w}), ' '
                ) AS snippet
         FROM best b JOIN toks t USING (doc_id)
     """

@@ -147,9 +147,16 @@ def cmd_dedup(args: argparse.Namespace) -> int:
         return 1
     # the connected-components stage needs numeric ids: key the pass by a
     # stable url hash (collision odds ~2^-64 per pair — the dedup keeper
-    # pick is already an arbitrary-but-deterministic representative)
-    keyed = ext.select(
-        F.xxhash64("url").alias("_did"), "url", "text"
+    # pick is already an arbitrary-but-deterministic representative).
+    # A recrawl/append can leave multiple committed rows per url; collapse
+    # to one row per url FIRST (max_by on the text hash — deterministic,
+    # order-independent) so _did is genuinely unique: duplicate _did rows
+    # would fan out the disposition join and --apply would keep every
+    # duplicate of a kept url.
+    keyed = (
+        ext.select(F.xxhash64("url").alias("_did"), "url", "text")
+        .groupBy("_did", "url")
+        .agg(F.max_by("text", F.xxhash64("text")).alias("text"))
     )
     disp = (
         clean_corpus(
@@ -168,8 +175,18 @@ def cmd_dedup(args: argparse.Namespace) -> int:
                     for k in ("kept", "quality", "exact_dup", "near_dup"))
     print(f"dedup snapshot {sid}: {line}")
     if args.apply:
-        kept = ext.join(
-            disp.where(F.col("stage") == "kept").select("url"), "url", "left_semi"
+        # join from the url-deduped frame, not raw ext: the clean table
+        # must hold exactly one row per kept url even after a recrawl
+        rest = [c for c in ext.columns if c != "url"]
+        kept = (
+            ext.join(
+                disp.where(F.col("stage") == "kept").select("url"),
+                "url", "left_semi",
+            )
+            # one struct max_by so every column comes from the SAME row
+            .groupBy("url")
+            .agg(F.max_by(F.struct(*rest), F.xxhash64("text")).alias("_row"))
+            .select("url", *[F.col(f"_row.{c}").alias(c) for c in rest])
         )
         csid = IcebergLiteTable(f"{args.table_root}/clean").overwrite(
             kept, properties={"rows": counts.get("kept", 0)}

@@ -28,7 +28,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MAX_SENTS = 200          # DP bound per pair per side
@@ -119,24 +119,8 @@ def align_sentences(
         # per-side column names: the two cogroup children otherwise share
         # the same source attributes (pairs + docs appear in both plans)
         # and trip the ambiguous-self-join analyzer check
-        return (
-            pairs.select(
-                F.col("pair_id").alias(f"pid_{suf}"), F.col(doc_col).alias(id_col)
-            )
-            .join(docs.select(id_col, text_col), id_col)
-            .select(
-                f"pid_{suf}",
-                F.posexplode(
-                    F.slice(
-                        F.split(F.coalesce(F.col(text_col), F.lit("")),
-                                split_pattern),
-                        1, MAX_SENTS,
-                    )
-                ).alias(f"idx_{suf}", "sent"),
-            )
-            .where(F.length("sent") > 0)
-            .select(f"pid_{suf}", f"idx_{suf}", F.length("sent").alias(f"len_{suf}"))
-        )
+        return _side_lengths(pairs, docs, doc_col, suf, split_pattern,
+                             id_col, text_col)
 
     def do_align(key, pa: pd.DataFrame, pb: pd.DataFrame) -> pd.DataFrame:
         la = [int(r) for r in pa.sort_values("idx_a")["len_a"]]
@@ -157,8 +141,17 @@ def align_sentences(
 def _sentences(pairs: DataFrame, docs: DataFrame, doc_col: str, suf: str,
                split_pattern: str, id_col: str, text_col: str) -> DataFrame:
     """(pid_<suf>, idx_<suf>, sent_<suf>) — the text-carrying twin of the
-    length stream align_sentences cogroups on (same split, same cap)."""
-    return (
+    length stream align_sentences cogroups on (same split, same cap).
+
+    idx is the position in the EMPTY-FILTERED sentence sequence (dense
+    row_number per pair), not the raw posexplode index: the DP in
+    ``_align_lengths`` addresses positions in the compacted length list,
+    so any split pattern producing interior empty segments (e.g. a
+    caller-supplied pattern that eats a whole sentence) would otherwise
+    attach beads to the wrong sentences. Re-indexing both the length
+    stream and this text stream from the same filtered sequence makes the
+    two index spaces identical by construction."""
+    exploded = (
         pairs.select(
             F.col("pair_id").alias(f"pid_{suf}"), F.col(doc_col).alias(id_col)
         )
@@ -170,9 +163,26 @@ def _sentences(pairs: DataFrame, docs: DataFrame, doc_col: str, suf: str,
                     F.split(F.coalesce(F.col(text_col), F.lit("")), split_pattern),
                     1, MAX_SENTS,
                 )
-            ).alias(f"idx_{suf}", f"sent_{suf}"),
+            ).alias("raw_idx", f"sent_{suf}"),
         )
         .where(F.length(f"sent_{suf}") > 0)
+    )
+    w = Window.partitionBy(f"pid_{suf}").orderBy("raw_idx")
+    return exploded.select(
+        f"pid_{suf}",
+        (F.row_number().over(w) - 1).alias(f"idx_{suf}"),
+        f"sent_{suf}",
+    )
+
+
+def _side_lengths(pairs: DataFrame, docs: DataFrame, doc_col: str, suf: str,
+                  split_pattern: str, id_col: str, text_col: str) -> DataFrame:
+    """(pid_<suf>, idx_<suf>, len_<suf>) — the 16-byte length stream the
+    cogroup DP consumes; derived from ``_sentences`` so its idx is the
+    same compacted sequence ``bitext_records`` joins beads against."""
+    s = _sentences(pairs, docs, doc_col, suf, split_pattern, id_col, text_col)
+    return s.select(
+        f"pid_{suf}", f"idx_{suf}", F.length(f"sent_{suf}").alias(f"len_{suf}")
     )
 
 

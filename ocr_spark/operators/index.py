@@ -247,15 +247,23 @@ def snippets(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Search-result snippets: for each document containing any query
-    term, the ``window``-token span with the most query-term hits
-    (ties: earliest span). Columns: doc_id, start, n_hits, snippet.
+    term, the densest ``window``-token span drawn from the aligned AND
+    half-offset window grids (a sliding-span approximation: a dense run
+    of hits straddling an aligned boundary — e.g. adjacent hits at
+    positions 19 and 20 — lands whole in the half-offset window that
+    covers it, so it is never scored as two 1-hit windows). Ties: the
+    span whose first hit sits closest to the span start (the snippet
+    leads with the match), then the earliest span. Columns: doc_id,
+    start, n_hits, snippet.
 
     Plan shape: ONE tokenization projection feeds both the hit counter
-    (vocab-filtered positional stream -> hits per (doc, span) with
-    map-side combine) and the snippet cut (array slice + join — the
-    text never explodes); the per-doc argmax window runs over span-count
-    rows, bounded by doc length / window. Everything JVM-side."""
+    (vocab-filtered positional stream -> hits per (doc, span-start) with
+    map-side combine; each hit fans out to at most 2 candidate starts)
+    and the snippet cut (array slice + join — the text never explodes);
+    the per-doc argmax runs over span-count rows, bounded by
+    2 * doclen / window. Everything JVM-side."""
     terms = sorted({t.lower() for t in query_terms})
+    half = window // 2
     toks = df.select(
         F.col(id_col).alias("id"),
         F.regexp_extract_all(
@@ -267,12 +275,28 @@ def snippets(
     pos = toks.select(
         "id", F.posexplode("tk").alias("pos", "term")
     ).where(F.col("term").isin(terms))
-    hits = (
-        pos.select("id", (F.col("pos") / window).cast("int").alias("wid"))
-        .groupBy("id", "wid")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    aligned = (F.col("pos") / window).cast("int") * window
+    offset = ((F.col("pos") - half) / window).cast("int") * window + half
+    starts = pos.select(
+        "id",
+        "pos",
+        F.explode(
+            F.when(F.col("pos") >= half, F.array(aligned, offset))
+            .otherwise(F.array(aligned))
+        ).alias("start"),
     )
-    w = Window.partitionBy("id").orderBy(F.desc("n_hits"), F.asc("wid"))
+    hits = (
+        starts.groupBy("id", "start")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").alias("first_hit"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("n_hits"),
+        F.asc(F.col("first_hit") - F.col("start")),
+        F.asc("start"),
+    )
     best = (
         hits.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -282,10 +306,10 @@ def snippets(
         best.join(toks, "id")
         .select(
             F.col("id").alias(id_col),
-            (F.col("wid") * window).cast("long").alias("start"),
+            F.col("start").cast("long").alias("start"),
             F.col("n_hits").cast("long").alias("n_hits"),
             F.array_join(
-                F.slice(F.col("tk"), F.col("wid") * window + 1, window), " "
+                F.slice(F.col("tk"), F.col("start") + 1, window), " "
             ).alias("snippet"),
         )
     )

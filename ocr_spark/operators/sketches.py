@@ -64,7 +64,14 @@ def hll_registers(
         F.lit(RHO_MAX) - F.length(F.bin(rest))
     ).cast("int")
     return (
-        df.select(F.col(group_col).alias("grp"), bucket.alias("bucket"), rho.alias("rho"))
+        # NULL keys carry no distinct value: md5(NULL) would otherwise
+        # propagate a (grp, NULL, NULL) register row that inflates
+        # registers_used without contributing to z_present, biasing both
+        # the raw estimate and the linear-counting empty-register term.
+        # parse_url(url,'HOST') feeding this path IS NULL for malformed
+        # urls, so the filter is load-bearing, not defensive.
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("rho"))
     )

@@ -34,34 +34,64 @@ def zorder_key(
 ) -> DataFrame:
     """Add a ``_z`` Morton key interleaving the bit patterns of ``cols``.
 
-    Each column is min/max-normalized to ``bits`` bits with integer
-    arithmetic (one bounded agg collected to the driver — len(cols)
-    scalars, the same probe discipline as tfidf's corpus count), then
-    bit b of column c lands at z-bit ``b*len(cols)+c``. Constant columns
-    normalize to 0. NULLs sort first (normalized 0)."""
+    Each column is min/max-normalized to ``bits`` bits (one bounded agg
+    collected to the driver — len(cols) scalars, the same probe
+    discipline as tfidf's corpus count), then bit b of column c lands at
+    z-bit ``b*len(cols)+c``. Constant columns normalize to 0. NULLs sort
+    first (normalized 0).
+
+    Safety: only NUMERIC columns are accepted (fail-fast ValueError for
+    date/string/etc — their min/max cannot be interpolated into
+    arithmetic), and normalization runs in DOUBLE space built with Column
+    arithmetic, never SQL-text interpolation of data-derived values:
+    ``(c - mn) * 65535`` in BIGINT silently overflows for wide int64
+    domains (e.g. hash-valued columns) and scrambles the key, while a
+    double keeps the 16 bucket bits exact (53-bit mantissa) for any
+    domain width. The result is clamped to [0, 2^bits-1] so float
+    rounding at the domain edge cannot escape the key range."""
     if not cols:
         raise ValueError("zorder_key needs at least one column")
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"zorder_key: column {c!r} not in frame")
+        if not dtypes[c].startswith(
+            ("tinyint", "smallint", "int", "bigint", "float", "double",
+             "decimal")
+        ):
+            raise ValueError(
+                f"zorder_key: column {c!r} has non-numeric type "
+                f"{dtypes[c]!r}; cast it to a numeric (e.g. unix epoch, "
+                "hash, or ordinal) before clustering"
+            )
     stats = df.agg(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
     ).collect()[0]
     top = (1 << bits) - 1
-    norm_exprs = []
+    norm_cols = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-        if mn is None or mx is None or mx == mn:
-            norm_exprs.append("CAST(0 AS BIGINT)")
+        if mn is None or mx is None or mn == mx:
+            norm_cols.append(F.lit(0).cast("long"))
         else:
-            norm_exprs.append(
-                f"CAST(((coalesce({c}, {mn}) - {mn}) * {top}) "
-                f"div ({mx} - {mn}) AS BIGINT)"
+            mn_d, span = float(mn), float(mx) - float(mn)
+            v = F.coalesce(F.col(c).cast("double"), F.lit(mn_d))
+            scaled = F.floor(
+                (v - F.lit(mn_d)) * F.lit(float(top)) / F.lit(span)
+            ).cast("long")
+            norm_cols.append(
+                F.least(F.lit(top).cast("long"),
+                        F.greatest(F.lit(0).cast("long"), scaled))
             )
-    terms = []
+    z = F.lit(0).cast("long")
     for b in range(bits):
-        for ci, ne in enumerate(norm_exprs):
+        for ci, nc in enumerate(norm_cols):
             pos = b * len(cols) + ci
-            terms.append(f"shiftleft(shiftright({ne}, {b}) & 1, {pos})")
-    return df.withColumn("_z", F.expr(" + ".join(terms)).cast("long"))
+            z = z + F.shiftleft(
+                F.shiftright(nc, b).bitwiseAND(F.lit(1)), pos
+            ).cast("long")
+    return df.withColumn("_z", z)
 
 
 def write_zordered(

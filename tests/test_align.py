@@ -99,3 +99,36 @@ def test_align_plan_uses_cogroup(spark):
         align_sentences(pairs, docs).explain("formatted")
     plan = buf.getvalue()
     assert "FlatMapCoGroupsInPandas" in plan  # the Arrow cogroup node
+
+
+def test_interior_empty_segments_reindex(spark):
+    """A split pattern producing INTERIOR empty segments (here '--'
+    delimiters back to back) must not desynchronize DP indices from the
+    join indices: both streams re-index over the empty-filtered sequence
+    (ADVICE r4 align.py item), so beads still attach to the right text."""
+    from ocr_spark.operators.align import bitext_records
+
+    # '--' split yields ['Alpha beta gamma', '', 'Delta epsilon zeta',
+    # 'Eta theta iota'] for doc 1: an INTERIOR empty at raw position 1.
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha beta gamma----Delta epsilon zeta--Eta theta iota"),
+            (2, "Alpho bete gammo--Delto epsilon zeto--Eto theto ioto"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(5, 1, 2)], "pair_id long, doc_a long, doc_b long"
+    )
+    beads = align_sentences(pairs, docs, split_pattern="--")
+    recs = sorted(
+        bitext_records(pairs, docs, beads, split_pattern="--").collect(),
+        key=lambda r: r["a_start"],
+    )
+    # three near-identical-length segments a side -> three 1-1 beads,
+    # and each bead's text comes from the MATCHING compacted position
+    assert [(r["a_text"], r["b_text"]) for r in recs] == [
+        ("Alpha beta gamma", "Alpho bete gammo"),
+        ("Delta epsilon zeta", "Delto epsilon zeto"),
+        ("Eta theta iota", "Eto theto ioto"),
+    ]

@@ -108,3 +108,48 @@ def test_cli_validate_compact_expire(roots, capsys):
 
 def test_cli_signals_without_snapshots_fails_cleanly(tmp_path):
     assert jobs.main(["signals", "--table-root", str(tmp_path / "empty")]) == 1
+
+
+def test_cli_dedup_recrawl_duplicate_urls(spark, tmp_path, capsys):
+    """ADVICE r4 jobs.py item: a recrawl/append can leave multiple
+    committed rows per url. cmd_dedup must collapse to one disposition
+    per url (no _did fan-out) and --apply must commit exactly one row
+    per kept url."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.session import EXTRACTED_SCHEMA
+    from ocr_spark.sources.iceberg_lite import IcebergLiteTable
+
+    table_root = str(tmp_path / "warehouse")
+    n = 60
+    base = spark.range(n).select(
+        F.concat(F.lit("https://ex.com/p"), F.col("id")).alias("url"),
+        F.concat(
+            F.lit("Document body text number "), F.col("id"),
+            F.lit(" with enough distinct words to clear the quality gate "
+                  "alpha beta gamma delta epsilon zeta eta theta iota"),
+        ).alias("text"),
+        F.lit("ok").alias("extract_status"),
+        F.lit("html").alias("content_kind"),
+        F.lit(3).alias("n_blocks"),
+        F.lit(1000).cast("long").alias("bytes_in"),
+        F.lit(500).cast("long").alias("bytes_out"),
+        F.lit(0).alias("partition_id"),
+    )
+    t = IcebergLiteTable(f"{table_root}/extracted")
+    t.append(spark.createDataFrame(base.collect(), EXTRACTED_SCHEMA))
+    # recrawl: the first 20 urls come back with changed text
+    recrawl = base.limit(20).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" recrawled tail"))
+    )
+    t.append(spark.createDataFrame(recrawl.collect(), EXTRACTED_SCHEMA))
+
+    assert jobs.main(["dedup", "--table-root", table_root, "--apply"]) == 0
+    capsys.readouterr()
+    disp = IcebergLiteTable(f"{table_root}/dedup").read(spark)
+    assert disp.count() == n  # one row per url, not per committed row
+    assert disp.select("url").distinct().count() == n
+    clean = IcebergLiteTable(f"{table_root}/clean").read(spark)
+    assert clean.count() == clean.select("url").distinct().count()
+    kept = disp.where("stage = 'kept'").count()
+    assert clean.count() == kept > 0

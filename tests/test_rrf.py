@@ -100,3 +100,23 @@ def test_snippets_densest_window_and_tiebreak(spark):
     assert out[1]["snippet"].startswith("alpha beta")
     assert out[2]["start"] == 0 and out[2]["n_hits"] == 1
     assert out[2]["snippet"].split()[0] == "beta"
+
+
+def test_snippets_straddling_run_scores_whole(spark):
+    """ADVICE r4 index.py item: two adjacent hits at positions 19 and 20
+    straddle the aligned window boundary; the half-offset grid's [10,30)
+    span must score them together (n_hits=2), not as two 1-hit windows."""
+    from ocr_spark.operators.index import snippets
+
+    words = [f"w{i}" for i in range(40)]
+    words[19] = "alpha"
+    words[20] = "alpha"
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    out = snippets(docs, ["alpha"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_hits"] == 2 and r["start"] == 10
+    toks = r["snippet"].split()
+    assert toks[9] == "alpha" and toks[10] == "alpha" and len(toks) == 20

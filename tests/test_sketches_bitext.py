@@ -231,3 +231,30 @@ def test_bitext_plan_single_join_no_cartesian(spark):
     tree = plan.split("\n\n")[0]
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert tree.count("Join") == 1
+
+
+def test_hll_null_keys_do_not_bias_the_estimate(spark):
+    """ADVICE r4 sketches item: NULL keys (e.g. parse_url HOST of a
+    malformed url) must not mint a register row — same registers, same
+    estimate, with or without NULL-key rows in the input."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.sketches import hll_estimate, hll_registers
+
+    clean = spark.range(500).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    with_nulls = clean.unionByName(
+        spark.range(50).select(
+            F.lit("g").alias("grp"), F.lit(None).cast("string").alias("k")
+        )
+    )
+    a = {(r["grp"], r["bucket"]): r["rho"]
+         for r in hll_registers(clean, "grp", "k").collect()}
+    b = {(r["grp"], r["bucket"]): r["rho"]
+         for r in hll_registers(with_nulls, "grp", "k").collect()}
+    assert a == b
+    ea = hll_estimate(hll_registers(clean, "grp", "k")).collect()[0]
+    eb = hll_estimate(hll_registers(with_nulls, "grp", "k")).collect()[0]
+    assert ea["est_distinct"] == eb["est_distinct"]
+    assert ea["registers_used"] == eb["registers_used"]

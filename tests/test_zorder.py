@@ -72,3 +72,32 @@ def test_zorder_constant_and_null_columns(spark, tmp_path):
     # constant x contributes 0 bits; NULL y normalizes to the minimum
     zmap = {r["id"]: r["_z"] for r in z}
     assert zmap[1] == zmap[2] or zmap[1] < zmap[3]
+
+
+def test_zorder_rejects_non_numeric_columns(spark):
+    """ADVICE r4 zorder item: data-derived min/max of a string/date column
+    cannot enter the key arithmetic — fail fast, never emit invalid SQL."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        zorder_key(df, ["name"])
+    with pytest.raises(ValueError, match="not in frame"):
+        zorder_key(df, ["missing"])
+
+
+def test_zorder_wide_int64_domain_no_overflow(spark):
+    """Hash-valued columns span nearly the whole int64 domain; the old
+    (c-mn)*65535 BIGINT form overflowed and scrambled the key. The double
+    form must keep the key monotone in each column."""
+    lo, hi = -(2**62), 2**62
+    df = spark.createDataFrame(
+        [(0, lo, 0), (1, -(2**40), 0), (2, 2**40, 0), (3, hi, 0)],
+        "id long, x long, y long",
+    )
+    z = {r["id"]: r["_z"] for r in zorder_key(df, ["x", "y"]).collect()}
+    assert z[0] <= z[1] <= z[2] <= z[3]
+    assert z[0] < z[3]
+    assert all(0 <= v < (1 << 32) for v in z.values())
