@@ -1342,8 +1342,18 @@ def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest gate: docs >= 250 arrive as the new batch
     against committed docs < 250, plus planted exact copies (doc 0..4 at
     +2000000) and near copies (docs 10/20/30 at +3000000 with a tail
-    token) so all three statuses are witnessed. Exact DuckDB twin."""
-    from ocr_spark.operators.incremental import incremental_status
+    token) so all three statuses are witnessed. Runs the PRODUCTION
+    layout: the committed side's band rows come from a persisted
+    bucketed band store (write_band_store), so the candidate band join
+    carries no Exchange on the committed side — same rows, same pair
+    set, same exact DuckDB twin as the derive-in-session path."""
+    import tempfile
+
+    from ocr_spark.operators.incremental import (
+        committed_state,
+        incremental_status_against_state,
+        write_band_store,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     old = d.where("doc_id < 250")
@@ -1361,7 +1371,15 @@ def q_dedup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return incremental_status(new, old)
+    state = committed_state(old)
+    write_band_store(
+        state,
+        "dedup_increment_band_store",
+        tempfile.mkdtemp(prefix="band_store_") + "/t",
+    )
+    return incremental_status_against_state(
+        new, state, band_store=spark.table("dedup_increment_band_store")
+    )
 
 
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,6 +68,35 @@ def committed_state(
     )
 
 
+def write_band_store(
+    state_df: DataFrame,
+    table_name: str,
+    path: str,
+    perms: int = MINHASH_PERMS,
+    bands: int = LSH_BANDS,
+    num_buckets: int = 16,
+) -> None:
+    """Persist the committed corpus's LSH (id, band, bucket) rows as a
+    parquet table BUCKETED (and sorted) by the band-join key, via
+    ``plans.partitioning.write_bucketed``.
+
+    Why: without this, every ingest batch re-derives band rows from the
+    state table's ``sig`` arrays AND re-shuffles them for the candidate
+    band join — O(corpus) exchange work per batch. Bucketing pins the
+    committed side's layout to the join key at commit time, so the
+    per-batch probe join shuffles only the NEW batch's band rows (the
+    committed side's scan feeds the join with no Exchange — pinned in
+    tests/test_plans.py::test_incremental_band_store_committed_side_no_exchange).
+    Pay one clustered write per commit, probe exchange-free forever —
+    the same pay-once discipline as the Bloom gate on the exact path.
+    Refresh by re-running after each state commit (mode is overwrite);
+    readers pass ``spark.table(table_name)`` as ``band_store``."""
+    from ..plans.partitioning import write_bucketed
+
+    rows = band_buckets(state_df, id_col="id", perms=perms, bands=bands)
+    write_bucketed(rows, table_name, path, ["band", "bucket"], num_buckets)
+
+
 def incremental_status_against_state(
     new_df: DataFrame,
     state_df: DataFrame,
@@ -79,6 +108,7 @@ def incremental_status_against_state(
     max_bucket: int = 256,
     bloom: DataFrame | None = None,
     bloom_n_blocks: int | None = None,
+    band_store: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, status) for every row of ``new_df`` checked against a
     persisted :func:`committed_state` table: 'exact_seen' (fingerprint
@@ -117,7 +147,16 @@ def incremental_status_against_state(
     )
 
     nb = band_buckets(new_state, id_col="id", perms=perms, bands=bands)
-    sb = band_buckets(state_df, id_col="id", perms=perms, bands=bands)
+    # scale path: a persisted :func:`write_band_store` table is already
+    # laid out (bucketed + sorted) on the band-join key, so the committed
+    # side enters the candidate join with NO Exchange — only the batch's
+    # own band rows shuffle. Must hold exactly band_buckets(state_df)'s
+    # rows (it is written from the same state at commit time), so the
+    # pair set — and the DuckDB twin — are unchanged.
+    if band_store is not None:
+        sb = band_store.select("id", "band", "bucket")
+    else:
+        sb = band_buckets(state_df, id_col="id", perms=perms, bands=bands)
     # bucket cap over the UNION (identical semantics to the from-scratch
     # pass over new ∪ committed): a boilerplate bucket is oversized no
     # matter which generation its members arrived in

@@ -111,6 +111,90 @@ _MP3_BITRATES_KBPS = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
 _MP3_SAMPLE_RATES = (44100, 48000, 32000, 0)
 
 
+def _ebml_vint(data: bytes, i: int, hi: int, strip_marker: bool):
+    """EBML variable-length integer at ``i``: (value, next_i, n_bytes) or
+    None on truncation/invalid. Element IDs keep their marker bits
+    (matching the spec's ID constants); sizes strip them."""
+    if i >= hi:
+        return None
+    b0 = data[i]
+    if b0 == 0:
+        return None
+    length = 9 - b0.bit_length()
+    if i + length > hi:
+        return None
+    val = (b0 & ((1 << (8 - length)) - 1)) if strip_marker else b0
+    for j in range(1, length):
+        val = (val << 8) | data[i + j]
+    return val, i + length, length
+
+
+def _ebml_children(data: bytes, lo: int, hi: int):
+    """Yield (element_id, payload_lo, payload_hi) for the EBML elements in
+    [lo, hi). All-ones sizes (unknown — streamed Segments use them) and
+    truncated tails clamp to ``hi``; malformed headers end the walk."""
+    i = lo
+    while i < hi:
+        rid = _ebml_vint(data, i, hi, strip_marker=False)
+        if rid is None:
+            return
+        eid, i2, _ = rid
+        rsz = _ebml_vint(data, i2, hi, strip_marker=True)
+        if rsz is None:
+            return
+        size, i3, slen = rsz
+        if size == (1 << (7 * slen)) - 1:  # unknown size -> to scope end
+            size = hi - i3
+        yield eid, i3, min(i3 + size, hi)
+        i = i3 + size
+
+
+def _parse_matroska(data: bytes) -> dict | None:
+    """Matroska/WebM container duration from the EBML structures alone:
+    EBML header DocType picks the kind, Segment>Info>Duration (float)
+    scaled by TimestampScale (ns/tick, default 10^6) gives milliseconds.
+    None when the captured bytes carry no Info/Duration (e.g. a live
+    stream or a head-only fetch) — the caller's deterministic-stub
+    fallback handles those."""
+    import struct
+
+    n = len(data)
+    doctype = "matroska"
+    timescale = 1_000_000
+    duration = None
+    for eid, lo, hi in _ebml_children(data, 0, n):
+        if eid == 0x1A45DFA3:  # EBML header
+            for cid, clo, chi in _ebml_children(data, lo, hi):
+                if cid == 0x4282 and chi > clo:  # DocType
+                    doctype = (
+                        data[clo:chi].split(b"\x00")[0]
+                        .decode("ascii", "replace")
+                    )
+        elif eid == 0x18538067:  # Segment
+            for cid, clo, chi in _ebml_children(data, lo, hi):
+                if cid == 0x1549A966:  # Info
+                    for iid, ilo, ihi in _ebml_children(data, clo, chi):
+                        if iid == 0x2AD7B1 and ihi > ilo:  # TimestampScale
+                            timescale = (
+                                int.from_bytes(data[ilo:ihi], "big")
+                                or timescale
+                            )
+                        elif iid == 0x4489:  # Duration (float32/64, ticks)
+                            raw = data[ilo:ihi]
+                            if len(raw) == 4:
+                                duration = struct.unpack(">f", raw)[0]
+                            elif len(raw) == 8:
+                                duration = struct.unpack(">d", raw)[0]
+    if duration is None or duration < 0:
+        return None
+    return {
+        "kind": "webm" if doctype == "webm" else "mkv",
+        "duration_ms": int(duration * timescale / 1_000_000),
+        "sample_rate": 0,
+        "channels": 0,
+    }
+
+
 def parse_av_header(data: bytes) -> dict | None:
     """Pure-Python audio/video CONTAINER-header metadata — the A/V twin of
     ``parse_image_header``: duration / sample rate / channels read straight
@@ -126,7 +210,12 @@ def parse_av_header(data: bytes) -> dict | None:
     sample_rate/channels are track-level and reported as 0 here). MP3
     duration is the standard CBR estimate payload_bytes*8/bitrate — exact
     for CBR files, the disclosed industry approximation for VBR without a
-    Xing header."""
+    Xing header. Matroska/WebM duration comes from the EBML
+    Segment>Info>Duration scaled by TimestampScale (kind follows the EBML
+    DocType: 'webm' vs 'mkv'); MPEG-TS duration is the PCR span across
+    the available 188-byte packets at the 27 MHz program clock (0 when
+    the captured slice carries no PCR — the container is still
+    identified). All header-only, O(header bytes) / O(n/188)."""
     n = len(data)
     # --- RIFF/WAVE: walk word-aligned chunks for fmt + data ---------------
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
@@ -191,6 +280,31 @@ def parse_av_header(data: bytes) -> dict | None:
             return None
 
         return walk(0, n, 0)
+    # --- Matroska / WebM (EBML): Segment > Info > TimestampScale+Duration -
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        return _parse_matroska(data)
+    # --- MPEG-TS: >=2 sync-aligned 188-byte packets, PCR span -> duration -
+    if n >= 2 * 188 and data[0] == 0x47 and data[188] == 0x47:
+        first = last = None
+        for p in range(0, n - 187, 188):
+            if data[p] != 0x47:
+                break
+            afc = (data[p + 3] >> 4) & 0x3
+            if afc in (2, 3) and p + 12 <= n:
+                aflen = data[p + 4]
+                # adaptation field holds a PCR when its flag bit is set
+                # and the field is long enough for the 6-byte value
+                if aflen >= 7 and (data[p + 5] & 0x10):
+                    pcr48 = int.from_bytes(data[p + 6:p + 12], "big")
+                    pcr = (pcr48 >> 15) * 300 + (pcr48 & 0x1FF)
+                    if first is None:
+                        first = pcr
+                    last = pcr
+        dur = 0
+        if first is not None and last is not None and last >= first:
+            dur = (last - first) // 27_000  # 27 MHz -> ms
+        return {"kind": "mpegts", "duration_ms": dur,
+                "sample_rate": 0, "channels": 0}
     # --- MPEG-1 Layer III: optional ID3v2 tag, then the frame header -------
     off = 0
     if data[:3] == b"ID3" and n >= 10:

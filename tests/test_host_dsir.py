@@ -137,3 +137,28 @@ def test_dsir_empty_text_survives(spark):
     rows = {r.doc_id: r for r in picked.collect()}
     assert set(rows) == {1, 2, 3}
     assert rows[2].n_feats == 0 and rows[2].log_weight == 0.0
+
+
+def test_cross_host_below_ratio_line_survives(spark):
+    """VERDICT r4 item 6 follow-through: a line shared ACROSS hosts but
+    below-ratio WITHIN each host (the registry plant's `%7` "powered by
+    examplecms" shape) must survive on every host — the ratio is per
+    (host, line), never global, and the old `%4` plant could only land
+    at 100% or 0% per host so this path went unexercised."""
+    rows = []
+    for h in ("a.com", "b.com"):
+        for i in range(7):
+            text = f"{h} nav chrome\ncontent {h} {i}"
+            if i == 0:
+                text += "\npowered by examplecms"
+            rows.append((hash(h) % 100 * 10 + i, h, text))
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = host_line_dedup(df, min_host_pages=5, min_ratio=0.5).collect()
+    assert len(out) == 14
+    survivors = [r for r in out if "powered by examplecms" in r.text]
+    # the cross-host 1/7-ratio line survives on BOTH hosts...
+    assert len(survivors) == 2
+    assert {r.host for r in survivors} == {"a.com", "b.com"}
+    # ...while each host's 7/7 chrome line is dropped everywhere
+    assert all("nav chrome" not in r.text for r in out)
+    assert all(r.n_dropped == 1 for r in out)

@@ -321,3 +321,52 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_docs")
         spark.sql("DROP TABLE IF EXISTS bkt_sigs")
+
+
+def test_incremental_band_store_committed_side_no_exchange(spark, tmp_path):
+    """VERDICT r4 item 5: the persisted band store is bucketed+sorted on
+    the band-join key, so the per-batch candidate join shuffles ONLY the
+    probe side — exactly one Exchange in the join plan (the new batch's
+    band rows), none above the committed table's scan. The unbucketed
+    control exchanges both sides."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.dedup import band_buckets
+    from ocr_spark.operators.incremental import committed_state, write_band_store
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta body "),
+            F.col("id"),
+        ).alias("text"),
+    )
+    state = committed_state(docs)
+    probe = band_buckets(
+        committed_state(
+            docs.where("doc_id < 40").select(
+                (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+            )
+        ),
+        id_col="id",
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_band_store(state, "bkt_band_store", str(tmp_path / "bbs"), num_buckets=8)
+        stored = spark.table("bkt_band_store")
+        joined = probe.alias("l").join(
+            stored.alias("r"), ["band", "bucket"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan  # probe side only
+        assert "Bucketed: true" in plan
+        # control: deriving the committed bands in-session exchanges BOTH
+        control = probe.alias("l").join(
+            band_buckets(state, id_col="id").alias("r"), ["band", "bucket"]
+        )
+        cplan = control._jdf.queryExecution().executedPlan().toString()
+        assert cplan.count("Exchange") >= 2, cplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_band_store")

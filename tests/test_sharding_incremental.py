@@ -146,3 +146,46 @@ def test_shard_manifest_detects_order_and_content_drift(spark):
             assert mut.loc[s, "content_fp"] != base.loc[s, "content_fp"]
         else:
             assert mut.loc[s, "content_fp"] == base.loc[s, "content_fp"]
+
+
+def test_incremental_band_store_path_row_identical(spark, tmp_path):
+    """The bucketed band-store path must produce EXACTLY the rows of the
+    derive-in-session path (same pair set, same statuses) — the layout is
+    an execution detail, never a semantic one."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.incremental import (
+        committed_state,
+        incremental_status_against_state,
+        write_band_store,
+    )
+
+    docs = spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog number "),
+            (F.col("id") % 40),
+            F.lit(" with some more shared filler words in every doc"),
+        ).alias("text"),
+    )
+    committed = docs.where("doc_id < 60")
+    batch = docs.where("doc_id >= 60").select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text"
+    )
+    state = committed_state(committed)
+    base = sorted(
+        (r["doc_id"], r["status"])
+        for r in incremental_status_against_state(batch, state).collect()
+    )
+    write_band_store(state, "bkt_band_eq", str(tmp_path / "beq"), num_buckets=4)
+    try:
+        stored = sorted(
+            (r["doc_id"], r["status"])
+            for r in incremental_status_against_state(
+                batch, state, band_store=spark.table("bkt_band_eq")
+            ).collect()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_band_eq")
+    assert base == stored
+    assert any(s == "exact_seen" for _, s in base)  # non-vacuous

@@ -500,3 +500,72 @@ class TestAVHeaders:
         assert int(out.loc["n", "n_bytes"]) == 0
         plan = av_features(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # zero-shuffle projection
+
+
+class TestAVHeadersRound5:
+    """VERDICT r4 item 7: Matroska/WebM (EBML) and MPEG-TS header
+    branches — hand-built minimal fixtures with known parameters."""
+
+    @staticmethod
+    def _webm(doctype=b"webm", seg_size=None):
+        import struct
+
+        ebml = (b"\x1a\x45\xdf\xa3" + bytes([0x80 | (3 + len(doctype))])
+                + b"\x42\x82" + bytes([0x80 | len(doctype)]) + doctype)
+        info = (b"\x15\x49\xa9\x66" + b"\x8e"
+                + b"\x2a\xd7\xb1" + b"\x83" + (1_000_000).to_bytes(3, "big")
+                + b"\x44\x89" + b"\x84" + struct.pack(">f", 2500.0))
+        size = bytes([0x80 | len(info)]) if seg_size is None else seg_size
+        return ebml + b"\x18\x53\x80\x67" + size + info
+
+    @staticmethod
+    def _ts_packet(pcr_27mhz=None):
+        b = bytearray(188)
+        b[0] = 0x47
+        b[3] = 0x30  # adaptation field + payload
+        b[4] = 183   # adaptation field spans the packet
+        if pcr_27mhz is not None:
+            b[5] = 0x10  # PCR flag
+            base, ext = divmod(pcr_27mhz, 300)
+            b[6:12] = ((base << 15) | ext).to_bytes(6, "big")
+        return bytes(b)
+
+    def test_webm_duration_and_kind(self):
+        from ocr_spark.operators.multimodal import parse_av_header
+
+        assert parse_av_header(self._webm()) == {
+            "kind": "webm", "duration_ms": 2500,
+            "sample_rate": 0, "channels": 0}
+        got = parse_av_header(self._webm(doctype=b"matroska"))
+        assert got["kind"] == "mkv" and got["duration_ms"] == 2500
+
+    def test_webm_unknown_size_segment(self):
+        # streamed Segments carry the all-ones "unknown" size: the walker
+        # must clamp the scope to the captured bytes and still find Info
+        from ocr_spark.operators.multimodal import parse_av_header
+
+        got = parse_av_header(self._webm(seg_size=b"\xff"))
+        assert got == {"kind": "webm", "duration_ms": 2500,
+                       "sample_rate": 0, "channels": 0}
+
+    def test_mpegts_pcr_span(self):
+        from ocr_spark.operators.multimodal import parse_av_header
+
+        ts = self._ts_packet(0) + self._ts_packet(27_000_000)  # 1 s apart
+        assert parse_av_header(ts) == {
+            "kind": "mpegts", "duration_ms": 1000,
+            "sample_rate": 0, "channels": 0}
+        # sync-aligned but PCR-free capture: identified, duration unknown
+        no_pcr = self._ts_packet() + self._ts_packet()
+        assert parse_av_header(no_pcr) == {
+            "kind": "mpegts", "duration_ms": 0,
+            "sample_rate": 0, "channels": 0}
+
+    def test_new_containers_never_throw_on_garbage(self):
+        from ocr_spark.operators.multimodal import parse_av_header
+
+        for b in (b"\x1a\x45\xdf\xa3", self._webm()[:9],
+                  b"\x1a\x45\xdf\xa3" + b"\x00" * 30,
+                  b"G" + b"\x00" * 375,           # one sync byte only
+                  self._ts_packet(0)[:100]):      # truncated single packet
+            assert parse_av_header(b) is None
