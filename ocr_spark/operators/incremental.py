@@ -109,6 +109,7 @@ def incremental_status_against_state(
     bloom: DataFrame | None = None,
     bloom_n_blocks: int | None = None,
     band_store: DataFrame | None = None,
+    band_store_tail_state: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, status) for every row of ``new_df`` checked against a
     persisted :func:`committed_state` table: 'exact_seen' (fingerprint
@@ -150,35 +151,63 @@ def incremental_status_against_state(
     # scale path: a persisted :func:`write_band_store` table is already
     # laid out (bucketed + sorted) on the band-join key, so the committed
     # side enters the candidate join with NO Exchange — only the batch's
-    # own band rows shuffle. Must hold exactly band_buckets(state_df)'s
-    # rows (it is written from the same state at commit time), so the
-    # pair set — and the DuckDB twin — are unchanged.
+    # own band rows shuffle. With ``band_store_tail_state`` (the LSM-style
+    # streaming layout: bucketed BASE through the last refresh + the
+    # state rows appended SINCE, derived in-session) the committed side is
+    # the disjoint union base ∪ tail; the candidate join runs per part and
+    # unions RESULTS, so the base keeps its exchange-free scan while the
+    # tail — O(batches since refresh), not O(corpus) — pays the ordinary
+    # shuffle. Either layout must hold exactly band_buckets(state_df)'s
+    # rows, so the pair set — and the DuckDB twin — are unchanged.
+    sb_parts: list[DataFrame]
     if band_store is not None:
-        sb = band_store.select("id", "band", "bucket")
+        sb_parts = [band_store.select("id", "band", "bucket")]
+        if band_store_tail_state is not None:
+            sb_parts.append(
+                band_buckets(
+                    band_store_tail_state, id_col="id",
+                    perms=perms, bands=bands,
+                )
+            )
     else:
-        sb = band_buckets(state_df, id_col="id", perms=perms, bands=bands)
+        sb_parts = [band_buckets(state_df, id_col="id", perms=perms, bands=bands)]
     # bucket cap over the UNION (identical semantics to the from-scratch
     # pass over new ∪ committed): a boilerplate bucket is oversized no
-    # matter which generation its members arrived in
+    # matter which generation its members arrived in. Counts are taken
+    # PER PART and re-summed so the bucketed base's count aggregation
+    # stays exchange-free (its grouping keys are its bucket spec) and the
+    # second-stage agg shuffles bucket-count rows, never band rows.
+    def _cnt(df: DataFrame) -> DataFrame:
+        return df.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+    counts = _cnt(nb)
+    for part in sb_parts:
+        counts = counts.unionByName(_cnt(part))
     small = (
-        nb.unionByName(sb)
-        .groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
+        counts.groupBy("band", "bucket")
+        .agg(F.sum("n").alias("n"))
         .where((F.col("n") > 1) & (F.col("n") <= max_bucket))
         .select("band", "bucket")
     )
     nb = nb.join(small, ["band", "bucket"], "left_semi")
-    sb = sb.join(small, ["band", "bucket"], "left_semi")
-    cand = (
-        nb.alias("l")
-        .join(
-            sb.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket")),
+
+    def _cand(sb: DataFrame) -> DataFrame:
+        return (
+            nb.alias("l")
+            .join(
+                sb.join(small, ["band", "bucket"], "left_semi").alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket")),
+            )
+            .select(
+                F.col("l.id").alias("id_new"), F.col("r.id").alias("id_old")
+            )
         )
-        .select(F.col("l.id").alias("id_new"), F.col("r.id").alias("id_old"))
-        .distinct()
-    )
+
+    cand = _cand(sb_parts[0])
+    for part in sb_parts[1:]:
+        cand = cand.unionByName(_cand(part))
+    cand = cand.distinct()
     a = new_state.select(F.col("id").alias("id_new"), F.col("sh").alias("sh_a"))
     b = state_df.select(F.col("id").alias("id_old"), F.col("sh").alias("sh_b"))
     near = (

@@ -45,17 +45,109 @@ INGEST_BLOOM_BLOCKS = 1 << 14  # fixed per deployment: part of filter identity
 
 class DedupIngest:
     """The foreachBatch sink. Owns the corpus / state / bloom / metrics
-    tables under ``root`` and admits only novel documents."""
+    tables under ``root`` and admits only novel documents.
+
+    ``band_store_every=K`` (0 = off) additionally maintains the LSM-style
+    bucketed band layout for the near-dup probe: every K batches the full
+    state's (id, band, bucket) rows are rewritten as a parquet table
+    bucketed+sorted on the band-join key (operators/incremental.py
+    ``write_band_store``), stamped with the state sequence it covers; a
+    probe then joins the bucketed BASE exchange-free and derives band
+    rows in-session only for the state appended SINCE the stamp — per
+    batch the committed side costs O(batches-since-refresh) shuffle
+    instead of O(corpus). Crash-safe by stamp comparison: the base is
+    written before its meta commit, and a probe that finds the stamp and
+    the meta disagreeing (the crash window) or any non-append state
+    snapshot after the stamp (a compaction) falls back to the
+    derive-from-full-state path — correctness never rides on the cache."""
 
     def __init__(self, root: str, text_col: str = "text",
                  id_col: str = "doc_id", threshold: float = 0.5,
-                 n_blocks: int = INGEST_BLOOM_BLOCKS):
+                 n_blocks: int = INGEST_BLOOM_BLOCKS,
+                 band_store_every: int = 0):
+        import hashlib
+
         self.corpus = IcebergLiteTable(f"{root}/corpus")
         self.state = IcebergLiteTable(f"{root}/state")
         self.bloom = IcebergLiteTable(f"{root}/bloom")
         self.metrics = IcebergLiteTable(f"{root}/metrics")
         self.text_col, self.id_col = text_col, id_col
         self.threshold, self.n_blocks = threshold, n_blocks
+        self.band_store_every = band_store_every
+        self.band_meta = IcebergLiteTable(f"{root}/band_meta")
+        self.band_store_path = f"{root}/band_store"
+        self.band_store_table = (
+            "ingest_band_store_"
+            + hashlib.md5(root.encode()).hexdigest()[:12]
+        )
+
+    # -- bucketed band-store maintenance ------------------------------------
+    def _band_probe(self, spark: SparkSession):
+        """(band_store, tail_state) for the near-dup probe, or (None, None)
+        when the store is absent/stale-inconsistent and the caller must
+        derive from the full state."""
+        if self.band_store_every <= 0 or not self.band_meta.exists():
+            return None, None
+        try:
+            store = spark.table(self.band_store_table)
+            stamp_row = store.select("through_seq").limit(1).collect()
+        except Exception:
+            return None, None
+        if not stamp_row:
+            return None, None
+        stamp = stamp_row[0]["through_seq"]
+        meta = self.band_meta.read(spark).collect()
+        if len(meta) != 1 or meta[0]["through_seq"] != stamp:
+            return None, None  # crash window between store write + meta
+        tail_dirs: list[str] = []
+        snaps = sorted(self.state.snapshots(), key=lambda s: s["sequence"])
+        parent = None
+        for snap in snaps:
+            if snap["sequence"] > stamp:
+                from .iceberg_stream import _is_append, _own_entries
+
+                if not _is_append(snap, parent):
+                    return None, None  # compaction rewrote history
+                tail_dirs += [e["dir"] for e in _own_entries(snap)]
+            parent = snap
+        tail = (
+            spark.read.parquet(*tail_dirs) if tail_dirs else None
+        )
+        return store.select("id", "band", "bucket"), tail
+
+    def _band_refresh(self, spark: SparkSession, batch_id: int) -> None:
+        """Rewrite the bucketed band store from the full state (store
+        first, meta second — see the stamp-comparison contract above)."""
+        if self.band_store_every <= 0:
+            return
+        due = (
+            not self.band_meta.exists()
+            or batch_id % self.band_store_every == 0
+        )
+        if not due:
+            return
+        from ..operators.dedup import band_buckets
+        from ..plans.partitioning import write_bucketed
+
+        cur = self.state.current_snapshot()
+        seq = cur["sequence"] if cur else -1
+        state_df = self.state.read(spark)
+        if state_df is None:
+            return
+        # write_band_store's layout, plus the stamp column the probe
+        # compares against band_meta (band_buckets would drop it, so the
+        # constant is attached to the band rows directly)
+        rows = band_buckets(state_df, id_col="id").withColumn(
+            "through_seq", F.lit(seq).cast("long")
+        )
+        write_bucketed(
+            rows, self.band_store_table, self.band_store_path,
+            ["band", "bucket"],
+        )
+        self.band_meta.overwrite(
+            spark.createDataFrame([(seq,)], "through_seq long"),
+            properties={"batch_id": str(batch_id)},
+        )
 
     # -- idempotency ledgers -------------------------------------------------
     def committed_batches(self, spark: SparkSession) -> set[int]:
@@ -107,10 +199,13 @@ class DedupIngest:
                 bloom_df = (
                     self.bloom.read(spark) if self.bloom.exists() else None
                 )
+                band_base, band_tail = self._band_probe(spark)
                 status = incremental_status_against_state(
                     uniq, state_df, self.text_col, self.id_col,
                     threshold=self.threshold,
                     bloom=bloom_df, bloom_n_blocks=self.n_blocks,
+                    band_store=band_base,
+                    band_store_tail_state=band_tail,
                 )
             elif state_has:
                 status = None  # replay past the state commit: see below
@@ -139,6 +234,10 @@ class DedupIngest:
                     admitted, self.text_col, self.id_col
                 )
                 self.state.append(delta_state, properties=props)
+                # periodic bucketed band-store refresh (store first, meta
+                # second; a crash between them is detected by the probe's
+                # stamp comparison and degrades to derive-from-full)
+                self._band_refresh(spark, batch_id)
                 delta_bloom = bloom_build(
                     delta_state.select("fp"), "fp", n_blocks=self.n_blocks
                 )

@@ -132,3 +132,54 @@ def test_start_dedup_ingest_streaming_end_to_end(spark, tmp_path):
 
     ing = DedupIngest(root)
     assert _corpus_ids(spark, ing) == [0, 1, 11]
+
+
+def test_ingest_band_store_equivalent_and_tail_correct(spark, tmp_path):
+    """The LSM band-store layout (bucketed base + in-session tail) must
+    gate identically to the derive-from-full path: same corpus, same
+    per-batch status counts — including a near-dup of a document that
+    was committed AFTER the last base refresh (the tail window)."""
+    plain = DedupIngest(str(tmp_path / "plain"))
+    lsm = DedupIngest(str(tmp_path / "lsm"), band_store_every=2)
+    batches = [
+        _docs(spark, [_mk(0), _mk(1)]),                       # batch 0
+        _docs(spark, [_mk(2), (50, _mk(0)[1])]),              # 50 exact of 0
+        # 60 = near-dup of doc 2 (committed in batch 1 — AFTER the
+        # batch-0 refresh, so only the tail can catch it); 61 novel
+        _docs(spark, [(60, _mk(2)[1] + " drift"), _mk(61)]),  # batch 2
+        _docs(spark, [(70, _mk(61)[1]), _mk(71)]),            # batch 3
+    ]
+    try:
+        for bid, b in enumerate(batches):
+            rp = plain.process_batch(b, bid)
+            rl = lsm.process_batch(b, bid)
+            keys = ("n_input", "n_unique", "n_new",
+                    "n_exact_seen", "n_near_seen")
+            assert {k: rp[k] for k in keys} == {k: rl[k] for k in keys}, bid
+        assert _corpus_ids(spark, plain) == _corpus_ids(spark, lsm)
+        # the tail-window near-dup was actually caught, not vacuous
+        m = {r.batch_id: r for r in lsm.metrics.read(spark).collect()}
+        assert m[2].n_near_seen == 1 and m[1].n_exact_seen == 1
+        # the bucketed base exists and carries the stamp contract
+        store = spark.table(lsm.band_store_table)
+        assert {"id", "band", "bucket", "through_seq"} <= set(store.columns)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lsm.band_store_table}")
+
+
+def test_ingest_band_store_crash_window_falls_back(spark, tmp_path):
+    """Store written but meta behind (the refresh crash window): the
+    probe must detect the stamp mismatch and fall back to the
+    derive-from-full path — the gate still catches duplicates."""
+    ing = DedupIngest(str(tmp_path / "cw"), band_store_every=1)
+    try:
+        ing.process_batch(_docs(spark, [_mk(0), _mk(1)]), 0)
+        # simulate the crash window: meta regresses to a stale stamp
+        ing.band_meta.overwrite(
+            spark.createDataFrame([(-999,)], "through_seq long")
+        )
+        assert ing._band_probe(spark) == (None, None)
+        r = ing.process_batch(_docs(spark, [(9, _mk(0)[1]), _mk(3)]), 1)
+        assert r["n_exact_seen"] == 1 and r["n_new"] == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ing.band_store_table}")
