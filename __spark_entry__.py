@@ -1227,6 +1227,25 @@ def q_blockwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blockword_filter(planted)
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth checkpoints over the documents table:
+    cumulative token count, distinct-type count, and type/token ratio at
+    power-of-two document prefixes — the corpus-QA saturation curve (flat
+    = boilerplate tail, linear = noise). No global sort: types collapse
+    to first-occurrence docs, histograms are docs-bounded, checkpoints
+    arrive by broadcast range join (operators/textprofile.vocab_growth).
+    Exact DuckDB twin (same tokenizer, same strict-prefix fold)."""
+    from ocr_spark.operators.textprofile import vocab_growth
+
+    return vocab_growth(
+        _t(spark, sf_dir, "documents"), checkpoints=VOCAB_CHECKPOINTS
+    )
+
+
+# part of the query's identity, shared with the DuckDB twin
+VOCAB_CHECKPOINTS = [16, 64, 256, 1024, 4096]
+
+
 def q_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-script mix profile over documents with planted non-Latin
     content: every 10th document is REPLACED by a CJK-dominant mixed
@@ -3097,8 +3116,13 @@ _ROUND5_DEMOTIONS = (
     "repetition_stats bpe_tokens"
 )
 
+# vocab_growth: born round 5, out-of-window (in-window witnesses:
+# token_stats carries the tokenizer, hll_distinct the vocabulary-keyed
+# agg family; exact twin in pytest)
+_ROUND5_BORN = " vocab_growth"
+
 _EXTRA_KEYS = frozenset(
-    (_EXTRA_KEYS_STR + _ROUND5_DEMOTIONS).split()
+    (_EXTRA_KEYS_STR + _ROUND5_DEMOTIONS + _ROUND5_BORN).split()
 )
 
 _QUERIES = {
@@ -3200,6 +3224,7 @@ _QUERIES = {
         "ivf_assign": q_ivf_assign,
         "decontam_spans": q_decontam_spans,
         "script_stats": q_script_stats,
+        "vocab_growth": q_vocab_growth,
         "code_detect": q_code_detect,
         "signals": q_signals,
         "bpe_tokens": q_bpe_tokens,
@@ -6185,6 +6210,47 @@ def _heavy_hitters_oracle() -> str:
     """
 
 
+def _vocab_growth_oracle() -> str:
+    """DuckDB twin of q_vocab_growth: identical tokenizer, the same
+    first-occurrence fold (min doc per type), the same strict-prefix
+    checkpoint semantics (doc < n_docs), 4-dp type/token ratio."""
+    cps = ", ".join(str(c) for c in VOCAB_CHECKPOINTS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id AS doc,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '[A-Za-z0-9_'']+')) AS tok
+            FROM documents
+        ), doc_tokens AS (
+            SELECT doc, count(*) AS n_tok FROM toks GROUP BY doc
+        ), hist AS (
+            SELECT first_doc, count(*) AS n_new FROM (
+                SELECT tok, min(doc) AS first_doc FROM toks GROUP BY tok
+            ) GROUP BY first_doc
+        ), cps AS (
+            SELECT unnest([{cps}])::BIGINT AS n_docs
+        ), v AS (
+            SELECT c.n_docs, sum(h.n_new) AS vocab_size
+            FROM cps c JOIN hist h ON h.first_doc < c.n_docs
+            GROUP BY c.n_docs
+        ), t AS (
+            SELECT c.n_docs, sum(d.n_tok) AS n_tokens
+            FROM cps c JOIN doc_tokens d ON d.doc < c.n_docs
+            GROUP BY c.n_docs
+        )
+        SELECT c.n_docs,
+               CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(v.vocab_size, 0) AS BIGINT) AS vocab_size,
+               CASE WHEN coalesce(t.n_tokens, 0) > 0
+                    THEN round(coalesce(v.vocab_size, 0)::DOUBLE
+                               / t.n_tokens::DOUBLE, 4)
+                    ELSE 0.0 END AS type_token_ratio
+        FROM cps c LEFT JOIN t ON c.n_docs = t.n_docs
+                   LEFT JOIN v ON c.n_docs = v.n_docs
+        ORDER BY c.n_docs
+    """
+
+
 def _script_stats_oracle() -> str:
     """DuckDB twin of q_script_stats: same plants, same explicit
     code-point-range classes (imported from the operator module so the
@@ -6813,6 +6879,7 @@ def _oracle_sql_all() -> dict[str, str]:
         "ivf_assign": _ivf_assign_oracle(),
         "decontam_spans": _decontam_spans_oracle(),
         "script_stats": _script_stats_oracle(),
+        "vocab_growth": _vocab_growth_oracle(),
         "code_detect": _code_detect_oracle(),
         "bpe_tokens": _bpe_tokens_oracle(),
         "token_fertility": _token_fertility_oracle(),

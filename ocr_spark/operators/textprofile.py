@@ -156,3 +156,89 @@ def code_detect(
         *[cols[k].alias(k) for k in
           ("n_lines", "indent_lines", "sym_ratio", "kw_hits", "is_code")],
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    checkpoints: list[int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary growth curve (Heaps'-law checkpoints): for each
+    checkpoint prefix of the corpus in ``id_col`` order, the cumulative
+    token count and distinct-type count, plus the type/token ratio.
+    Columns: n_docs, n_tokens, vocab_size, type_token_ratio (4 dp).
+
+    Why at 100 TB: the growth curve is the corpus-QA saturation signal —
+    a healthy crawl's vocabulary grows ~n^0.5 (Heaps); a curve that goes
+    FLAT says the tail is near-duplicate boilerplate (dedup is overdue),
+    one that stays LINEAR says the corpus is drowning in unique noise
+    (mojibake, random ids — quality gates are failing). Pipelines track
+    it per dump to decide where cleaning effort goes.
+
+    Plan shape (the reason this is not a window over the whole corpus):
+    a naive cumulative-distinct needs a global sort + running set — a
+    single-task scan at scale. Instead (a) ONE tokenize projection feeds
+    both sides; (b) each type collapses to its FIRST document
+    (min(doc_id) per token — one partial-agg shuffle bounded by the
+    vocabulary); (c) first-occurrence docs fold to a docs-bounded
+    histogram (n_new types per doc), likewise per-doc token counts; (d)
+    the dozen checkpoint rows arrive by a broadcast range join over
+    those bounded histograms with map-side conditional sums. Nothing
+    ever sorts globally; the widest shuffle key is a token.
+    """
+    if checkpoints is None:
+        checkpoints = [1 << k for k in range(4, 20)]
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(TOKEN_PATTERN),
+                F.lit(0),
+            )
+        ).alias("tok"),
+    )
+    # per-doc token counts (docs-bounded)
+    doc_tokens = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    # first-occurrence histogram: n_new types per doc (docs-bounded;
+    # the min(doc) agg is the only vocabulary-keyed shuffle)
+    first = (
+        toks.groupBy("tok")
+        .agg(F.min("doc").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    cps = df.sparkSession.createDataFrame(
+        [(int(c),) for c in sorted(set(checkpoints))], "n_docs long"
+    )
+    vocab = (
+        F.broadcast(cps)
+        .join(first, first["first_doc"] < F.col("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.sum("n_new").alias("vocab_size"))
+    )
+    tokens = (
+        F.broadcast(cps)
+        .join(doc_tokens, doc_tokens["doc"] < F.col("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    return (
+        cps.join(tokens, "n_docs", "left")
+        .join(vocab, "n_docs", "left")
+        .select(
+            "n_docs",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("vocab_size", F.lit(0)).alias("vocab_size"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.round(
+                    F.col("vocab_size").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)).alias("type_token_ratio"),
+        )
+        .orderBy("n_docs")
+    )

@@ -74,3 +74,48 @@ def test_token_exact_keywords_no_substring_hits(spark):
     )
     r = code_detect(df).collect()[0]
     assert r.kw_hits == 0 and not r.is_code
+
+
+def test_vocab_growth_construction_truth(spark):
+    """Known tiny corpus: checkpoints count types by FIRST occurrence and
+    tokens by strict document prefix."""
+    from ocr_spark.operators.textprofile import vocab_growth
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),          # 3 tokens, 3 new types
+            (1, "a b d d"),        # 4 tokens, 1 new type (d)
+            (2, "e"),              # 1 token, 1 new type
+            (3, None),             # NULL text: 0 tokens, never dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["n_docs"]: r
+        for r in vocab_growth(docs, checkpoints=[1, 2, 4, 8]).collect()
+    }
+    assert (out[1]["n_tokens"], out[1]["vocab_size"]) == (3, 3)
+    assert (out[2]["n_tokens"], out[2]["vocab_size"]) == (7, 4)
+    assert (out[4]["n_tokens"], out[4]["vocab_size"]) == (8, 5)
+    assert out[8]["n_tokens"] == 8 and out[8]["vocab_size"] == 5  # saturated
+    assert out[2]["type_token_ratio"] == round(4 / 7, 4)
+
+
+def test_vocab_growth_plan_no_python_broadcast_checkpoints(spark):
+    """Plan discipline: no Python in the plan, checkpoints arrive via
+    broadcast joins, and the only Sort is the final 5-row checkpoint
+    ordering, never a corpus-wide sort."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.textprofile import vocab_growth
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 37)).alias("text"),
+    )
+    plan = (
+        vocab_growth(docs, checkpoints=[16, 64])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
