@@ -1219,9 +1219,29 @@ def main() -> None:
                 calib_samples.append([qi, cal])
             # on a tight budget drop to single-rep, no-wait, no-retry
             # measurements: coverage of the suite beats min-of-3 precision
-            # here, and validity still rides on the steal + calib tags
+            # here, and validity still rides on the steal + calib tags.
+            # Pacing is PROJECTED, not just reactive (run-2 lesson: a
+            # noisy day's 3-rep pace covered only 66 of 139 before the
+            # box ended): once the observed per-query pace says the
+            # remaining entries won't fit at full precision, the suite
+            # switches to coverage mode for the rest.
+            suite_used = time.time() - suite_t0
+            pace = suite_used / qi if qi else 0.0
+            projected_overrun = (
+                qi >= 5
+                and pace * (len(suite_order) - qi) > suite_box - suite_used
+            )
+            # sticky: once coverage mode engages it stays on — the early
+            # 3-rep queries inflate the average pace, and flip-flopping
+            # precision mid-suite would make per-query walls incomparable
             tight = (left() < 180
-                     or time.time() - suite_t0 > suite_box - 120)
+                     or suite_used > suite_box - 120
+                     or projected_overrun
+                     or "queries_pacing_tight_at" in result)
+            if projected_overrun and "queries_pacing_tight_at" not in result:
+                result["queries_pacing_tight_at"] = qi
+                log(f"bench: suite pacing: switching to single-rep coverage "
+                    f"mode at query {qi} (pace {pace:.1f}s/query)")
             walls, steals, n_clean = run_reps_clean(
                 one_rep, 1 if tight else REPS,
                 extra=0 if tight else 2, wait=not tight)
