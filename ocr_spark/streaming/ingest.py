@@ -59,7 +59,13 @@ class DedupIngest:
     written before its meta commit, and a probe that finds the stamp and
     the meta disagreeing (the crash window) or any non-append state
     snapshot after the stamp (a compaction) falls back to the
-    derive-from-full-state path — correctness never rides on the cache."""
+    derive-from-full-state path — correctness never rides on the cache.
+    Catalog scope: ``saveAsTable`` registers the bucketed table in the
+    session catalog, so after a driver restart probes fall back (the
+    in-memory catalog forgot the name, and bucket metadata cannot be
+    recovered from the parquet path alone) until the next due refresh
+    re-registers it; with a persistent metastore the store survives
+    restarts as-is."""
 
     def __init__(self, root: str, text_col: str = "text",
                  id_col: str = "doc_id", threshold: float = 0.5,
