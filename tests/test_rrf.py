@@ -120,3 +120,37 @@ def test_snippets_straddling_run_scores_whole(spark):
     assert r["n_hits"] == 2 and r["start"] == 10
     toks = r["snippet"].split()
     assert toks[9] == "alpha" and toks[10] == "alpha" and len(toks) == 20
+
+
+def test_snippets_dominate_aligned_windows_property(spark):
+    """Property over a batch of constructed docs: the reported span's hit
+    count is >= every aligned window's hit count (the half-offset grid
+    can only improve on the old aligned-only scoring), and n_hits equals
+    the true hit count inside [start, start+window)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for did in range(30):
+        n = rng.randint(5, 90)
+        words = [f"w{rng.randint(0, 30)}" for _ in range(n)]
+        for _ in range(rng.randint(1, 6)):
+            words[rng.randrange(n)] = "hit"
+        rows.append((did, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from ocr_spark.operators.index import SNIPPET_WINDOW, snippets
+
+    out = {r["doc_id"]: r for r in snippets(docs, ["hit"]).collect()}
+    w = SNIPPET_WINDOW
+    for did, text in rows:
+        toks = text.split()
+        positions = [i for i, t in enumerate(toks) if t == "hit"]
+        assert did in out  # every doc with a hit gets a snippet
+        r = out[did]
+        true_in_span = sum(1 for p in positions if r["start"] <= p < r["start"] + w)
+        assert r["n_hits"] == true_in_span, (did, r)
+        best_aligned = max(
+            sum(1 for p in positions if a <= p < a + w)
+            for a in range(0, len(toks), w)
+        )
+        assert r["n_hits"] >= best_aligned, (did, r, best_aligned)

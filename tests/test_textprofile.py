@@ -119,3 +119,24 @@ def test_vocab_growth_plan_no_python_broadcast_checkpoints(spark):
     )
     assert "Python" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_vocab_growth_monotone_property(spark):
+    """Property: both cumulative counts are non-decreasing in n_docs and
+    vocab_size never exceeds n_tokens."""
+    import pyspark.sql.functions as F
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha tok"), (F.col("id") % 61),
+            F.lit(" beta tok"), (F.col("id") % 13),
+        ).alias("text"),
+    )
+    from ocr_spark.operators.textprofile import vocab_growth
+
+    rows = vocab_growth(docs, checkpoints=[1, 4, 16, 64, 256, 1024]).collect()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_tokens"] >= prev["n_tokens"]
+        assert cur["vocab_size"] >= prev["vocab_size"]
+    assert all(r["vocab_size"] <= max(r["n_tokens"], 1) for r in rows)
