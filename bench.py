@@ -1253,6 +1253,15 @@ def main() -> None:
                 q_contended.append(name)
             log(f"bench: {name}: {rows_box[0]} rows in {qtimes[name]}s"
                 + ("" if n_clean else " (no steal-clean rep)"))
+            # release the query's scoped persist caches NOW, not at suite
+            # end: caches never help the NEXT query (plans differ), but
+            # ~100 queries' accumulated cached signature frames crowd the
+            # single local-mode JVM's storage memory and inflated the
+            # heavy dedup queries 2-3x over their fresh-session walls
+            # (measured: clean_corpus 9.7 s in-suite vs 4.2 s isolated)
+            from ocr_spark.operators.dedup import release_cached
+
+            release_cached()
             if (qi + 1) % 15 == 0:
                 emit("queries_partial")
         result["queries_elapsed_s"] = round(time.time() - suite_t0, 1)
