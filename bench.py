@@ -1195,6 +1195,8 @@ def main() -> None:
         q_dirty: list[str] = []
         q_contended: list[str] = []
         q_steals: dict[str, float] = {}
+        q_single: list[str] = []          # walls recorded in coverage mode
+        recent_rep_walls: list[float] = []  # pace estimator feed
         calib_samples: list[list] = [[0, cal]]
         suite_t0 = time.time()
         suite_box = max(float(QUERY_FLOOR_S), left() - 30)
@@ -1217,34 +1219,40 @@ def main() -> None:
                 cal = _calibrate()
                 best_cal = min(best_cal, cal)
                 calib_samples.append([qi, cal])
-            # on a tight budget drop to single-rep, no-wait, no-retry
-            # measurements: coverage of the suite beats min-of-3 precision
-            # here, and validity still rides on the steal + calib tags.
-            # Pacing is PROJECTED, not just reactive (run-2 lesson: a
-            # noisy day's 3-rep pace covered only 66 of 139 before the
-            # box ended): once the observed per-query pace says the
-            # remaining entries won't fit at full precision, the suite
-            # switches to coverage mode for the rest.
+            # Per-query GREEDY budgeting (v1 of pacing was a sticky
+            # switch — it engaged off the inflated early 3-rep pace and
+            # then left 600+ s of a roomy box unused while recording
+            # cold single-rep walls): reserve single-rep cost for every
+            # REMAINING query first — coverage is guaranteed — then
+            # spend the surplus on full min-of-N precision for the
+            # CURRENT query when it fits. A warm-rep minimum needs full
+            # precision, so the regime of each wall is disclosed via
+            # ``queries_reps``; hard floors (run nearly over, box nearly
+            # over) still force coverage mode outright.
             suite_used = time.time() - suite_t0
-            pace = suite_used / qi if qi else 0.0
-            projected_overrun = (
-                qi >= 5
-                and pace * (len(suite_order) - qi) > suite_box - suite_used
+            box_left = suite_box - suite_used
+            import statistics as _st
+
+            est_single = (
+                _st.median(recent_rep_walls[-15:]) + 1.0
+                if recent_rep_walls else 0.0
             )
-            # sticky: once coverage mode engages it stays on — the early
-            # 3-rep queries inflate the average pace, and flip-flopping
-            # precision mid-suite would make per-query walls incomparable
+            remaining_n = len(suite_order) - qi - 1
+            # full precision costs ~REPS reps + quiet-wait overhead (~6 s)
+            full_extra = (REPS - 1) * est_single + 6.0
+            affordable = (
+                not recent_rep_walls  # seed estimates at full precision
+                or box_left - remaining_n * est_single > full_extra
+            )
             tight = (left() < 180
                      or suite_used > suite_box - 120
-                     or projected_overrun
-                     or "queries_pacing_tight_at" in result)
-            if projected_overrun and "queries_pacing_tight_at" not in result:
-                result["queries_pacing_tight_at"] = qi
-                log(f"bench: suite pacing: switching to single-rep coverage "
-                    f"mode at query {qi} (pace {pace:.1f}s/query)")
+                     or not affordable)
+            if tight:
+                q_single.append(name)
             walls, steals, n_clean = run_reps_clean(
                 one_rep, 1 if tight else REPS,
                 extra=0 if tight else 2, wait=not tight)
+            recent_rep_walls.extend(walls)
             qtimes[name] = round(min_clean(walls, steals), 3)
             q_steals[name] = min(steals)
             if n_clean == 0:
@@ -1267,6 +1275,10 @@ def main() -> None:
         result["queries_elapsed_s"] = round(time.time() - suite_t0, 1)
         result["queries_calib_samples"] = calib_samples
         result["queries_min_steal"] = q_steals
+        if q_single:
+            # these walls are single-rep coverage-mode measurements
+            # (cold first evaluation, no warm minimum) — upper bounds
+            result["queries_single_rep"] = q_single
         if q_dirty:
             result["queries_no_clean_rep"] = q_dirty
         if q_contended:
